@@ -1,0 +1,25 @@
+from .base import Sketch, sketch_from_bytes
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+from .cqf import CQF, CQFNoSpace
+from .hll import HyperLogLog
+from .kll import KLL
+from .minhash import MinHasher, jaccard_exact
+from .simhash import hamming64, simhash64
+from .tdigest import TDigest
+
+__all__ = [
+    "CQF",
+    "CQFNoSpace",
+    "Sketch",
+    "sketch_from_bytes",
+    "BloomFilter",
+    "CountMinSketch",
+    "HyperLogLog",
+    "KLL",
+    "TDigest",
+    "MinHasher",
+    "jaccard_exact",
+    "simhash64",
+    "hamming64",
+]

@@ -1,0 +1,231 @@
+"""Companion-sketch tests: published error bounds, merge associativity,
+serialization round-trips (SURVEY.md §5 target test plan)."""
+
+import numpy as np
+import pytest
+
+from cqf_ray.sketches import (
+    KLL,
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    MinHasher,
+    TDigest,
+    hamming64,
+    jaccard_exact,
+    sketch_from_bytes,
+    simhash64,
+)
+from cqf_ray.text import char_ngram_hashes, token_hashes
+
+
+def _hashes(n, seed=0):
+    return np.random.default_rng(seed).integers(0, 1 << 64, size=n, dtype=np.uint64)
+
+
+# ---------------- Bloom ----------------
+
+def test_bloom_membership_and_fp_rate():
+    bf = BloomFilter(log2_bits=17, num_hashes=7, seed=3)
+    keys = _hashes(10_000, 1)
+    bf.update(keys)
+    assert bf.contains(keys).all()  # no false negatives
+    probe = _hashes(50_000, 2)
+    fp = bf.contains(probe).mean()
+    # m/n ≈ 13 bits/key, k=7 ⇒ theoretical ≈ 0.008; allow 3× slack
+    assert fp < 0.025, fp
+    est = bf.estimate_cardinality()
+    assert abs(est - 10_000) / 10_000 < 0.05
+
+
+def test_bloom_merge_bitwise_and_roundtrip():
+    a, b = BloomFilter(14, 5, 1), BloomFilter(14, 5, 1)
+    a.update(_hashes(500, 1))
+    b.update(_hashes(500, 2))
+    ab = BloomFilter.from_bytes(a.to_bytes()).merge_in_place(b)
+    ba = BloomFilter.from_bytes(b.to_bytes()).merge_in_place(a)
+    assert ab.to_bytes() == ba.to_bytes()
+    back = sketch_from_bytes(ab.to_bytes())
+    np.testing.assert_array_equal(back.bits, ab.bits)
+    with pytest.raises(ValueError):
+        a.merge_in_place(BloomFilter(15, 5, 1))
+
+
+# ---------------- HLL ----------------
+
+@pytest.mark.parametrize("n", [100, 10_000, 300_000])
+def test_hll_error_bound(n):
+    hll = HyperLogLog(p=12)  # rse ≈ 1.04/64 ≈ 1.6%
+    hll.update(_hashes(n, n))
+    est = hll.estimate()
+    assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_merge_equals_union_and_roundtrip():
+    a, b = HyperLogLog(11), HyperLogLog(11)
+    ka, kb = _hashes(5000, 1), _hashes(7000, 2)
+    a.update(ka)
+    b.update(kb)
+    u = HyperLogLog(11)
+    u.update(np.concatenate([ka, kb]))
+    merged = HyperLogLog.from_bytes(a.to_bytes()).merge_in_place(b)
+    assert merged.to_bytes() == u.to_bytes()  # max-merge is exact
+    assert sketch_from_bytes(u.to_bytes()).estimate() == u.estimate()
+
+
+# ---------------- CMS ----------------
+
+def test_cms_overestimates_within_bound():
+    cms = CountMinSketch(depth=5, log2_width=14, seed=2)
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 500, size=100_000, dtype=np.uint64)  # heavy reuse
+    cms.update(keys)
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms.estimate(uniq)
+    assert (est >= true).all()  # one-sided error
+    # additive error ≤ e/w·N with high prob
+    assert (est - true).max() <= np.e / (1 << 14) * 100_000 * 5
+
+
+def test_cms_merge_additive_and_roundtrip():
+    a, b = CountMinSketch(4, 12, 7), CountMinSketch(4, 12, 7)
+    a.update(_hashes(1000, 1))
+    b.update(_hashes(1000, 2))
+    m = CountMinSketch.from_bytes(a.to_bytes()).merge_in_place(b)
+    np.testing.assert_array_equal(m.table, a.table + b.table)
+    assert m.total == a.total + b.total
+    back = sketch_from_bytes(m.to_bytes())
+    np.testing.assert_array_equal(back.table, m.table)
+
+
+def test_cms_weighted_counts():
+    cms = CountMinSketch(4, 14, 0)
+    cms.update(np.array([42], dtype=np.uint64), np.array([17]))
+    assert cms.estimate(np.array([42], dtype=np.uint64))[0] == 17
+
+
+# ---------------- t-digest ----------------
+
+def test_tdigest_quantiles_uniform():
+    td = TDigest(delta=200)
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        td.update(rng.uniform(0, 1, size=20_000))
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        assert abs(td.quantile(q) - q) < 0.01, q
+    assert td.total_weight == 200_000
+    assert abs(td.cdf(0.5) - 0.5) < 0.01
+
+
+def test_tdigest_merge_and_roundtrip():
+    rng = np.random.default_rng(6)
+    parts = []
+    for i in range(4):
+        td = TDigest(delta=100)
+        td.update(rng.normal(0, 1, size=25_000))
+        parts.append(td)
+    merged = TDigest.from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        merged.merge_in_place(p)
+    assert abs(merged.quantile(0.5)) < 0.05
+    assert merged.total_weight == 100_000
+    back = sketch_from_bytes(merged.to_bytes())
+    assert back.quantile(0.5) == merged.quantile(0.5)
+
+
+# ---------------- KLL ----------------
+
+def test_kll_rank_error():
+    kll = KLL(k=200, seed=1)
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0, 1, size=100_000)
+    for chunk in np.array_split(vals, 20):
+        kll.update(chunk)
+    assert kll.total_weight == 100_000
+    for q in (0.1, 0.5, 0.9):
+        assert abs(kll.quantile(q) - q) < 0.03, q
+    assert abs(kll.rank(0.25) - 0.25) < 0.03
+
+
+def test_kll_merge_and_roundtrip():
+    rng = np.random.default_rng(8)
+    a, b = KLL(k=160, seed=1), KLL(k=160, seed=2)
+    a.update(rng.uniform(0, 1, 50_000))
+    b.update(rng.uniform(1, 2, 50_000))
+    a.merge_in_place(b)
+    assert abs(a.quantile(0.5) - 1.0) < 0.06
+    back = sketch_from_bytes(a.to_bytes())
+    assert back.quantile(0.5) == a.quantile(0.5)
+    with pytest.raises(ValueError):
+        a.merge_in_place(KLL(k=100))
+
+
+# ---------------- text kernels ----------------
+
+def test_char_ngram_hashes_shapes_and_equality():
+    texts = ["abcdefg", "abcdefg", "xy", "", "zzzzz"]
+    h, off = char_ngram_hashes(texts, n=3, seed=1)
+    lens = np.diff(off)
+    assert lens.tolist() == [5, 5, 1, 0, 3]
+    # identical docs → identical shingle streams
+    np.testing.assert_array_equal(h[off[0]:off[1]], h[off[1]:off[2]])
+    # repeated char trigrams within a doc hash equal
+    zz = h[off[4]:off[5]]
+    assert len(np.unique(zz)) == 1
+    # shared prefix between different docs produces overlapping shingles
+    h2, off2 = char_ngram_hashes(["abcd", "abcz"], n=3)
+    assert h2[off2[0]] == h2[off2[1]]  # "abc" == "abc"
+    assert h2[off2[0] + 1] != h2[off2[1] + 1]  # "bcd" != "bcz"
+
+
+def test_token_hashes():
+    h, off = token_hashes(["the cat sat", "THE cat", ""], seed=2)
+    assert np.diff(off).tolist() == [3, 2, 0]
+    assert h[off[0]] == h[off[1]]  # "the" == lowercase("THE")
+    assert h[off[0] + 1] == h[off[1] + 1]  # "cat"
+
+
+# ---------------- MinHash / SimHash ----------------
+
+def test_minhash_jaccard_estimate():
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "the quick brown fox jumps over the lazy cat " * 5,
+        "completely different content about ray data pipelines and sketches",
+    ]
+    h, off = char_ngram_hashes(texts, n=5, seed=0)
+    mh = MinHasher(num_perm=256, seed=0)
+    sigs = mh.signatures(h, off)
+    j01 = MinHasher.estimate_jaccard(sigs[0], sigs[1])
+    j02 = MinHasher.estimate_jaccard(sigs[0], sigs[2])
+    true01 = jaccard_exact(h[off[0]:off[1]], h[off[1]:off[2]])
+    assert abs(j01 - true01) < 0.12
+    assert j01 > 0.6 > j02
+    bands = mh.band_keys(sigs, bands=32)
+    assert bands.shape == (3, 32)
+    # near-dups share at least one band; the unrelated doc shares none
+    assert (bands[0] == bands[1]).any()
+    assert not (bands[0] == bands[2]).any()
+
+
+def test_simhash_near_dup_distance():
+    texts = [
+        "ray data streaming execution with arrow batches and actor pools",
+        "ray data streaming execution with arrow batches and actor pool",
+        "quotient filters encode counts in run length escape sequences",
+    ]
+    h, off = token_hashes(texts, seed=5)
+    fps = simhash64(h, off)
+    d01 = hamming64(fps[:1], fps[1:2])[0]
+    d02 = hamming64(fps[:1], fps[2:3])[0]
+    assert d01 < 12 < d02
+    assert hamming64(fps[:1], fps[:1])[0] == 0
+
+
+def test_empty_docs_everywhere():
+    h, off = char_ngram_hashes(["", "", ""], n=4)
+    assert len(h) == 0
+    sigs = MinHasher(16, 0).signatures(h, off)
+    assert (sigs == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    fps = simhash64(*token_hashes(["", ""]))
+    assert fps.tolist() == [0, 0]
