@@ -188,6 +188,10 @@ class CQF:
             self._pending.append((words, c))
             self._layout = None
 
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
+        """Sketch-protocol alias of :meth:`insert_many` (keys only, no payload)."""
+        self.insert_many(values, counts=counts)
+
     def insert(self, key: int, value: int = 0, count: int = 1, key_is_hash: bool = False) -> None:
         self.insert_many(
             np.array([key], dtype=_U64),

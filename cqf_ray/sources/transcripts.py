@@ -1,0 +1,170 @@
+"""Transcript table sources.
+
+``BASELINE.json`` ``input_hint`` fixes the input schema: a Parquet table of
+multi-turn conversation / agent transcripts with columns ``(conv_id:string,
+turn_idx:int32, role:string, text:string, tool:string, ts:timestamp)``.
+
+Two sources:
+
+* :func:`transcripts_from_events` — a deterministic derivation from the
+  driver's ``events`` table, expressible identically in ANSI SQL (see
+  :data:`TRANSCRIPTS_SQL`) so the correctness driver can oracle-check
+  transcript pipelines. One conversation per ``user_id``; turn order is
+  ``(ts, event_id)``; ``text`` is the event's ``props`` payload verbatim
+  (per-turn text equality under stable ``(conv_id, turn_idx)`` ordering —
+  the north-rule row invariant).
+* :func:`synth_transcripts` — a seeded, Zipf-skewed synthetic generator
+  (vectorized numpy; the analog of the reference's benchmark generators,
+  ``/root/reference/src/bm.c:140-420`` and ``src/zipf.c``) used by the
+  bench driver at arbitrary scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+ROLE_OF_EVENT = {
+    "signup": "system",
+    "view": "user",
+    "click": "user",
+    "purchase": "assistant",
+    "error": "tool",
+}
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# The same derivation in ANSI SQL (DuckDB-runnable) for oracle checks.
+TRANSCRIPTS_SQL = """
+SELECT
+  'c' || CAST(user_id AS VARCHAR)                                        AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS INTEGER)                                                       AS turn_idx,
+  CASE event_type
+    WHEN 'signup' THEN 'system'
+    WHEN 'view' THEN 'user'
+    WHEN 'click' THEN 'user'
+    WHEN 'purchase' THEN 'assistant'
+    WHEN 'error' THEN 'tool'
+    ELSE 'user' END                                                      AS role,
+  props                                                                  AS text,
+  event_type                                                             AS tool,
+  ts                                                                     AS ts
+FROM events
+"""
+
+
+def _events_to_turns(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation group fn: order by (ts, event_id), assign turn_idx."""
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    uid = df["user_id"].iloc[0]
+    return pd.DataFrame(
+        {
+            "conv_id": np.repeat(f"c{uid}", len(df)),
+            "turn_idx": np.arange(len(df), dtype=np.int32),
+            "role": df["event_type"].map(ROLE_OF_EVENT).fillna("user").to_numpy(),
+            "text": df["props"].to_numpy(),
+            "tool": df["event_type"].to_numpy(),
+            "ts": df["ts"].to_numpy(),
+        }
+    )
+
+
+def transcripts_from_events(sf_dir: str) -> "ray.data.Dataset":
+    """events.parquet → transcript Dataset (schema per ``input_hint``).
+
+    The turn-index assignment is a per-conversation window (row_number) —
+    Ray Data expresses it as ``groupby(user_id).map_groups``: a keyed
+    shuffle on the conversation key, exactly the partitioning every
+    downstream per-conv stage reuses (one shuffle key for the whole
+    pipeline, SURVEY.md §7.3). Column pruning at the read keeps only the 5
+    columns the derivation needs.
+    """
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    return ds.groupby("user_id").map_groups(_events_to_turns, batch_format="pandas")
+
+
+_WORDS = np.array(
+    "the a spark ray data batch stream merge sort hash join filter scan table row column "
+    "key value query plan agg window part order line customer vector index cache shard "
+    "block slot count sketch quotient remainder rank select run tool call reply done".split()
+)
+
+
+def synth_transcripts(
+    out_dir: str,
+    n_convs: int = 1000,
+    mean_turns: int = 16,
+    seed: int = 42,
+    shards: int = 8,
+) -> str:
+    """Deterministic synthetic transcript Parquet (sharded directory).
+
+    Conversation lengths are Zipf-skewed (bounded), roles cycle through a
+    realistic agent-loop pattern, ``text`` is a seeded bag-of-words line,
+    ``tool`` is set on tool-role turns. Sharded so readers parallelize and
+    a resumable writer could skip finished shards. Returns ``out_dir``.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    # bounded Zipf conversation lengths: skewed like real agent traces
+    raw = rng.zipf(1.3, size=n_convs)
+    turns = np.minimum(raw * max(mean_turns // 4, 1), mean_turns * 8).astype(np.int64)
+    turns = np.maximum(turns, 2)
+    conv_of_turn = np.repeat(np.arange(n_convs), turns)
+    total = int(turns.sum())
+    within = np.ones(total, dtype=np.int64)
+    heads = np.concatenate([[0], np.cumsum(turns)[:-1]])
+    within[heads] = np.concatenate([[0], 1 - turns[:-1]])
+    turn_idx = np.cumsum(within).astype(np.int32)
+
+    roles_cycle = np.array(["system", "user", "assistant", "tool", "assistant", "user"])
+    role = roles_cycle[turn_idx % len(roles_cycle)]
+    tools = np.array(["", "search", "python", "browser", "sql"])
+    tool = np.where(role == "tool", tools[1 + (conv_of_turn + turn_idx) % 4], "")
+
+    n_words = rng.integers(3, 40, size=total)
+    flat_words = _WORDS[rng.integers(0, len(_WORDS), size=int(n_words.sum()))]
+    bounds = np.concatenate([[0], np.cumsum(n_words)])
+    joined = np.empty(total, dtype=object)
+    for i in range(total):  # driver-side generator only; not a hot pipeline path
+        joined[i] = " ".join(flat_words[bounds[i] : bounds[i + 1]])
+    ts = np.datetime64("2024-01-01", "us") + (
+        conv_of_turn * 86_400_000_000 + turn_idx * 37_000_000
+    ).astype("timedelta64[us]")
+
+    table = pa.table(
+        {
+            "conv_id": pa.array(np.char.add("conv", conv_of_turn.astype(str)), type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(role, type=pa.string()),
+            "text": pa.array(joined, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    shard_bounds = np.linspace(0, table.num_rows, shards + 1).astype(int)
+    for s in range(shards):
+        pq.write_table(
+            table.slice(shard_bounds[s], shard_bounds[s + 1] - shard_bounds[s]),
+            os.path.join(out_dir, f"part-{s:05d}.parquet"),
+        )
+    return out_dir

@@ -1,0 +1,158 @@
+"""Distributed sketch aggregation over ``ray.data.Dataset``.
+
+This is the Ray-Data-native re-expression of the reference's build+merge
+lifecycle (SURVEY.md §3): the reference shards a key stream across threads
+into one lock-striped CQF (``/root/reference/src/test_threadsafe.c:108-114``)
+and merges k filters with ``qf_multi_merge`` (``src/gqf.c:2479-2544``).
+Here each *input block* produces one small partial-sketch blob inside
+``map_batches`` (zero-copy Arrow in, one `bytes` row out), and the blobs are
+combined with a fan-in-k tree of Ray tasks — the classic partial/final UDAF
+split. Nothing materializes the input; only the fixed-size sketch blobs
+leave the map stage, so the pattern holds at 100 TB: the "shuffle" moves
+kilobytes per partition, not data.
+
+Grouped sketches (e.g. distinct text per role) use the same two-level
+pattern: per-batch per-group partials, then a tiny ``groupby().map_groups``
+over blobs — the all-to-all exchange only ever sees (group, blob) rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..sketches.base import sketch_from_bytes
+
+# Keys extracted per batch: Callable[[pa.Table], np.ndarray] returning
+# uint64 hashes (membership/frequency sketches) or float64 (quantiles).
+Extractor = Callable[[pa.Table], np.ndarray]
+# Extractor variant that also returns per-key counts.
+CountedExtractor = Callable[[pa.Table], tuple[np.ndarray, np.ndarray]]
+
+
+def partial_sketches(
+    ds: "ray.data.Dataset",
+    extract: Extractor | CountedExtractor,
+    make_sketch: Callable[[], Any],
+    *,
+    batch_size: int | None = 65536,
+    counted: bool = False,
+) -> "ray.data.Dataset":
+    """Map each input block to one serialized partial-sketch row.
+
+    Stateless task (not an actor pool): the sketch is created per batch and
+    immediately serialized, so there is no cross-batch state to protect and
+    Ray can schedule/retry/scale the stage freely. ``make_sketch`` must be a
+    picklable zero-arg factory capturing the sketch geometry + seed (merge
+    compatibility, cf. ``src/gqf.c:2438-2444``).
+    """
+
+    def build(batch: pa.Table) -> dict:
+        sk = make_sketch()
+        if counted:
+            vals, counts = extract(batch)
+            sk.update(vals, counts)
+        else:
+            sk.update(extract(batch))
+        return {"sketch": np.array([sk.to_bytes()], dtype=object), "rows": [batch.num_rows]}
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+@ray.remote
+def _merge_blobs(*blobs: bytes) -> bytes:
+    """Fan-in-k combine task: deserialize, fold left, re-serialize.
+
+    Associativity/commutativity of ``merge_in_place`` (bitwise for
+    CQF/Bloom/HLL/CMS — SURVEY.md §2.5) makes the tree shape irrelevant
+    to the result.
+    """
+    acc = sketch_from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge_in_place(sketch_from_bytes(b))
+    return acc.to_bytes()
+
+
+def tree_merge_blobs(blobs: list, *, fanin: int = 8) -> bytes:
+    """Reduce serialized sketch blobs with a fan-in-k task tree.
+
+    On a cluster this is the merge stage of SURVEY.md §7.3: each level is a
+    wave of small tasks over object-store refs; with P partitions the tree
+    is ceil(log_k P) levels deep and every task touches k fixed-size blobs.
+    """
+    if not blobs:
+        raise ValueError("tree_merge_blobs of zero blobs")
+    refs = [b if isinstance(b, ray.ObjectRef) else ray.put(b) for b in blobs]
+    while len(refs) > 1:
+        refs = [
+            _merge_blobs.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)
+        ]
+    return ray.get(refs[0])
+
+
+def build_sketch(
+    ds: "ray.data.Dataset",
+    extract: Extractor | CountedExtractor,
+    make_sketch: Callable[[], Any],
+    *,
+    batch_size: int | None = 65536,
+    counted: bool = False,
+    fanin: int = 8,
+):
+    """End-to-end: Dataset → global sketch object (partial + tree merge).
+
+    The only driver-side materialization is the list of per-block blobs
+    (``P × sketch_size`` bytes — e.g. 4096 partitions × 256 KiB = 1 GiB of
+    blobs for 100 TB of input, and those fold down k-at-a-time in tasks).
+    """
+    parts = partial_sketches(ds, extract, make_sketch, batch_size=batch_size, counted=counted)
+    blobs = [row["sketch"] for row in parts.take_all()]
+    if not blobs:
+        return make_sketch()
+    return sketch_from_bytes(tree_merge_blobs(blobs, fanin=fanin))
+
+
+def grouped_sketches(
+    ds: "ray.data.Dataset",
+    group_key: str,
+    extract_by_group: Callable[[pa.Table], dict[Any, np.ndarray]],
+    make_sketch: Callable[[], Any],
+    *,
+    batch_size: int | None = 65536,
+) -> dict[Any, Any]:
+    """Per-group global sketches via two-level aggregation.
+
+    Level 1 (``map_batches``): each batch emits one (group, blob) row per
+    group present in the batch — the partial aggregate that tames skew
+    (SURVEY.md §7.3: hot `conv_id`s pre-combine before any shuffle).
+    Level 2: groupby over the tiny (group, blob) table, fold blobs per
+    group. Returns {group: sketch}.
+    """
+
+    def level1(batch: pa.Table) -> dict:
+        groups, blobs = [], []
+        for g, vals in extract_by_group(batch).items():
+            sk = make_sketch()
+            sk.update(vals)
+            groups.append(g)
+            blobs.append(sk.to_bytes())
+        return {group_key: groups, "sketch": np.array(blobs, dtype=object)}
+
+    def fold(df):
+        import pandas as pd
+
+        acc = sketch_from_bytes(df["sketch"].iloc[0])
+        for b in df["sketch"].iloc[1:]:
+            acc.merge_in_place(sketch_from_bytes(b))
+        return pd.DataFrame({group_key: [df[group_key].iloc[0]], "sketch": [acc.to_bytes()]})
+
+    rows = (
+        ds.map_batches(level1, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+        .groupby(group_key)
+        .map_groups(fold, batch_format="pandas")
+        .take_all()
+    )
+    return {r[group_key]: sketch_from_bytes(r["sketch"]) for r in rows}
