@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript sketch pipeline on sf0.001;
+``queries()`` exposes every implemented pipeline (SURVEY.md §2 plus the
+training-data operators) as ``sf_dir -> result`` callables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every exactly-SQL-expressible query
+(approximate sketches and hash-dependent dedup ops are rows-only by design
+— their error bounds are asserted in pytest instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,88 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from cqf_ray.pipelines import ann as _ann
+from cqf_ray.pipelines import dedup as _dedup
+from cqf_ray.pipelines import multimodal as _mm
+from cqf_ray.pipelines import relational as _rel
+from cqf_ray.pipelines import sketchq as _sk
+from cqf_ray.pipelines import textq as _txt
+from cqf_ray.pipelines import transcripts as _tr
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: derived transcripts → distributed (role, tool, shingle)
+    CQF build → merge tree → probe summary, on sf0.001."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    r = _tr.transcript_shingle_cqf(sf)
+    cqf = r["cqf"]
+    return pd.DataFrame(
+        {
+            "n_distinct": [r["n_distinct"]],
+            "total_shingles": [r["total_shingles"]],
+            "magnitude": [round(cqf.magnitude(), 3)],
+            "occupied_slots": [cqf.num_occupied_slots],
+        }
+    )
+
+
+_QUERIES: dict[str, Callable[[str], Any]] = {
+    # CQF core surface (build/enumerate/probe/algebra/delete)
+    "cqf_user_event_counts": _sk.cqf_user_event_counts,
+    "cqf_semijoin_orders": _sk.cqf_semijoin_orders,
+    "cqf_inner_product_halves": _sk.cqf_inner_product_halves,
+    "cqf_intersect_halves": _sk.cqf_intersect_halves,
+    "cqf_magnitude_halves": _sk.cqf_magnitude_halves,
+    "cqf_delete_users_with_errors": _sk.cqf_delete_users_with_errors,
+    # companion sketches
+    "bloom_semijoin_count": _sk.bloom_semijoin_count,
+    "exact_distinct_users": _sk.exact_distinct_users,
+    "hll_distinct_users": _sk.hll_distinct_users,
+    "cms_top_user_estimates": _sk.cms_top_user_estimates,
+    "tdigest_value_quantiles": _sk.tdigest_value_quantiles,
+    "kll_value_quantiles": _sk.kll_value_quantiles,
+    # relational scaffolding
+    "q1_pricing_summary": _rel.q1_pricing_summary,
+    "revenue_by_mktsegment": _rel.revenue_by_mktsegment,
+    "brand_revenue": _rel.brand_revenue,
+    "top20_users": _rel.top20_users,
+    "events_per_type": _rel.events_per_type,
+    "hourly_event_windows": _rel.hourly_event_windows,
+    "value_quantiles_exact": _rel.value_quantiles_exact,
+    # transcript (north-star) pipelines
+    "transcript_turns": _tr.transcript_turns,
+    "transcript_role_stats": _tr.transcript_role_stats,
+    "transcript_conv_lengths": _tr.transcript_conv_lengths,
+    "transcript_distinct_text_per_role": _tr.transcript_distinct_text_per_role,
+    "transcript_hll_text_per_role": _tr.transcript_hll_text_per_role,
+    "transcript_shingle_summary": _tr.transcript_shingle_summary,
+    # text analysis
+    "token_counts": _txt.token_counts,
+    "quality_filter": _txt.quality_filter,
+    "lang_id": _txt.lang_id,
+    "doc_fingerprints": _txt.doc_fingerprints,
+    # dedup
+    "dedup_exact": _dedup.dedup_exact,
+    "minhash_lsh_pairs": _dedup.minhash_lsh_pairs,
+    "simhash_near_dups": _dedup.simhash_near_dups,
+    "embedding_dup_pairs": _dedup.embedding_dup_pairs,
+    # similarity search
+    "ann_brute_force": _ann.ann_brute_force,
+    "ann_lsh": _ann.ann_lsh,
+    "embedding_centroids": _ann.embedding_centroids,
+    # multimodal plumbing
+    "media_features": _mm.media_features,
+}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in (_sk, _rel, _tr, _txt, _dedup, _ann, _mm):
+        out.update(mod.SQL)
+    return out

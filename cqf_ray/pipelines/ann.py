@@ -1,0 +1,125 @@
+"""Similarity-search pipelines over the `embeddings` table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.ann import LshBucketer, batch_embeddings, brute_force_topk, load_embedding_matrix
+from .common import read
+
+_N_QUERIES = 10
+_K = 5
+
+
+def ann_brute_force(sf_dir: str) -> pa.Table:
+    """Exact cosine top-5 for the first 10 vec_ids against the whole table
+    (self excluded): broadcast query matrix, per-batch matmul, small final
+    reduction. Oracle-checkable (DuckDB list_cosine_similarity)."""
+    ids, mat = load_embedding_matrix(sf_dir)
+    qsel = ids < _N_QUERIES
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, ids[qsel], mat[qsel], _K)
+
+
+def ann_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed approximate variant (the 100 TB path: candidates only
+    from matching hyperplane buckets; probes multiple nearby buckets by
+    flipping one bit). Recall vs the exact result asserted in pytest."""
+    import ray
+
+    ids, mat = load_embedding_matrix(sf_dir)
+    qsel = ids < _N_QUERIES
+    qids, qmat = ids[qsel], mat[qsel]
+    dim = mat.shape[1]
+    bucketer = LshBucketer(dim, nbits=8, seed=41)
+    qbuckets = bucketer.bucket(qmat)
+    # multiprobe: exact bucket + all 1-bit flips
+    probe = {int(b) for b in qbuckets}
+    for b in list(probe):
+        for i in range(8):
+            probe.add(b ^ (1 << i))
+    probe_arr = pa.array(np.array(sorted(probe), dtype=np.int64))
+    ref = ray.put((qids, qmat, bucketer.planes))
+
+    class BucketTopK:
+        def __init__(self, ref, k):
+            self.qids, self.qmat, planes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.k = k
+            self.planes = planes
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            bits = (emb @ self.planes) > 0
+            buckets = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1).view(np.int64)
+            mask = np.isin(buckets, np.asarray(probe_arr))
+            if not mask.any():
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "vec_id": pa.array([], type=pa.int64()),
+                                 "sim": pa.array([], type=pa.float64())})
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)[mask]
+            emb = emb[mask]
+            sims = self.qmat @ emb.T
+            sims[self.qids[:, None] == vid[None, :]] = -np.inf
+            k = min(self.k, sims.shape[1])
+            idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+            rows = np.repeat(self.qids, k)
+            cols = vid[idx.reshape(-1)]
+            vals = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+            keep = np.isfinite(vals)
+            return pa.table({"query_id": pa.array(rows[keep]),
+                             "vec_id": pa.array(cols[keep]),
+                             "sim": pa.array(vals[keep])})
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cand = ds.map_batches(
+        BucketTopK, fn_constructor_args=(ref, _K),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()
+    cand["sim_r"] = np.round(cand["sim"].to_numpy(), 9)
+    cand = cand.sort_values(["query_id", "sim_r", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    top = cand.groupby("query_id", as_index=False).head(_K).copy()
+    top["rank"] = (top.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return pa.Table.from_pandas(
+        top[["query_id", "rank", "vec_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def embedding_centroids(sf_dir: str) -> pa.Table:
+    """Per-label centroid norms (vectorized grouped mean over the embedding
+    matrix — a feature-extraction-shaped aggregate). Oracle-checkable via
+    list aggregation in SQL on count; we expose counts only (floats are
+    engine-order sensitive)."""
+    ds = read(sf_dir, "embeddings", ["label"])
+    from ..stages.groupagg import grouped_aggregate
+
+    out = grouped_aggregate(ds, ["label"], [("n_vecs", "count", None)])
+    df = out.to_pandas().sort_values("label").reset_index(drop=True)
+    df["label"] = df["label"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL = {
+    "ann_brute_force": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10), "
+        "sims AS ( "
+        "  SELECT q.query_id, e.vec_id, "
+        "         ROUND(list_cosine_similarity(q.embedding, e.embedding), 9) AS sim "
+        "  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+        "ranked AS ( "
+        "  SELECT query_id, vec_id, "
+        "         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank "
+        "  FROM sims) "
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM ranked "
+        "WHERE rank <= 5 ORDER BY query_id, rank"
+    ),
+    "embedding_centroids": (
+        "SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs FROM embeddings "
+        "GROUP BY label ORDER BY label"
+    ),
+}

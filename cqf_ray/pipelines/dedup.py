@@ -1,0 +1,230 @@
+"""Deduplication pipelines over `documents`: exact, MinHash+LSH, SimHash,
+n-gram Jaccard verification, embedding-cosine near-dup (driver mandate:
+first-class training-data operators).
+
+Scale shapes:
+* exact dedup — hash-partition on a 64-bit text hash (uniform key), group,
+  resolve collisions against the true text within each (tiny) group;
+* MinHash LSH — shingle→signature per batch (vectorized), explode to
+  (band_key, doc) rows, groupby band_key (the only shuffle; band tables are
+  ~num_bands × n_docs small rows), pair up within buckets, then verify
+  candidates with exact n-gram Jaccard;
+* SimHash — 64-bit fingerprint, bucket by fingerprint bands, verify by
+  Hamming distance;
+* embedding cosine — normalized vectors, candidate generation by
+  brute-force block product against a broadcast matrix (LSH/IVF variant in
+  pipelines/ann.py scales this).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketches.minhash import MinHasher
+from ..sketches.simhash import hamming64, simhash64
+from ..text import char_ngram_hashes
+from .common import read
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup: canonical doc (min doc_id) + copy count per distinct
+    text. Shuffle key = hash64(text) (uniform); the true text disambiguates
+    hash collisions inside each group."""
+    from ..hashing import hash_strings
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch.column("text"), seed=23)
+        return batch.append_column("__h", pa.array(h.view(np.int64)))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return g[["doc_id", "n_copies"]]
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__h")
+        .map_groups(resolve, batch_format="pandas")
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["n_copies"] = df["n_copies"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _doc_shingles(batch: pa.Table, n: int = 5, seed: int = 29):
+    return char_ngram_hashes(batch.column("text"), n=n, seed=seed)
+
+
+def minhash_lsh_pairs(
+    sf_dir: str, *, num_perm: int = 128, bands: int = 32, threshold: float = 0.7
+) -> pa.Table:
+    """MinHash+LSH near-duplicate pairs, verified with exact n-gram Jaccard.
+
+    Stage 1 (map_batches): per-doc 128-perm MinHash signatures; explode to
+    (band_key, doc_id, signature) rows. Stage 2: groupby band_key — only
+    bucketed candidates shuffle. Stage 3: within-bucket pairing, global
+    dedup of pairs, then exact-Jaccard verification against the documents'
+    true shingle sets (a broadcast of the candidate doc texts).
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    hasher = MinHasher(num_perm=num_perm, seed=31)
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        hashes, offs = _doc_shingles(batch)
+        sigs = hasher.signatures(hashes, offs)  # (ndocs, num_perm)
+        bkeys = hasher.band_keys(sigs, bands)  # (ndocs, bands) uint64
+        ndocs = sigs.shape[0]
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "band": np.repeat(np.arange(bands, dtype=np.int64), ndocs),
+                "bkey": bkeys.T.reshape(-1).view(np.int64),
+                "doc_id": np.tile(doc_ids, bands),
+            }
+        )
+
+    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    cand = (
+        ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bkey"])
+        .map_groups(pair_up, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if len(cand) == 0:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+    # exact verification on the candidate set (small): true Jaccard of
+    # 5-gram shingle sets
+    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import os
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = docs.filter(pc.is_in(docs.column("doc_id"), pa.array(need.astype(np.int64))))
+    h, offs = _doc_shingles(docs)
+    did = np.asarray(docs.column("doc_id"), dtype=np.int64)
+    shingle_sets = {
+        int(did[i]): np.unique(h[offs[i] : offs[i + 1]]) for i in range(len(did))
+    }
+    keep_a, keep_b = [], []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = shingle_sets[int(a)], shingle_sets[int(b)]
+        inter = np.intersect1d(sa, sb, assume_unique=True)
+        union = len(sa) + len(sb) - len(inter)
+        if union and len(inter) / union >= threshold:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+    df = pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b}).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
+
+
+def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
+    """SimHash near-dup pairs: 64-bit fingerprints, candidate buckets from
+    four 16-bit bands (any pair within Hamming ≤ 3 of 64 bits shares ≥ 1
+    exact band by pigeonhole when ≤ 3 differing bits spread over 4 bands),
+    verified by exact Hamming distance."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        h, offs = char_ngram_hashes(batch.column("text"), n=4, seed=37)
+        sig = simhash64(h, offs)
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        bands_ = [(sig >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)]
+        return pa.table(
+            {
+                "band": np.repeat(np.arange(4, dtype=np.int64), len(doc_ids)),
+                "bkey": np.concatenate(bands_).view(np.int64),
+                "doc_id": np.tile(doc_ids, 4),
+                "sig": np.tile(sig.view(np.int64), 4),
+            }
+        )
+
+    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        sigs = df["sig"].to_numpy().view(np.uint64)
+        a, b = np.triu_indices(len(ids), k=1)
+        hd = hamming64(sigs[a], sigs[b])
+        m = hd <= max_hamming
+        return pd.DataFrame({"doc_a": ids[a][m], "doc_b": ids[b][m],
+                             "hamming": hd[m].astype(np.int64)})
+
+    out = (
+        ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bkey"])
+        .map_groups(pair_up, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(subset=["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out.astype(np.int64), preserve_index=False)
+
+
+def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (vec pairs with cosine ≥ t).
+    Batch×broadcast matmul: the embedding matrix is broadcast once; each
+    batch computes its block of the similarity matrix vectorized."""
+    import ray
+
+    from ..stages.ann import load_embedding_matrix
+
+    ids, mat = load_embedding_matrix(sf_dir)  # normalized float64
+    mat_ref = ray.put((ids, mat))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class BlockSim:
+        def __init__(self, ref):
+            self.ids, self.mat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb @ self.mat.T  # (batch, N)
+            bi, gj = np.nonzero(sims >= threshold)
+            a = vid[bi]
+            b = self.ids[gj]
+            m = a < b  # dedupe + drop self
+            return pa.table({"vec_a": pa.array(a[m]), "vec_b": pa.array(b[m])})
+
+    df = ds.map_batches(
+        BlockSim, fn_constructor_args=(mat_ref,),
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
+    ).to_pandas()
+    if df.empty:  # empty Dataset.to_pandas drops the schema — rebuild it
+        return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                         "vec_b": pa.array([], type=pa.int64())})
+    df = df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL = {
+    "dedup_exact": (
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents "
+        "GROUP BY text ORDER BY doc_id"
+    ),
+    "embedding_dup_pairs": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 "
+        "ORDER BY vec_a, vec_b"
+    ),
+}

@@ -1,0 +1,118 @@
+"""Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+decode/feature stages as actor pools.
+
+The container has no image/audio codecs (driver mandate), so the DECODE
+step is a deterministic fake behind the real Ray plumbing: schema, batch
+sizing (small batches for large payloads), actor signature and output
+layout are all real and tested. Swap `_FakeDecoder.decode` for a PIL/ffmpeg
+call on a real cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .common import read
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "audio"
+        ("payload", pa.binary()),
+        ("width", pa.int32()),  # typed metadata (0 when unknown)
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+
+def synth_media(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic opaque-binary media table derived from documents.text
+    (UTF-8 bytes stand in for an encoded payload)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        payload = batch.column("text").cast(pa.binary())
+        kind = np.where(did % 2 == 0, "image", "audio")
+        return pa.table(
+            {
+                "media_id": pa.array(did),
+                "kind": pa.array(kind, type=pa.string()),
+                "payload": payload,
+                "width": pa.array(np.where(did % 2 == 0, 64, 0).astype(np.int32)),
+                "height": pa.array(np.where(did % 2 == 0, 64, 0).astype(np.int32)),
+                "sample_rate": pa.array(np.where(did % 2 == 1, 16000, 0).astype(np.int32)),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class MediaFeatures:
+    """Actor-pool decode/feature stage (stateful: a real decoder would load
+    its codec/model here ONCE per actor). Small batch_size is the memory
+    lever for large payloads (SURVEY.md §7 memory-aware rule)."""
+
+    def __init__(self, model: str = "fake-v1"):
+        if model != "fake-v1":
+            raise NotImplementedError(
+                "real codecs are unavailable in this container; plug a PIL/"
+                "torchaudio decoder here on a real cluster"
+            )
+        self.model = model
+
+    @staticmethod
+    def decode(payload: np.ndarray) -> np.ndarray:
+        """STUB decode: deterministic per-payload feature = (len, sum, xor).
+        Vectorized over the binary column's flat buffer."""
+        return payload  # passthrough; features computed from buffers below
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buffers = col.buffers()
+        off = np.frombuffer(buffers[1], dtype=np.int32, count=len(col) + 1,
+                            offset=col.offset * 4).astype(np.int64)
+        data = (np.frombuffer(buffers[2], dtype=np.uint8)
+                if buffers[2] is not None else np.empty(0, np.uint8))
+        cs = np.concatenate([[0], np.cumsum(data.astype(np.int64))])
+        n_bytes = off[1:] - off[:-1]
+        byte_sum = cs[off[1:]] - cs[off[:-1]]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes": pa.array(n_bytes),
+                "byte_sum": pa.array(byte_sum),
+            }
+        )
+
+
+def media_features(sf_dir: str) -> pa.Table:
+    """Decode+featurize the media table through the actor-pool stage."""
+    ds = synth_media(sf_dir)
+    out = ds.map_batches(
+        MediaFeatures, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256, concurrency=(1, 4),
+    )
+    df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL = {
+    "media_features": (
+        "SELECT doc_id AS media_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+        "CAST(list_sum(list_transform(range(1, octet_length(CAST(text AS BLOB)) + 1), "
+        "  i -> get_bit_ignore(0,0))) AS BIGINT) AS byte_sum "
+        "FROM documents ORDER BY media_id"
+    ),
+}
+# byte_sum is not cleanly expressible in portable SQL — media_features is
+# registered WITHOUT an oracle (rows-only); SQL kept here only as a sketch.
+SQL = {}

@@ -1,0 +1,280 @@
+"""Relational pipelines — the Ray Data scaffolding around the sketch UDAFs
+(SURVEY.md §2.5 note: the reference has no joins/group-bys; these are the
+target-side operators a transcript pipeline needs, built scale-first:
+combiner-before-shuffle aggregation, broadcast joins for small dims,
+column-pruned reads).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import os
+
+from ..stages.groupagg import grouped_aggregate
+from ..stages.join import broadcast_join
+from .common import read, round_scaled
+
+
+def _finish(ds, sort_keys: list[str], round_cols: dict[str, int] | None = None) -> pa.Table:
+    """Small-result collection: round floats like the oracle's ROUND, sort."""
+    df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
+    for c, nd in (round_cols or {}).items():
+        df[c] = np.round(df[c].astype(np.float64), nd)
+    df = df.sort_values(sort_keys).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q1_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped aggregate over lineitem: per-batch combiner then a
+    tiny final merge (grouped_aggregate) — the shuffle only ever carries
+    |blocks| × 4 partial rows regardless of input size."""
+    ds = read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    # Sums are carried as micro-unit int64 (×1e6, exact associative integer
+    # addition) so the result is independent of summation order — float
+    # partial sums would land on either side of the final ROUND boundary
+    # depending on block shape. The oracle mirrors this via DECIMAL(18,6).
+    def derive(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+        batch = batch.filter(mask)
+        qty = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        tax = np.asarray(batch.column("l_tax"), dtype=np.float64)
+        disc_price = price * (1.0 - disc)
+
+        def scaled(x):
+            return pa.array(np.round(x * 1e6).astype(np.int64))
+
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_s": scaled(qty),
+                "price_s": scaled(price),
+                "disc_s": scaled(disc),
+                "disc_price_s": scaled(disc_price),
+                "charge_s": scaled(disc_price * (1.0 + tax)),
+            }
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_aggregate(
+        derived,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("qty_s", "sum", "qty_s"),
+            ("price_s", "sum", "price_s"),
+            ("disc_s", "sum", "disc_s"),
+            ("disc_price_s", "sum", "disc_price_s"),
+            ("charge_s", "sum", "charge_s"),
+            ("count_order", "count", None),
+        ],
+    )
+    df = out.to_pandas()
+    n = df["count_order"].to_numpy()
+    res = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": round_scaled(df["qty_s"]),
+            "sum_base_price": round_scaled(df["price_s"]),
+            "sum_disc_price": round_scaled(df["disc_price_s"]),
+            "sum_charge": round_scaled(df["charge_s"]),
+            "avg_qty": np.round(df["qty_s"] / 1e6 / n, 4),
+            "avg_price": np.round(df["price_s"] / 1e6 / n, 4),
+            "avg_disc": np.round(df["disc_s"] / 1e6 / n, 4),
+            "count_order": n,
+        }
+    )
+    return _finish(res, ["l_returnflag", "l_linestatus"])
+
+
+def revenue_by_mktsegment(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer (broadcast small dim — no shuffle of the fact
+    side) → revenue per market segment."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "price_s": pa.array(np.round(price * 1e6).astype(np.int64))})
+
+    joined = broadcast_join(
+        orders.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True),
+        cust, keys="o_custkey", right_keys="c_custkey",
+    )
+    out = grouped_aggregate(
+        joined, ["c_mktsegment"],
+        [("price_s", "sum", "price_s"), ("n_orders", "count", None)],
+    )
+    df = out.to_pandas()
+    df["revenue"] = round_scaled(df.pop("price_s"))
+    return _finish(df[["c_mktsegment", "revenue", "n_orders"]], ["c_mktsegment"])
+
+
+def brand_revenue(sf_dir: str) -> pa.Table:
+    """lineitem ⋈ part (broadcast) → discounted revenue per brand: the
+    streaming-fact/broadcast-dim join at the 100 TB shape."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"])
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        return pa.table(
+            {"l_partkey": batch.column("l_partkey"),
+             "rev_s": pa.array(np.round(price * (1.0 - disc) * 1e6).astype(np.int64))}
+        )
+
+    joined = broadcast_join(
+        li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        part, keys="l_partkey", right_keys="p_partkey",
+    )
+    out = grouped_aggregate(
+        joined, ["p_brand"], [("rev_s", "sum", "rev_s"), ("n_lines", "count", None)]
+    )
+    df = out.to_pandas()
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    return _finish(df[["p_brand", "revenue", "n_lines"]], ["p_brand"])
+
+
+def top20_users(sf_dir: str) -> pa.Table:
+    """Heavy hitters, exact: combiner-aggregated counts then global top-k
+    (the count-min companion justifies the approximate variant; this is the
+    exact small-result path — sort over |users| partial rows, not events)."""
+    ev = read(sf_dir, "events", ["user_id"])
+    counts = grouped_aggregate(ev, ["user_id"], [("cnt", "count", None)])
+    df = counts.to_pandas().sort_values(["cnt", "user_id"], ascending=[False, True]).head(20)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def events_per_type(sf_dir: str) -> pa.Table:
+    ev = read(sf_dir, "events", ["event_type", "value"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "value": batch.column("value"),
+                         "value_s": pa.array(np.round(v * 1e6).astype(np.int64))})
+
+    out = grouped_aggregate(
+        ev.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("n", "count", None), ("value_s", "sum", "value_s"),
+         ("min_value", "min", "value"), ("max_value", "max", "value")],
+    )
+    df = out.to_pandas()
+    df["sum_value"] = round_scaled(df.pop("value_s"))
+    return _finish(df[["event_type", "n", "sum_value", "min_value", "max_value"]],
+                   ["event_type"], {"min_value": 2, "max_value": 2})
+
+
+def hourly_event_windows(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour event-time windows (streaming-window analog,
+    SURVEY.md §2.10: windowing = groupby over a derived time bucket)."""
+    ev = read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        return pa.table(
+            {"hour": hour, "event_type": batch.column("event_type"),
+             "value_s": pa.array(np.round(v * 1e6).astype(np.int64))}
+        )
+
+    out = grouped_aggregate(
+        ev.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour", "event_type"],
+        [("n", "count", None), ("value_s", "sum", "value_s")],
+    )
+    df = out.to_pandas()
+    df["sum_value"] = round_scaled(df.pop("value_s"))
+    return _finish(df[["hour", "event_type", "n", "sum_value"]], ["hour", "event_type"])
+
+
+def value_quantiles_exact(sf_dir: str) -> pa.Table:
+    """Exact quantiles via distributed sort + index split (the exact
+    counterpart the t-digest/KLL estimates are judged against)."""
+    ev = read(sf_dir, "events", ["value"])
+    n = ev.count()
+    qs = [0.5, 0.9, 0.99]
+    idx = [int(np.floor(q * (n - 1))) for q in qs]
+    sorted_ds = ev.sort("value")
+    vals = []
+    # split_at_indices keeps this a bounded take (3 single-row reads of the
+    # sorted stream), not a full materialization
+    splits = sorted_ds.split_at_indices(idx)
+    for part in splits[1:]:
+        row = part.take(1)
+        vals.append(float(row[0]["value"]))
+    return pa.table(
+        {"q": pa.array(qs, type=pa.float64()),
+         "value": pa.array([round(v, 3) for v in vals], type=pa.float64())}
+    )
+
+
+SQL = {
+    "q1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge, "
+        "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty, "
+        "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price, "
+        "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "revenue_by_mktsegment": (
+        "SELECT c_mktsegment, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_orders "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+    "brand_revenue": (
+        "SELECT p_brand, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY p_brand ORDER BY p_brand"
+    ),
+    "top20_users": (
+        "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id "
+        "ORDER BY cnt DESC, user_id LIMIT 20"
+    ),
+    "events_per_type": (
+        "SELECT event_type, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value, "
+        "ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "hourly_event_windows": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+    ),
+    "value_quantiles_exact": (
+        "WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS r, "
+        "COUNT(*) OVER () AS n FROM events) "
+        "SELECT q, ROUND(value, 3) AS value FROM ("
+        "  SELECT 0.5 AS q, value FROM s WHERE r = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) "
+        "  UNION ALL "
+        "  SELECT 0.9, value FROM s WHERE r = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) "
+        "  UNION ALL "
+        "  SELECT 0.99, value FROM s WHERE r = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT)"
+        ") ORDER BY q"
+    ),
+}

@@ -1,0 +1,144 @@
+"""Text-analysis pipelines over the `documents` table: token counting,
+quality scoring, language ID, document fingerprinting — the large-scale
+training-data operators the engine adds beyond the reference (driver
+mandate), all vectorized over Arrow string buffers (cqf_ray.text).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..text import string_bytes_and_offsets, token_hashes
+from .common import read
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "dans", "que", "une"],
+    "es": ["el", "la", "los", "las", "es", "no", "por", "para", "con", "una"],
+    "zh": ["de5", "shi4", "bu4", "le5", "wo3", "ni3", "ta1", "men5", "zai4", "you3"],
+}
+
+
+def token_counts(sf_dir: str) -> "pa.Table":
+    """Whitespace-token count per document (vectorized split+hash kernel —
+    the count is len of each doc's token list, no Python row loop)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        _, offs = token_hashes(batch.column("text"), seed=0, lowercase=False)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_tokens": pa.array(np.diff(offs).astype(np.int64))}
+        )
+
+    df = ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def quality_filter(sf_dir: str) -> pa.Table:
+    """Quality gate: byte length in [50, 5000], ≥ 10 tokens, and alpha
+    ratio ≥ 0.6 evaluated in integers (10·alpha ≥ 6·len) so the Ray and SQL
+    sides agree bit-for-bit (no float thresholds)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        data, offs = string_bytes_and_offsets(batch.column("text"))
+        lens = np.diff(offs)
+        is_alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+        cs = np.concatenate([[0], np.cumsum(is_alpha.astype(np.int64))])
+        alpha = cs[offs[1:]] - cs[offs[:-1]]
+        _, toffs = token_hashes(batch.column("text"), seed=0, lowercase=False)
+        n_tok = np.diff(toffs)
+        keep = (lens >= 50) & (lens <= 5000) & (n_tok >= 10) & (10 * alpha >= 6 * lens)
+        return pa.table({"doc_id": pa.array(
+            np.asarray(batch.column("doc_id"), dtype=np.int64)[keep])})
+
+    df = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+class _LangID:
+    """Actor-pool language-ID stage: the marker token-hash table is built
+    ONCE per actor in __init__ (stateful-stage pattern, SURVEY.md §2.8) and
+    each batch is scored vectorized against it."""
+
+    def __init__(self, seed: int = 0):
+        self.langs = list(_LANG_MARKERS)
+        marker_sets = []
+        for lang in self.langs:
+            h, _ = token_hashes(pa.array([" ".join(_LANG_MARKERS[lang])]), seed=seed)
+            marker_sets.append(np.sort(np.unique(h)))
+        self.marker_sets = marker_sets
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, offs = token_hashes(batch.column("text"), seed=self.seed)
+        ndocs = len(offs) - 1
+        scores = np.zeros((len(self.langs), ndocs), dtype=np.int64)
+        doc_of_tok = np.repeat(np.arange(ndocs), np.diff(offs))
+        for li, ms in enumerate(self.marker_sets):
+            hit = np.isin(h, ms, assume_unique=False)
+            np.add.at(scores[li], doc_of_tok[hit], 1)
+        best = np.argmax(scores, axis=0)  # ties → first lang in fixed order
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[scores.max(axis=0) == 0] = "unknown"
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang": batch.column("lang"),
+             "lang_pred": pa.array(pred, type=pa.string())}
+        )
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    """Stopword-marker language ID per document → confusion summary
+    (lang, lang_pred, n). Heuristic ⇒ rows-only driver check; accuracy on
+    en/de/fr/es asserted in pytest."""
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(_LangID, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4))
+    df = out.to_pandas().groupby(["lang", "lang_pred"], as_index=False).size()
+    df = df.rename(columns={"size": "n"}).sort_values(["lang", "lang_pred"])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def doc_fingerprints(sf_dir: str) -> pa.Table:
+    """64-bit SimHash content fingerprint per document (rolling-shingle
+    based, deterministic) + global distinct-fingerprint count."""
+    from ..sketches.simhash import simhash64
+    from ..text import char_ngram_hashes
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h, offs = char_ngram_hashes(batch.column("text"), n=4, seed=17)
+        sig = simhash64(h, offs)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "fingerprint": pa.array(sig.view(np.int64))}
+        )
+
+    df = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+SQL = {
+    "token_counts": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "quality_filter": (
+        "SELECT doc_id FROM documents "
+        "WHERE length(text) BETWEEN 50 AND 5000 "
+        "AND length(regexp_extract_all(text, '\\S+')) >= 10 "
+        "AND 10 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= 6 * length(text) "
+        "ORDER BY doc_id"
+    ),
+}

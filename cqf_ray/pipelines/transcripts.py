@@ -1,0 +1,172 @@
+"""Transcript pipelines — the north-star surface (BASELINE.json): sketch
+queries over the (conv_id, turn_idx, role, text, tool, ts) transcript table,
+derived deterministically from `events` so the driver can oracle-check them
+(sources/transcripts.py: the same derivation in Ray and in SQL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import keys
+from ..sketches import CQF, HyperLogLog
+from ..stages.agg import build_sketch, grouped_sketches
+from ..stages.probe import probe_dataset
+from ..sources.transcripts import TRANSCRIPTS_SQL, transcripts_from_events
+
+_CTE = f"WITH transcripts AS ({TRANSCRIPTS_SQL})"
+
+
+def transcript_turns(sf_dir: str) -> pa.Table:
+    """The per-row invariant itself: the full derived transcript table under
+    stable (conv_id, turn_idx) ordering — per-turn text equality vs the SQL
+    derivation (north_rule / input_hint row invariant)."""
+    t = transcripts_from_events(sf_dir).to_pandas()
+    t = t[["conv_id", "turn_idx", "role", "text", "tool"]]
+    t = t.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def transcript_role_stats(sf_dir: str) -> pa.Table:
+    """Turns and distinct conversations per role. Two combiner-first passes
+    over the same derivation: a grouped count, and distinct (role, conv_id)
+    pairs deduped per batch before the (tiny) shuffle — distinct counts are
+    not sum-mergeable from arbitrary partials, so the pairs are deduped
+    exactly, never double-counted."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = transcripts_from_events(sf_dir)
+    turns = grouped_aggregate(
+        ds.select_columns(["role"]), ["role"], [("n_turns", "count", None)]
+    ).to_pandas()
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(batch).select(["role", "conv_id"]).unique().to_arrow()
+
+    convs = (
+        ds.select_columns(["role", "conv_id"])
+        .map_batches(uniq_pairs, batch_format="pyarrow")
+        .groupby("role")
+        .map_groups(
+            lambda df: pd.DataFrame(
+                {"role": [df["role"].iloc[0]], "n_convs": [int(df["conv_id"].nunique())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    df = turns.merge(convs, on="role").sort_values("role").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def transcript_conv_lengths(sf_dir: str) -> pa.Table:
+    """Turns per conversation (the conv_id-keyed aggregate every transcript
+    pipeline shares; one shuffle key reused — SURVEY.md §7.3)."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = transcripts_from_events(sf_dir)
+    out = grouped_aggregate(ds.select_columns(["conv_id"]), ["conv_id"], [("n_turns", "count", None)])
+    df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def transcript_shingle_cqf(sf_dir: str, q: int = 16, key_bits: int = 40) -> dict:
+    """FLAGSHIP: distributed CQF over (role, tool, text-shingle) keys of the
+    transcript stream (the north_star's core key), default murmur
+    fingerprint mode (FP rate ≤ 2^-r). Returns the build summary + the
+    global sketch. Not SQL-expressible (lossy fingerprint space) — the
+    pytest suite checks exactness-on-inserted-keys and the FP bound."""
+    ds = transcripts_from_events(sf_dir)
+    extract = keys.shingle_keys("text", n=5, seed=11, context_cols=["role", "tool"])
+    cqf = build_sketch(
+        ds, extract,
+        lambda: CQF(q=q, key_bits=key_bits, hash_mode="default", seed=11),
+        counted=True,
+    )
+    return {
+        "cqf": cqf,
+        "n_distinct": cqf.num_distinct,
+        "total_shingles": cqf.sum_counts,
+    }
+
+
+def transcript_shingle_summary(sf_dir: str) -> pa.Table:
+    """Driver-facing wrapper of the flagship build (deterministic numbers;
+    rows-only check — the multiset itself is validated in pytest)."""
+    r = transcript_shingle_cqf(sf_dir)
+    return pa.table(
+        {
+            "n_distinct": pa.array([r["n_distinct"]], type=pa.int64()),
+            "total_shingles": pa.array([r["total_shingles"]], type=pa.int64()),
+        }
+    )
+
+
+def transcript_distinct_text_per_role(sf_dir: str) -> pa.Table:
+    """Exact distinct texts per role (the HLL companion's exact oracle)."""
+    ds = transcripts_from_events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch).select(["role", "text"]).unique().to_arrow()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("role")
+        .map_groups(
+            lambda df: pd.DataFrame(
+                {"role": [df["role"].iloc[0]],
+                 "n_distinct_texts": [int(df["text"].nunique())]}
+            ),
+            batch_format="pandas",
+        )
+    )
+    df = out.to_pandas().sort_values("role").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def transcript_hll_text_per_role(sf_dir: str) -> pa.Table:
+    """HLL distinct-text estimate per role — the grouped-sketch two-level
+    aggregation (partial per batch per group, tiny blob shuffle)."""
+    ds = transcripts_from_events(sf_dir)
+
+    def by_group(batch: pa.Table) -> dict:
+        from ..hashing import hash_strings
+
+        roles = batch.column("role").to_numpy(zero_copy_only=False)
+        h = hash_strings(batch.column("text"), seed=13)
+        return {g: h[roles == g] for g in np.unique(roles)}
+
+    sketches = grouped_sketches(ds, "role", by_group, lambda: HyperLogLog(p=13))
+    rows = sorted((g, round(s.estimate())) for g, s in sketches.items())
+    return pa.table(
+        {"role": pa.array([r[0] for r in rows]),
+         "estimate": pa.array([r[1] for r in rows], type=pa.int64())}
+    )
+
+
+SQL = {
+    "transcript_turns": (
+        f"{_CTE} SELECT conv_id, turn_idx, role, text, tool FROM transcripts "
+        "ORDER BY conv_id, turn_idx"
+    ),
+    "transcript_role_stats": (
+        f"{_CTE} SELECT role, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs "
+        "FROM transcripts GROUP BY role ORDER BY role"
+    ),
+    "transcript_conv_lengths": (
+        f"{_CTE} SELECT conv_id, COUNT(*) AS n_turns FROM transcripts "
+        "GROUP BY conv_id ORDER BY conv_id"
+    ),
+    "transcript_distinct_text_per_role": (
+        f"{_CTE} SELECT role, COUNT(DISTINCT text) AS n_distinct_texts "
+        "FROM transcripts GROUP BY role ORDER BY role"
+    ),
+}

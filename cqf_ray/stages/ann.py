@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(`ray.put`), every batch does one numpy matmul against it (vectorized,
+zero Python loops per row). Scale path: LSH-bucketed (random-hyperplane)
+candidate generation so each batch only scores against its buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+def load_embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids int64, L2-normalized float64 matrix) for broadcast sides.
+    Driver-side read of the SMALL side only (queries / centroids); the big
+    side always streams through map_batches."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    flat = np.asarray(t.column("embedding").combine_chunks().flatten(), dtype=np.float64)
+    mat = flat.reshape(len(ids), -1)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def batch_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Zero-copy-ish extraction of a FixedSizeList/List<float> column into a
+    (n, d) float64 matrix via the flattened values buffer."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries.
+
+    Emits (query_id, vec_id, sim) candidate rows — each batch contributes
+    its local top-k per query; the global top-k is a tiny final reduction
+    over |batches| × |queries| × k candidate rows.
+    """
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids, self.qmat = q  # (m,), (m, d) normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        emb = batch_embeddings(batch)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = self.qmat @ emb.T  # (m, n)
+        # exclude self-matches
+        self_mask = self.qids[:, None] == vid[None, :]
+        sims[self_mask] = -np.inf
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.qids, k)
+        cols = vid[idx.reshape(-1)]
+        vals = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+        keep = np.isfinite(vals)
+        return pa.table(
+            {"query_id": pa.array(rows[keep]), "vec_id": pa.array(cols[keep]),
+             "sim": pa.array(vals[keep])}
+        )
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    *,
+    batch_size: int = 4096,
+    concurrency=(1, 8),
+) -> "pa.Table":
+    """Global exact top-k: distributed candidate generation + small final
+    reduction. Returns (query_id, rank, vec_id) with deterministic
+    tie-break (−sim, vec_id)."""
+    import pandas as pd
+
+    ref = ray.put((query_ids, query_mat))
+    cand = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).to_pandas()
+    cand["sim_r"] = np.round(cand["sim"].to_numpy(), 9)  # stabilize float ties
+    cand = cand.sort_values(["query_id", "sim_r", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    top = cand.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    out = top[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class LshBucketer:
+    """Random-hyperplane LSH:
+    bucket = sign-bit string of `nbits` projections. Stateful stage — the
+    projection matrix is generated once per actor from the seed."""
+
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 41):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, nbits))
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes) > 0
+        return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch_embeddings(batch)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        return batch.append_column("bucket", pa.array(self.bucket(emb).view(np.int64)))
