@@ -1,0 +1,81 @@
+"""Kill-and-resume integration test (north_rule resumability criterion)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from cqf_ray import keys
+from cqf_ray.sketches import CQF
+from cqf_ray.state.checkpoint import checkpointed_build, load_manifest
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def sharded_events(tmp_path_factory):
+    """Split events.parquet into 6 fragment files (partition units)."""
+    d = tmp_path_factory.mktemp("shards")
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    bounds = np.linspace(0, t.num_rows, 7).astype(int)
+    paths = []
+    for i in range(6):
+        p = str(d / f"events-{i:03d}.parquet")
+        pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+        paths.append(p)
+    return paths
+
+
+def _factories():
+    """Defined inside a function so cloudpickle ships them by value (the
+    test module is not importable on Ray workers)."""
+    mk = lambda: CQF(q=8, key_bits=34, hash_mode="invertible", seed=0)  # noqa: E731
+    return mk
+
+
+def test_kill_and_resume_bitwise_equal(ray_session, sharded_events, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    ext = keys.int_column("user_id")
+    _mk = _factories()
+
+    # full, uninterrupted build (fresh dir) = the reference result
+    full, manifest, metrics = checkpointed_build(
+        sharded_events, ext, _mk, str(tmp_path / "ckpt_full"), resume=False
+    )
+    assert metrics["partitions"] == 6 and metrics["partitions_skipped"] == 0
+
+    # crash after 2 partitions
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpointed_build(sharded_events, ext, _mk, ckpt, fail_after=2)
+    m = load_manifest(ckpt)
+    assert len(m) == 2  # two manifest lines survived the crash
+
+    # resume: only the remaining 4 partitions rebuild
+    resumed, manifest2, metrics2 = checkpointed_build(sharded_events, ext, _mk, ckpt, resume=True)
+    assert metrics2["partitions_skipped"] == 2
+    assert metrics2["partitions_rebuilt"] == 4
+    assert metrics2["partitions"] == 6
+
+    # resume result is BITWISE equal to the uninterrupted build
+    assert resumed.to_bytes() == full.to_bytes()
+
+    # second resume is a no-op (all cached)
+    again, _, metrics3 = checkpointed_build(sharded_events, ext, _mk, ckpt, resume=True)
+    assert metrics3["partitions_rebuilt"] == 0
+    assert again.to_bytes() == full.to_bytes()
+
+
+def test_corrupt_blob_triggers_rebuild(ray_session, sharded_events, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    ext = keys.int_column("user_id")
+    _mk = _factories()
+    full, _, _ = checkpointed_build(sharded_events, ext, _mk, ckpt, resume=False)
+    # corrupt one blob: checksum mismatch must force a rebuild of exactly it
+    victim = os.path.join(ckpt, "part-00003.sketch")
+    with open(victim, "r+b") as f:
+        f.seek(50)
+        f.write(b"\xff\xff\xff\xff")
+    rebuilt, _, metrics = checkpointed_build(sharded_events, ext, _mk, ckpt, resume=True)
+    assert metrics["partitions_rebuilt"] == 1
+    assert rebuilt.to_bytes() == full.to_bytes()

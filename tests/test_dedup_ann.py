@@ -1,0 +1,162 @@
+"""Dedup + similarity-search tests on PLANTED near-duplicates (the
+testdata corpus has none, so fixtures synthesize a table with known dup
+structure and run the same pipelines against it)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_DIR
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "waltzing matilda and the crowd sings along in the warm evening air "
+    "of a small country town near the river bend where willows grow"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """documents.parquet with exact dups, near-dups and unrelated docs;
+    embeddings.parquet with two tight cosine clusters + noise."""
+    d = tmp_path_factory.mktemp("planted")
+    rng = np.random.default_rng(5)
+    texts, langs = [], []
+    # 0,1: exact duplicates; 2: near-dup of 0 (one word changed);
+    # 3: near-dup of 0 (two words changed); 4..23: unrelated random
+    texts.append(_BASE)
+    texts.append(_BASE)
+    texts.append(_BASE.replace("quick", "swift"))
+    texts.append(_BASE.replace("quick", "swift").replace("lazy", "idle"))
+    vocab = np.array(_BASE.split())
+    for i in range(20):
+        texts.append(" ".join(rng.permutation(vocab)[: 30 + i]))
+    langs = ["en"] * len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    # embeddings: cluster A (ids 0-4), cluster B (ids 5-9), noise (10-49)
+    dim = 16
+    a = rng.standard_normal(dim)
+    b = rng.standard_normal(dim)
+    vecs = []
+    for i in range(5):
+        vecs.append(a + rng.standard_normal(dim) * 0.01)
+    for i in range(5):
+        vecs.append(b + rng.standard_normal(dim) * 0.01)
+    for i in range(40):
+        vecs.append(rng.standard_normal(dim))
+    vecs = np.array(vecs, dtype=np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                "label": pa.array(([0] * 5) + ([1] * 5) + ([2] * 40), type=pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_exact_dedup_finds_planted_copies(ray_session, planted_dir):
+    from cqf_ray.pipelines.dedup import dedup_exact
+
+    t = dedup_exact(planted_dir).to_pandas()
+    # 24 docs, one exact pair ⇒ 23 distinct texts; doc 0 has 2 copies
+    assert len(t) == 23
+    assert int(t.loc[t.doc_id == 0, "n_copies"].iloc[0]) == 2
+    assert (t.loc[t.doc_id != 0, "n_copies"] == 1).all()
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, planted_dir):
+    from cqf_ray.pipelines.dedup import minhash_lsh_pairs
+
+    t = minhash_lsh_pairs(planted_dir, threshold=0.6).to_pandas()
+    pairs = set(map(tuple, t[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in pairs  # exact dup
+    assert (0, 2) in pairs and (1, 2) in pairs  # near-dup
+    # unrelated docs must not pair with the planted cluster
+    assert not any(a <= 3 < b for a, b in pairs if b >= 4)
+
+
+def test_minhash_jaccard_estimate_close_to_exact(planted_dir):
+    from cqf_ray.sketches.minhash import MinHasher
+    from cqf_ray.text import char_ngram_hashes
+
+    t = pq.read_table(os.path.join(planted_dir, "documents.parquet"))
+    h, offs = char_ngram_hashes(t.column("text"), n=5, seed=29)
+    mh = MinHasher(num_perm=256, seed=31)
+    sigs = mh.signatures(h, offs)
+    s0 = np.unique(h[offs[0]:offs[1]])
+    s2 = np.unique(h[offs[2]:offs[3]])
+    exact = len(np.intersect1d(s0, s2)) / len(np.union1d(s0, s2))
+    est = MinHasher.estimate_jaccard(sigs[0], sigs[2])
+    assert abs(est - exact) < 0.12  # ±2σ at 256 perms
+
+
+def test_simhash_flags_near_dups(ray_session, planted_dir):
+    from cqf_ray.pipelines.dedup import simhash_near_dups
+
+    t = simhash_near_dups(planted_dir, max_hamming=6).to_pandas()
+    pairs = set(map(tuple, t[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+
+
+def test_embedding_dup_pairs_planted_clusters(ray_session, planted_dir):
+    from cqf_ray.pipelines.dedup import embedding_dup_pairs
+
+    t = embedding_dup_pairs(planted_dir, threshold=0.95).to_pandas()
+    pairs = set(map(tuple, t[["vec_a", "vec_b"]].to_numpy()))
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert (i, j) in pairs  # cluster A fully connected
+    assert not any(a < 5 <= b < 10 for a, b in pairs)  # A–B not linked
+
+
+def test_ann_brute_force_cluster_neighbors(ray_session, planted_dir):
+    from cqf_ray.pipelines.ann import ann_brute_force
+
+    t = ann_brute_force(planted_dir).to_pandas()
+    # query 0's top-4 must be the rest of cluster A
+    top0 = t[t.query_id == 0].sort_values("rank")["vec_id"].tolist()[:4]
+    assert set(top0) == {1, 2, 3, 4}
+
+
+def test_ann_lsh_recall(ray_session, planted_dir):
+    from cqf_ray.pipelines.ann import ann_brute_force, ann_lsh
+
+    exact = ann_brute_force(planted_dir).to_pandas()
+    approx = ann_lsh(planted_dir).to_pandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # multiprobe 1-bit flips on tight clusters
+
+
+def test_media_features_plumbing(ray_session, planted_dir):
+    from cqf_ray.pipelines.multimodal import media_features
+
+    t = media_features(planted_dir).to_pandas()
+    docs = pq.read_table(os.path.join(planted_dir, "documents.parquet")).to_pandas()
+    assert len(t) == len(docs)
+    exp_bytes = docs.text.str.encode("utf-8").str.len().to_numpy()
+    assert (t.sort_values("media_id").n_bytes.to_numpy() == exp_bytes).all()
+    exp_sum = np.array([sum(s.encode()) for s in docs.text])
+    assert (t.sort_values("media_id").byte_sum.to_numpy() == exp_sum).all()
+    assert set(t.kind) <= {"image", "audio"}

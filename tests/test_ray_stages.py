@@ -1,0 +1,127 @@
+"""Distributed-stage tests: build/merge/probe/groupagg vs exact oracles
+(the reference's test strategy — assertion-driven end-to-end with an exact
+dict oracle, SURVEY.md §5 — lifted to Ray Data)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cqf_ray import keys
+from cqf_ray.sketches import CQF, HyperLogLog
+from cqf_ray.stages.agg import build_sketch, grouped_sketches, tree_merge_blobs
+from cqf_ray.stages.groupagg import grouped_aggregate
+from cqf_ray.stages.join import broadcast_join
+from cqf_ray.stages.probe import probe_dataset
+
+from conftest import SF_DIR
+
+
+def test_distributed_cqf_build_exact(ray_session, duck):
+    ray = ray_session
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    cqf = build_sketch(
+        ds, keys.int_column("user_id"),
+        lambda: CQF(q=8, key_bits=34, hash_mode="invertible", seed=0),
+    )
+    got = dict(zip(*(a.tolist() for a in (lambda k, v, c: (k, c))(*cqf.keys_arrays()))))
+    exp = dict(duck.sql("SELECT user_id, COUNT(*) FROM events GROUP BY user_id").fetchall())
+    assert got == exp
+
+
+def test_merge_order_independence_distributed(ray_session):
+    """Partition blobs merged in shuffled orders serialize byte-identically
+    (north_rule: bitwise-equivalent results under any merge order)."""
+    ray = ray_session
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    from cqf_ray.stages.agg import partial_sketches
+
+    parts = partial_sketches(
+        ds, keys.int_column("user_id"),
+        lambda: CQF(q=8, key_bits=34, hash_mode="invertible", seed=0),
+        batch_size=128,
+    )
+    blobs = [r["sketch"] for r in parts.take_all()]
+    assert len(blobs) > 1
+    rng = np.random.default_rng(0)
+    ref = None
+    for _ in range(3):
+        order = rng.permutation(len(blobs))
+        from cqf_ray.sketches.base import sketch_from_bytes
+
+        merged = sketch_from_bytes(tree_merge_blobs([blobs[i] for i in order], fanin=3))
+        b = merged.to_bytes()
+        if ref is None:
+            ref = b
+        assert b == ref
+
+
+def test_probe_semijoin_exact(ray_session, duck):
+    ray = ray_session
+    cust = ray.data.read_parquet(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+    cqf = build_sketch(
+        cust, keys.int_column("c_custkey"),
+        lambda: CQF(q=8, key_bits=34, hash_mode="invertible", seed=0),
+    )
+    orders = ray.data.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    probed = probe_dataset(orders, cqf, keys.int_column("o_custkey"), concurrency=2)
+    n = probed.filter(expr="member == True").count()
+    (exp,) = duck.sql(
+        "SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)"
+    ).fetchone()
+    assert n == exp
+
+
+def test_grouped_hll_error_bound(ray_session, duck):
+    ray = ray_session
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"])
+
+    def by_group(batch: pa.Table):
+        from cqf_ray.hashing import murmur64a_u64
+
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.uint64)
+        h = murmur64a_u64(uid, 7)
+        return {g: h[et == g] for g in np.unique(et)}
+
+    got = {g: s.estimate() for g, s in grouped_sketches(ds, "event_type", by_group,
+                                                        lambda: HyperLogLog(p=12)).items()}
+    exp = dict(duck.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY event_type"
+    ).fetchall())
+    assert set(got) == set(exp)
+    for g in exp:
+        # p=12 ⇒ RSE ≈ 1.6%; allow 5σ plus small-range slack
+        assert abs(got[g] - exp[g]) <= max(3, 0.1 * exp[g])
+
+
+def test_broadcast_join_matches_sql(ray_session, duck):
+    ray = ray_session
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j = broadcast_join(orders, cust, keys="o_custkey", right_keys="c_custkey", concurrency=2)
+    got = j.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    exp = duck.sql(
+        "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders JOIN customer "
+        "ON o_custkey = c_custkey ORDER BY o_orderkey"
+    ).df()
+    assert got[["o_orderkey", "o_custkey", "c_mktsegment"]].equals(exp)
+
+
+def test_grouped_aggregate_matches_sql(ray_session, duck):
+    ray = ray_session
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    out = grouped_aggregate(
+        ev, ["event_type"],
+        [("n", "count", None), ("mn", "min", "value"), ("mx", "max", "value"),
+         ("avg_value", "avg", "value")],
+        batch_size=256,
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    exp = duck.sql(
+        "SELECT event_type, COUNT(*) n, MIN(value) mn, MAX(value) mx, AVG(value) avg_value "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ).df()
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert np.allclose(out["mn"], exp["mn"]) and np.allclose(out["mx"], exp["mx"])
+    assert np.allclose(out["avg_value"], exp["avg_value"], rtol=1e-12)
