@@ -50,6 +50,27 @@ def string_column(name: str, seed: int = 0):
     return extract
 
 
+def _hash_string_column(col, seed: int) -> np.ndarray:
+    """64-bit hash of a string column. Low-cardinality columns (roles,
+    tools, flags) take a dictionary path: hash only the uniques (scalar
+    murmur over a handful of values), then gather by code — no polars
+    thread pool, no per-row string hashing."""
+    from .hashing import murmur64a_bytes
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    uniq = enc.dictionary
+    if len(uniq) <= max(64, len(col) // 8):
+        uh = np.array(
+            [murmur64a_bytes((s.as_py() or "").encode(), seed) for s in uniq],
+            dtype=_U64,
+        )
+        codes = np.asarray(enc.indices.fill_null(0), dtype=np.int64)
+        return uh[codes] if len(uh) else np.zeros(len(col), dtype=_U64)
+    return hash_strings(col, seed=seed)
+
+
 def composite_columns(names: list[str], seed: int = 0):
     """Extractor: hash of several columns combined (order-sensitive mix)."""
 
@@ -59,7 +80,7 @@ def composite_columns(names: list[str], seed: int = 0):
             for i, n in enumerate(names):
                 col = batch.column(n)
                 if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                    h = hash_strings(col, seed=seed + i)
+                    h = _hash_string_column(col, seed=seed + i)
                 else:
                     h = murmur64a_u64(
                         np.asarray(col.combine_chunks(), dtype=np.int64).astype(_U64), seed + i

@@ -53,18 +53,18 @@ def char_ngram_hashes(arr, n: int = 5, seed: int = 0) -> tuple[np.ndarray, np.nd
     total = len(data)
     if total == 0:
         return np.empty(0, dtype=_U64), np.zeros(ndocs + 1, dtype=np.int64)
-    b = data.astype(_U64)
     with np.errstate(over="ignore"):
-        # powers P^i and their inverses, prefix T_i = Σ_{j<i} b_j·P^j (mod 2^64)
-        powers = np.empty(total + 1, dtype=_U64)
-        powers[0] = 1
-        np.cumprod(np.full(total, _P, dtype=_U64), out=powers[1:])
-        pinv = np.empty(total, dtype=_U64)
-        pinv[0] = 1
-        if total > 1:
-            np.cumprod(np.full(total - 1, _PINV, dtype=_U64), out=pinv[1:])
-        T = np.zeros(total + 1, dtype=_U64)
-        np.cumsum(b * powers[:total], out=T[1:])
+        # Direct windowed polynomial: W[i] = Σ_{k<n} b[i+k]·P^k (mod 2^64),
+        # computed as n strided multiply-adds over a zero-padded byte view —
+        # no cumprod/cumsum temporaries (memory-bandwidth matters: this
+        # kernel runs on every text batch on every core).
+        b = np.zeros(total + n, dtype=_U64)
+        b[:total] = data
+        W = b[:total].copy()
+        pk = _U64(1)
+        for k in range(1, n):
+            pk = pk * _P
+            W += b[k : total + k] * pk
 
         doc_len = offsets[1:] - offsets[:-1]
         n_sh = np.where(doc_len > n, doc_len - n + 1, np.where(doc_len > 0, 1, 0))
@@ -75,9 +75,19 @@ def char_ngram_hashes(arr, n: int = 5, seed: int = 0) -> tuple[np.ndarray, np.nd
             return np.empty(0, dtype=_U64), doc_offsets
         # start byte index of each shingle (vectorized ragged-range)
         starts = np.repeat(offsets[:-1], n_sh) + _within_offsets(n_sh)
-        win = np.minimum(np.repeat(doc_len, n_sh), n).astype(np.int64)
-        ends = starts + win
-        h = (T[ends] - T[starts]) * pinv[starts]
+        h = W[starts]
+        # docs shorter than n: window must stop at the doc end — subtract the
+        # zero-padded spill into the next doc's bytes (rare; scalar loop)
+        short = np.flatnonzero((doc_len > 0) & (doc_len < n))
+        if len(short):
+            for d in short.tolist():
+                s, ln = int(offsets[d]), int(doc_len[d])
+                acc = _U64(0)
+                p = _U64(1)
+                for k in range(ln):
+                    acc = acc + b[s + k] * p
+                    p = p * _P
+                h[doc_offsets[d]] = acc
     return murmur64a_u64(h, seed), doc_offsets
 
 
