@@ -22,7 +22,9 @@ from cqf_ray.pipelines import multimodal as _mm
 from cqf_ray.pipelines import relational as _rel
 from cqf_ray.pipelines import sketchq as _sk
 from cqf_ray.pipelines import textq as _txt
+from cqf_ray.pipelines import sinks as _si
 from cqf_ray.pipelines import transcripts as _tr
+from cqf_ray.pipelines import windows as _w
 
 
 def entry() -> Any:
@@ -87,6 +89,11 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_brute_force": _ann.ann_brute_force,
     "ann_lsh": _ann.ann_lsh,
     "embedding_centroids": _ann.embedding_centroids,
+    # event-time custom operators (session windows, as-of join)
+    "transcript_sessions": _w.transcript_sessions,
+    "purchase_view_asof": _w.purchase_view_asof,
+    # sinks
+    "cqf_dump_roundtrip": _si.cqf_dump_roundtrip,
     # multimodal plumbing
     "media_features": _mm.media_features,
 }
@@ -98,6 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (_sk, _rel, _tr, _txt, _dedup, _ann, _mm):
+    for mod in (_sk, _rel, _tr, _txt, _dedup, _ann, _mm, _w, _si):
         out.update(mod.SQL)
     return out

@@ -60,6 +60,44 @@ def _doc_shingles(batch: pa.Table, n: int = 5, seed: int = 29):
     return char_ngram_hashes(batch.column("text"), n=n, seed=seed)
 
 
+_MAX_BUCKET = 256  # skip degenerate LSH buckets (standard practice: a
+# bucket this hot is a trivial shingle collision, and pairing it is O(L²))
+
+
+def _pairs_from_buckets(bands: np.ndarray, bkeys: np.ndarray, doc_ids: np.ndarray,
+                        payload: np.ndarray | None = None):
+    """Vectorized within-bucket pair generation: lexsort by (band, bkey),
+    detect runs, emit all intra-run pairs. Replaces per-bucket map_groups
+    (one task per bucket is pure overhead at 10^5 buckets). The candidate
+    table is |docs|×bands small rows; above driver scale the same kernel
+    runs inside map_batches after a sort — the pairing math is identical.
+    Returns (doc_a, doc_b[, payload_a, payload_b]) with doc_a < doc_b."""
+    order = np.lexsort((doc_ids, bkeys, bands))
+    b, k, d = bands[order], bkeys[order], doc_ids[order]
+    p = payload[order] if payload is not None else None
+    boundary = np.concatenate([[True], (b[1:] != b[:-1]) | (k[1:] != k[:-1])])
+    starts = np.flatnonzero(boundary)
+    lens = np.diff(np.concatenate([starts, [len(b)]]))
+    out_a, out_b, pl_a, pl_b = [], [], [], []
+    for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+        if L > _MAX_BUCKET:
+            continue
+        ii, jj = np.triu_indices(int(L), k=1)
+        out_a.append(d[s + ii])
+        out_b.append(d[s + jj])
+        if p is not None:
+            pl_a.append(p[s + ii])
+            pl_b.append(p[s + jj])
+    if not out_a:
+        z = np.empty(0, dtype=np.int64)
+        return (z, z) if payload is None else (z, z, z.astype(payload.dtype), z.astype(payload.dtype))
+    a = np.concatenate(out_a)
+    bb = np.concatenate(out_b)
+    if payload is None:
+        return a, bb
+    return a, bb, np.concatenate(pl_a), np.concatenate(pl_b)
+
+
 def minhash_lsh_pairs(
     sf_dir: str, *, num_perm: int = 128, bands: int = 32, threshold: float = 0.7
 ) -> pa.Table:
@@ -88,20 +126,14 @@ def minhash_lsh_pairs(
             }
         )
 
-    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-    cand = (
+    bt = (
         ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bkey"])
-        .map_groups(pair_up, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates()
     )
+    a, b = _pairs_from_buckets(
+        bt["band"].to_numpy(), bt["bkey"].to_numpy(), bt["doc_id"].to_numpy()
+    )
+    cand = pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
     if len(cand) == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
@@ -154,23 +186,15 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
-        df = df.sort_values("doc_id")
-        ids = df["doc_id"].to_numpy()
-        sigs = df["sig"].to_numpy().view(np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        hd = hamming64(sigs[a], sigs[b])
-        m = hd <= max_hamming
-        return pd.DataFrame({"doc_a": ids[a][m], "doc_b": ids[b][m],
-                             "hamming": hd[m].astype(np.int64)})
-
+    bt = ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    a, b, sig_a, sig_b = _pairs_from_buckets(
+        bt["band"].to_numpy(), bt["bkey"].to_numpy(), bt["doc_id"].to_numpy(),
+        payload=bt["sig"].to_numpy(),
+    )
+    hd = hamming64(sig_a.view(np.uint64), sig_b.view(np.uint64))
+    m = hd <= max_hamming
     out = (
-        ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bkey"])
-        .map_groups(pair_up, batch_format="pandas")
-        .to_pandas()
+        pd.DataFrame({"doc_a": a[m], "doc_b": b[m], "hamming": hd[m].astype(np.int64)})
         .drop_duplicates(subset=["doc_a", "doc_b"])
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)

@@ -1,0 +1,89 @@
+"""Sinks: resumable partitioned Parquet output (driver mandate: "write
+partitioned Parquet so a failed run can skip finished partitions; never
+one giant file"), plus the sketch-dump sink (the reference's serialize /
+enumerate surface, ``src/gqf_file.c:264-278`` + iterators, as a table).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+def write_dataset_resumable(ds: "ray.data.Dataset", out_dir: str) -> str:
+    """``write_parquet`` into a directory gated by a `_SUCCESS` marker:
+    finished outputs are skipped wholesale on re-run (block-level resume
+    lives in state/checkpoint.py's manifests; this is the job-level gate)."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def dump_sketch_parquet(cqf, out_dir: str, shards: int = 16, invert_keys: bool = True) -> str:
+    """Hash-ordered lossless (key, value, count) dump of a CQF to sharded
+    Parquet — the distributed analog of qf_iterator + serialize. Shards
+    split the (sorted) key space so each file covers a disjoint range;
+    finished shards are skipped on resume."""
+    os.makedirs(out_dir, exist_ok=True)
+    if invert_keys and cqf.hash_mode == "invertible":
+        k, v, c = cqf.keys_arrays()
+        order = np.argsort(k)
+        k, v, c = k[order], v[order], c[order]
+    else:
+        k, v, c = cqf.items_arrays()
+    n = len(k)
+    bounds = np.linspace(0, n, shards + 1).astype(int)
+    for s in range(shards):
+        path = os.path.join(out_dir, f"dump-{s:05d}.parquet")
+        if os.path.exists(path):
+            continue  # resume: shard already written
+        lo, hi = bounds[s], bounds[s + 1]
+        t = pa.table(
+            {
+                "key": pa.array(k[lo:hi].astype(np.int64)),
+                "value": pa.array(v[lo:hi].astype(np.int64)),
+                "count": pa.array(c[lo:hi].astype(np.int64)),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic: a crash never leaves a half shard
+    return out_dir
+
+
+def cqf_dump_roundtrip(sf_dir: str) -> pa.Table:
+    """Query-surface wrapper: build the user-count CQF, dump it to sharded
+    Parquet, read the dump back through Ray Data and return (user_id, cnt)
+    — exercising sink + source + enumeration end-to-end; the oracle is the
+    plain GROUP BY."""
+    import tempfile
+
+    from ..pipelines.sketchq import _user_cqf
+
+    cqf = _user_cqf(sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"cqf_dump_{abs(hash(sf_dir)) % 10**8}")
+    # fresh dump per invocation (the resume path is exercised in pytest)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    dump_sketch_parquet(cqf, out, shards=4)
+    ds = ray.data.read_parquet(out, columns=["key", "count"])
+    df = ds.to_pandas().rename(columns={"key": "user_id", "count": "cnt"})
+    df = df.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL = {
+    "cqf_dump_roundtrip": (
+        "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+}

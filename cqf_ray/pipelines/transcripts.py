@@ -30,36 +30,20 @@ def transcript_turns(sf_dir: str) -> pa.Table:
 
 
 def transcript_role_stats(sf_dir: str) -> pa.Table:
-    """Turns and distinct conversations per role. Two combiner-first passes
-    over the same derivation: a grouped count, and distinct (role, conv_id)
-    pairs deduped per batch before the (tiny) shuffle — distinct counts are
-    not sum-mergeable from arbitrary partials, so the pairs are deduped
-    exactly, never double-counted."""
+    """Turns and distinct conversations per role in ONE derivation pass:
+    combiner-aggregate to (role, conv_id, n_turns) — exact, since a
+    (role, conv_id) group fully merges in the shuffle — then a tiny second
+    aggregate to (role, n_turns, n_convs). Distinct counts fall out as row
+    counts of the first aggregate: no non-mergeable distinct partials."""
     from ..stages.groupagg import grouped_aggregate
 
-    ds = transcripts_from_events(sf_dir)
-    turns = grouped_aggregate(
-        ds.select_columns(["role"]), ["role"], [("n_turns", "count", None)]
-    ).to_pandas()
-
-    def uniq_pairs(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return pl.from_arrow(batch).select(["role", "conv_id"]).unique().to_arrow()
-
-    convs = (
-        ds.select_columns(["role", "conv_id"])
-        .map_batches(uniq_pairs, batch_format="pyarrow")
-        .groupby("role")
-        .map_groups(
-            lambda df: pd.DataFrame(
-                {"role": [df["role"].iloc[0]], "n_convs": [int(df["conv_id"].nunique())]}
-            ),
-            batch_format="pandas",
-        )
-        .to_pandas()
+    ds = transcripts_from_events(sf_dir).select_columns(["role", "conv_id"])
+    per_pair = grouped_aggregate(ds, ["role", "conv_id"], [("n_turns", "count", None)])
+    out = grouped_aggregate(
+        per_pair, ["role"],
+        [("n_turns", "sum", "n_turns"), ("n_convs", "count", None)],
     )
-    df = turns.merge(convs, on="role").sort_values("role").reset_index(drop=True)
+    df = out.to_pandas().sort_values("role").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -110,24 +94,12 @@ def transcript_distinct_text_per_role(sf_dir: str) -> pa.Table:
     """Exact distinct texts per role (the HLL companion's exact oracle)."""
     ds = transcripts_from_events(sf_dir)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
+    from ..stages.groupagg import grouped_aggregate
 
-        return (
-            pl.from_arrow(batch).select(["role", "text"]).unique().to_arrow()
-        )
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("role")
-        .map_groups(
-            lambda df: pd.DataFrame(
-                {"role": [df["role"].iloc[0]],
-                 "n_distinct_texts": [int(df["text"].nunique())]}
-            ),
-            batch_format="pandas",
-        )
+    per_text = grouped_aggregate(
+        ds.select_columns(["role", "text"]), ["role", "text"], [("n", "count", None)]
     )
+    out = grouped_aggregate(per_text, ["role"], [("n_distinct_texts", "count", None)])
     df = out.to_pandas().sort_values("role").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
