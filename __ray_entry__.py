@@ -53,6 +53,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "cqf_intersect_halves": _sk.cqf_intersect_halves,
     "cqf_magnitude_halves": _sk.cqf_magnitude_halves,
     "cqf_delete_users_with_errors": _sk.cqf_delete_users_with_errors,
+    "cqf_user_type_counts": _sk.cqf_user_type_counts,
     # companion sketches
     "bloom_semijoin_count": _sk.bloom_semijoin_count,
     "exact_distinct_users": _sk.exact_distinct_users,

@@ -120,6 +120,49 @@ def cqf_delete_users_with_errors(sf_dir: str) -> pa.Table:
     return _dump(cqf)
 
 
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def cqf_user_type_counts(sf_dir: str) -> pa.Table:
+    """Value-payload surface (``hash = fp << value_bits | value``,
+    src/gqf.c:1925-1926): CQF over user_id with a 3-bit event-type code
+    packed into each slot word; lossless enumeration recovers
+    (user_id, event_type, cnt) exactly — the distributed qf_query/
+    iterator-with-values path."""
+    import ray
+
+    from ..stages.agg import tree_merge_blobs
+
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    etypes = {t: i for i, t in enumerate(_ETYPES)}
+
+    def build(batch: pa.Table) -> dict:
+        uid = np.asarray(batch.column("user_id").combine_chunks(), dtype=np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        codes = np.array([etypes.get(t, 7) for t in et], dtype=np.uint64)
+        sk = CQF(q=8, key_bits=_KEY_BITS, value_bits=3, hash_mode="invertible", seed=0)
+        sk.insert_many(uid.astype(np.uint64), values=codes)
+        return {"sketch": np.array([sk.to_bytes()], dtype=object)}
+
+    blobs = [
+        r["sketch"]
+        for r in ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    ]
+    from ..sketches.base import sketch_from_bytes
+
+    cqf = sketch_from_bytes(tree_merge_blobs(blobs))
+    k, v, c = cqf.keys_arrays()
+    names = np.array(_ETYPES + ["?", "?", "?"], dtype=object)
+    df_order = np.lexsort((v, k.astype(np.int64)))
+    return pa.table(
+        {
+            "user_id": pa.array(k.astype(np.int64)[df_order]),
+            "event_type": pa.array(names[v.astype(np.int64)[df_order]], type=pa.string()),
+            "cnt": pa.array(c.astype(np.int64)[df_order]),
+        }
+    )
+
+
 def bloom_semijoin_count(sf_dir: str) -> pa.Table:
     """Bloom membership pre-filter (reference's pluggable-AMQ 'bf' slot,
     src/bm.c:655-660): count orders passing a Bloom of customer keys.
@@ -234,6 +277,10 @@ SQL = {
         "UNION ALL "
         "SELECT 'odd' AS half, ROUND(SQRT(SUM(CAST(c AS DOUBLE) * c)), 4) AS magnitude FROM b "
         "ORDER BY half"
+    ),
+    "cqf_user_type_counts": (
+        "SELECT user_id, event_type, COUNT(*) AS cnt FROM events "
+        "GROUP BY user_id, event_type ORDER BY user_id, event_type"
     ),
     "cqf_delete_users_with_errors": (
         "SELECT user_id, COUNT(*) AS cnt FROM events "

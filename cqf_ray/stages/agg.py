@@ -115,6 +115,63 @@ def build_sketch(
     return sketch_from_bytes(tree_merge_blobs(blobs, fanin=fanin))
 
 
+@ray.remote
+class _SketchBuilder:
+    """Stateful builder actor: holds ONE partition sketch across every
+    batch of its input shard — the Ray-native replacement for the
+    reference's k threads inserting into a lock-striped shared CQF
+    (``/root/reference/src/test_threadsafe.c:108-114``; locks designed
+    away by partition-per-actor, SURVEY.md §4). Setup happens once per
+    actor; each shard streams through ``iter_batches`` with backpressure."""
+
+    def __init__(self, make_sketch, extract, counted: bool):
+        self.sketch = make_sketch()
+        self.extract = extract
+        self.counted = counted
+        self.rows = 0
+
+    def consume(self, shard) -> int:
+        for batch in shard.iter_batches(batch_format="pyarrow", batch_size=None):
+            if self.counted:
+                vals, counts = self.extract(batch)
+                self.sketch.update(vals, counts)
+            else:
+                self.sketch.update(self.extract(batch))
+            self.rows += batch.num_rows
+        return self.rows
+
+    def blob(self) -> bytes:
+        return self.sketch.to_bytes()
+
+
+def build_sketch_actors(
+    ds: "ray.data.Dataset",
+    extract: Extractor | CountedExtractor,
+    make_sketch: Callable[[], Any],
+    *,
+    num_actors: int = 8,
+    counted: bool = False,
+):
+    """Actor-pool build: ``streaming_split(num_actors)`` shards the stream;
+    each actor folds its whole shard into one sketch, so the merge sees
+    ``num_actors`` blobs instead of one per block. Use ONLY when partial
+    blobs are huge (large-q CQFs where per-block partials would dominate
+    the object store): measured on the flagship workload the fused
+    task-partial path (`build_sketch`) is ~4-10× faster, because reads and
+    extraction fuse into one task while this path ships every block to a
+    long-lived actor. Size ``num_actors`` ≤ ~3/4 of CPU slots or the
+    producers starve. Results are BITWISE identical either way."""
+    shards = ds.streaming_split(num_actors, equal=False)
+    actors = [
+        _SketchBuilder.remote(make_sketch, extract, counted) for _ in range(num_actors)
+    ]
+    ray.get([a.consume.remote(s) for a, s in zip(actors, shards)])
+    blobs = ray.get([a.blob.remote() for a in actors])
+    for a in actors:
+        ray.kill(a)
+    return sketch_from_bytes(tree_merge_blobs(blobs))
+
+
 def grouped_sketches(
     ds: "ray.data.Dataset",
     group_key: str,
