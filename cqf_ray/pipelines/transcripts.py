@@ -14,7 +14,7 @@ from .. import keys
 from ..sketches import CQF, HyperLogLog
 from ..stages.agg import build_sketch, grouped_sketches
 from ..stages.probe import probe_dataset
-from ..sources.transcripts import TRANSCRIPTS_SQL, transcripts_from_events
+from ..sources.transcripts import TRANSCRIPTS_SQL, transcripts_from_events, transcripts_light
 
 _CTE = f"WITH transcripts AS ({TRANSCRIPTS_SQL})"
 
@@ -37,7 +37,7 @@ def transcript_role_stats(sf_dir: str) -> pa.Table:
     counts of the first aggregate: no non-mergeable distinct partials."""
     from ..stages.groupagg import grouped_aggregate
 
-    ds = transcripts_from_events(sf_dir).select_columns(["role", "conv_id"])
+    ds = transcripts_light(sf_dir, ["role", "conv_id"])
     per_pair = grouped_aggregate(ds, ["role", "conv_id"], [("n_turns", "count", None)])
     out = grouped_aggregate(
         per_pair, ["role"],
@@ -52,8 +52,8 @@ def transcript_conv_lengths(sf_dir: str) -> pa.Table:
     pipeline shares; one shuffle key reused — SURVEY.md §7.3)."""
     from ..stages.groupagg import grouped_aggregate
 
-    ds = transcripts_from_events(sf_dir)
-    out = grouped_aggregate(ds.select_columns(["conv_id"]), ["conv_id"], [("n_turns", "count", None)])
+    ds = transcripts_light(sf_dir, ["conv_id"])
+    out = grouped_aggregate(ds, ["conv_id"], [("n_turns", "count", None)])
     df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -64,7 +64,7 @@ def transcript_shingle_cqf(sf_dir: str, q: int = 16, key_bits: int = 40) -> dict
     fingerprint mode (FP rate ≤ 2^-r). Returns the build summary + the
     global sketch. Not SQL-expressible (lossy fingerprint space) — the
     pytest suite checks exactness-on-inserted-keys and the FP bound."""
-    ds = transcripts_from_events(sf_dir)
+    ds = transcripts_light(sf_dir, ["role", "text", "tool"])
     extract = keys.shingle_keys("text", n=5, seed=11, context_cols=["role", "tool"])
     cqf = build_sketch(
         ds, extract,
@@ -92,13 +92,11 @@ def transcript_shingle_summary(sf_dir: str) -> pa.Table:
 
 def transcript_distinct_text_per_role(sf_dir: str) -> pa.Table:
     """Exact distinct texts per role (the HLL companion's exact oracle)."""
-    ds = transcripts_from_events(sf_dir)
+    ds = transcripts_light(sf_dir, ["role", "text"])
 
     from ..stages.groupagg import grouped_aggregate
 
-    per_text = grouped_aggregate(
-        ds.select_columns(["role", "text"]), ["role", "text"], [("n", "count", None)]
-    )
+    per_text = grouped_aggregate(ds, ["role", "text"], [("n", "count", None)])
     out = grouped_aggregate(per_text, ["role"], [("n_distinct_texts", "count", None)])
     df = out.to_pandas().sort_values("role").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -107,7 +105,7 @@ def transcript_distinct_text_per_role(sf_dir: str) -> pa.Table:
 def transcript_hll_text_per_role(sf_dir: str) -> pa.Table:
     """HLL distinct-text estimate per role — the grouped-sketch two-level
     aggregation (partial per batch per group, tiny blob shuffle)."""
-    ds = transcripts_from_events(sf_dir)
+    ds = transcripts_light(sf_dir, ["role", "text"])
 
     def by_group(batch: pa.Table) -> dict:
         from ..hashing import hash_strings

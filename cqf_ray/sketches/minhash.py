@@ -22,6 +22,12 @@ class MinHasher:
     def __init__(self, num_perm: int = 128, seed: int = 0):
         self.num_perm = num_perm
         self.seed = seed
+        # multiply-shift universal hash family: mix_i(h) = h·A_i + B_i
+        # (A_i odd). One multiply+add per permutation instead of a full
+        # murmur remix — the permutation loop is the LSH hot path.
+        rng = np.random.default_rng(seed ^ 0x5EED)
+        self._A = (rng.integers(0, 2**63, size=num_perm, dtype=np.uint64) << _U64(1)) | _U64(1)
+        self._B = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
 
     def signatures(self, shingle_hashes: np.ndarray, doc_offsets: np.ndarray) -> np.ndarray:
         """(ndocs × num_perm) uint64 signature matrix. Empty docs get the
@@ -34,11 +40,12 @@ class MinHasher:
         seg_starts = doc_offsets[:-1].astype(np.int64)
         nonempty = doc_offsets[1:] > doc_offsets[:-1]
         ne_starts = seg_starts[nonempty]
-        for i in range(self.num_perm):
-            mixed = murmur64a_u64(h, self.seed + 7919 * i)
-            # reduceat over non-empty segments only (reduceat misbehaves on empties)
-            mins = np.minimum.reduceat(mixed, ne_starts)
-            sig[nonempty, i] = mins
+        with np.errstate(over="ignore"):
+            for i in range(self.num_perm):
+                mixed = h * self._A[i] + self._B[i]
+                # reduceat over non-empty segments only (reduceat misbehaves on empties)
+                mins = np.minimum.reduceat(mixed, ne_starts)
+                sig[nonempty, i] = mins
         return sig
 
     def band_keys(self, sigs: np.ndarray, bands: int) -> np.ndarray:

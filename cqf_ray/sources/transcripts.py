@@ -83,6 +83,46 @@ def _events_to_turns(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def transcripts_light(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    """Shuffle-FREE transcript view: any subset of (conv_id, role, text,
+    tool, ts) derived per batch with pyarrow kernels. ``turn_idx`` needs a
+    per-conversation window (use :func:`transcripts_from_events`); every
+    other column is a pure row-wise map, so pipelines that don't consume
+    turn order (role stats, conv lengths, distinct texts, shingle sketches)
+    must NOT pay the conv-keyed shuffle for it."""
+    import pyarrow.compute as pc
+
+    need = {"conv_id": ["user_id"], "role": ["event_type"], "text": ["props"],
+            "tool": ["event_type"], "ts": ["ts"]}
+    src = sorted({c for col in columns for c in need[col]})
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=src)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        out = {}
+        for col in columns:
+            if col == "conv_id":
+                out[col] = pc.binary_join_element_wise(
+                    "c", pc.cast(batch.column("user_id"), pa.string()), ""
+                )
+            elif col == "role":
+                # dictionary path: map only the (few) unique event types
+                enc = batch.column("event_type").combine_chunks().dictionary_encode()
+                lut = pa.array(
+                    [ROLE_OF_EVENT.get(s.as_py(), "user") for s in enc.dictionary],
+                    type=pa.string(),
+                )
+                out[col] = lut.take(enc.indices)
+            elif col == "text":
+                out[col] = batch.column("props")
+            elif col == "tool":
+                out[col] = batch.column("event_type")
+            elif col == "ts":
+                out[col] = batch.column("ts")
+        return pa.table(out)
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def transcripts_from_events(sf_dir: str) -> "ray.data.Dataset":
     """events.parquet → transcript Dataset (schema per ``input_hint``).
 
