@@ -24,34 +24,23 @@ import pyarrow as pa
 
 from ..sketches.minhash import MinHasher
 from ..sketches.simhash import hamming64, simhash64
+from ..stages.groupagg import grouped_aggregate
 from ..text import char_ngram_hashes
 from .common import read
 
 
 def dedup_exact(sf_dir: str) -> pa.Table:
     """Exact dedup: canonical doc (min doc_id) + copy count per distinct
-    text. Shuffle key = hash64(text) (uniform); the true text disambiguates
-    hash collisions inside each group."""
-    from ..hashing import hash_strings
-
+    text, as a combiner-first grouped aggregate keyed on the text itself
+    (exact by construction; per-batch partials collapse duplicate-heavy
+    batches before the shuffle). At 100 TB, to avoid shuffling full text,
+    key on hash64(text) and keep the text only for in-group collision
+    verification — same plan shape, smaller exchange."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch.column("text"), seed=23)
-        return batch.append_column("__h", pa.array(h.view(np.int64)))
-
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("text", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
-        )
-        return g[["doc_id", "n_copies"]]
-
-    out = (
-        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__h")
-        .map_groups(resolve, batch_format="pandas")
+    out = grouped_aggregate(
+        ds, ["text"], [("doc_id", "min", "doc_id"), ("n_copies", "count", None)]
     )
-    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = out.to_pandas()[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
     df["n_copies"] = df["n_copies"].astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
 
