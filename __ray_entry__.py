@@ -69,6 +69,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "events_per_type": _rel.events_per_type,
     "hourly_event_windows": _rel.hourly_event_windows,
     "value_quantiles_exact": _rel.value_quantiles_exact,
+    "props_key_stats": _rel.props_key_stats,
+    "sampled_event_counts": _rel.sampled_event_counts,
+    "union_halves_counts": _rel.union_halves_counts,
     # transcript (north-star) pipelines
     "transcript_turns": _tr.transcript_turns,
     "transcript_role_stats": _tr.transcript_role_stats,
@@ -86,6 +89,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_lsh_pairs": _dedup.minhash_lsh_pairs,
     "simhash_near_dups": _dedup.simhash_near_dups,
     "embedding_dup_pairs": _dedup.embedding_dup_pairs,
+    "near_dup_canonical": _dedup.near_dup_canonical,
     # similarity search
     "ann_brute_force": _ann.ann_brute_force,
     "ann_lsh": _ann.ann_lsh,

@@ -191,6 +191,46 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
     return pa.Table.from_pandas(out.astype(np.int64), preserve_index=False)
 
 
+def _union_find(pairs_a: np.ndarray, pairs_b: np.ndarray) -> dict[int, int]:
+    """Connected components over near-dup pairs → {doc: canonical(min) id}.
+    Runs on the verified pair list (tiny relative to the corpus); path
+    compression keeps it linear-ish."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs_a.tolist(), pairs_b.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def near_dup_canonical(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
+    """Training-data dedup decision list: MinHash-LSH candidates → exact
+    Jaccard verify → connected components → (doc_id, canonical_id, keep).
+    Only docs in a dup group appear; keep=True marks the group minimum."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold).to_pandas()
+    if len(pairs) == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "canonical_id": pa.array([], type=pa.int64()),
+                         "keep": pa.array([], type=pa.bool_())})
+    comp = _union_find(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
+    docs = np.array(sorted(comp), dtype=np.int64)
+    canon = np.array([comp[d] for d in docs], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(docs), "canonical_id": pa.array(canon),
+         "keep": pa.array(docs == canon)}
+    )
+
+
 def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (vec pairs with cosine ≥ t).
     Batch×broadcast matmul: the embedding matrix is broadcast once; each

@@ -227,7 +227,90 @@ def value_quantiles_exact(sf_dir: str) -> pa.Table:
     )
 
 
+def props_key_stats(sf_dir: str) -> pa.Table:
+    """Scalar-function surface: extract the numeric payload from the JSON
+    ``props`` string (vectorized regex via polars) and aggregate per event
+    type — per-batch combiner as everywhere."""
+    ev = read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        k = (
+            pl.from_arrow(batch.column("props"))
+            .str.extract(r"(\d+)", 1)
+            .cast(pl.Int64)
+            .fill_null(0)
+        )
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "k": pa.array(k.to_numpy().astype(np.int64))}
+        )
+
+    out = grouped_aggregate(
+        ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("sum_k", "sum", "k"), ("max_k", "max", "k"), ("n", "count", None)],
+    )
+    return _finish(out, ["event_type"])
+
+
+def sampled_event_counts(sf_dir: str) -> pa.Table:
+    """Deterministic 5% systematic sample (event_id % 20 == 0) → counts per
+    type. Hash/modulus sampling is the reproducible sampling primitive at
+    scale (random_shuffle-free)."""
+    ev = read(sf_dir, "events", ["event_id", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch.column("event_id").combine_chunks(), dtype=np.int64)
+        return batch.filter(pa.array(eid % 20 == 0))
+
+    out = grouped_aggregate(
+        ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], [("n", "count", None)],
+    )
+    return _finish(out, ["event_type"])
+
+
+def union_halves_counts(sf_dir: str) -> pa.Table:
+    """Dataset.union coverage: split events by parity, transform halves
+    differently, union, aggregate — the multi-source concat shape."""
+    import ray
+
+    ev = read(sf_dir, "events", ["event_id", "event_type"])
+
+    def half(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            eid = np.asarray(batch.column("event_id").combine_chunks(), dtype=np.int64)
+            b = batch.filter(pa.array(eid % 2 == parity))
+            tag = pa.array(np.full(b.num_rows, "even" if parity == 0 else "odd"),
+                           type=pa.string())
+            return pa.table({"half": tag, "event_type": b.column("event_type")})
+
+        return f
+
+    even = ev.map_batches(half(0), batch_format="pyarrow")
+    odd = ev.map_batches(half(1), batch_format="pyarrow")
+    out = grouped_aggregate(even.union(odd), ["half", "event_type"], [("n", "count", None)])
+    return _finish(out, ["half", "event_type"])
+
+
 SQL = {
+    "props_key_stats": (
+        "SELECT event_type, "
+        "CAST(SUM(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS BIGINT) AS sum_k, "
+        "CAST(MAX(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS BIGINT) AS max_k, "
+        "COUNT(*) AS n "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "sampled_event_counts": (
+        "SELECT event_type, COUNT(*) AS n FROM events WHERE event_id % 20 = 0 "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    "union_halves_counts": (
+        "SELECT CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half, "
+        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY half, event_type"
+    ),
     "q1_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
         "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty, "

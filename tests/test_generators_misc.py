@@ -1,0 +1,67 @@
+"""Zipf generator, actor-pool build parity, canonical dedup groups."""
+
+import numpy as np
+import pytest
+
+from conftest import SF_DIR
+
+
+def test_zipf_deterministic_and_skewed():
+    from cqf_ray.sources.zipf import ZipfGenerator
+
+    a = ZipfGenerator(10_000, theta=1.0, seed=9).draw(50_000)
+    b = ZipfGenerator(10_000, theta=1.0, seed=9).draw(50_000)
+    assert (a == b).all()
+    assert a.min() >= 0 and a.max() < 10_000
+    # zipf(1.0): rank 0 alone carries ~1/H(n) ≈ 10% of mass at n=10k
+    top1 = (a == 0).mean()
+    g = ZipfGenerator(10_000, theta=1.0, seed=9)
+    assert abs(top1 - g.expected_top_share(1)) < 0.01
+    assert top1 > 0.08
+    # heavier exponent ⇒ heavier head
+    heavy = ZipfGenerator(10_000, theta=1.5, seed=9).draw(50_000)
+    assert (heavy == 0).mean() > top1
+
+
+def test_actor_build_bitwise_equals_task_build(ray_session):
+    import ray
+
+    from cqf_ray import keys
+    from cqf_ray.sketches import CQF
+    from cqf_ray.stages.agg import build_sketch, build_sketch_actors
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    mk = lambda: CQF(q=8, key_bits=34, hash_mode="invertible", seed=0)  # noqa: E731
+    a = build_sketch_actors(ds, keys.int_column("user_id"), mk, num_actors=2)
+    b = build_sketch(ds, keys.int_column("user_id"), mk, batch_size=256)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_near_dup_canonical_on_planted(ray_session, tmp_path_factory):
+    # reuse the planted fixture logic via a tiny local corpus
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nd")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    texts = [base, base, base.replace("gamma", "gamms"), "totally different words here " * 8]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(4), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["t"] * 4),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    from cqf_ray.pipelines.dedup import near_dup_canonical
+
+    t = near_dup_canonical(str(d), threshold=0.6).to_pandas()
+    grp = dict(zip(t.doc_id, t.canonical_id))
+    assert grp[0] == 0 and grp[1] == 0 and grp[2] == 0  # one group, canon=min
+    assert 3 not in grp  # unrelated doc untouched
+    keep = dict(zip(t.doc_id, t.keep))
+    assert keep[0] and not keep[1] and not keep[2]
