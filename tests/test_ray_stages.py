@@ -125,3 +125,32 @@ def test_grouped_aggregate_matches_sql(ray_session, duck):
     assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
     assert np.allclose(out["mn"], exp["mn"]) and np.allclose(out["mx"], exp["mx"])
     assert np.allclose(out["avg_value"], exp["avg_value"], rtol=1e-12)
+
+
+def test_grouped_aggregate_under_heavy_skew(ray_session):
+    """95% of rows share one hot key: the per-batch combiner collapses the
+    hot key to ≤1 row per block BEFORE the shuffle, so the exchange never
+    sees a hot partition (SURVEY.md §7.3 skew rule). Correctness checked
+    against numpy."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    n = 200_000
+    keys_ = np.where(rng.random(n) < 0.95, 0, rng.integers(1, 1000, size=n))
+    vals = rng.integers(0, 100, size=n)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys_.astype(np.int64)), "v": pa.array(vals.astype(np.int64))})
+    ).repartition(32)
+    out = grouped_aggregate(
+        ds, ["k"], [("n", "count", None), ("s", "sum", "v")], batch_size=4096
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    import pandas as pd
+
+    exp = (
+        pd.DataFrame({"k": keys_, "v": vals})
+        .groupby("k", as_index=False)
+        .agg(n=("v", "size"), s=("v", "sum"))
+    )
+    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (out["s"].to_numpy() == exp["s"].to_numpy()).all()
