@@ -65,3 +65,45 @@ def test_near_dup_canonical_on_planted(ray_session, tmp_path_factory):
     assert 3 not in grp  # unrelated doc untouched
     keep = dict(zip(t.doc_id, t.keep))
     assert keep[0] and not keep[1] and not keep[2]
+
+
+def test_lang_id_on_planted_stopwords(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("lang")
+    docs = {
+        "en": "the cat and the dog sat in that house for it was warm with food",
+        "de": "der hund und die katze ist nicht mit der maus auf ein dach zu gehen",
+        "fr": "le chien et la souris est pour les chats dans une maison que jamais",
+        "es": "el perro y la casa es para los gatos con una mesa no por nada",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(docs)), type=pa.int64()),
+                "text": pa.array(list(docs.values())),
+                "lang": pa.array(list(docs.keys())),
+                "source": pa.array(["t"] * len(docs)),
+                "n_chars": pa.array([len(v) for v in docs.values()], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    from cqf_ray.pipelines.textq import lang_id
+
+    t = lang_id(str(d)).to_pandas()
+    correct = t[t.lang == t.lang_pred]["n"].sum()
+    assert correct == len(docs)  # stopword-marker heuristic nails planted docs
+
+
+def test_sketch_quantiles_agree_with_exact(ray_session):
+    from cqf_ray.pipelines.relational import value_quantiles_exact
+    from cqf_ray.pipelines.sketchq import kll_value_quantiles, tdigest_value_quantiles
+
+    exact = value_quantiles_exact(SF_DIR).to_pandas().set_index("q")["value"]
+    for approx_fn, tol in ((tdigest_value_quantiles, 0.06), (kll_value_quantiles, 0.06)):
+        approx = approx_fn(SF_DIR).to_pandas().set_index("q")["value"]
+        for q in (0.5, 0.9):
+            rel = abs(approx[q] - exact[q]) / max(abs(exact[q]), 1e-9)
+            assert rel < tol, (approx_fn.__name__, q, approx[q], exact[q])
