@@ -24,6 +24,9 @@ import time
 BENCH_TRANSCRIPTS = "/tmp/graft_bench_transcripts_v1"
 N_CONVS = 24000
 MEAN_TURNS = 16
+# --scaling uses a 4× input: the N→4N comparison needs compute to dominate
+# fixed overheads (session spinup, read planning, blob merge) at BOTH ends
+SCALING_CONVS = 96000
 
 QUERY_SET = [
     "cqf_user_event_counts",
@@ -37,20 +40,21 @@ QUERY_SET = [
 ]
 
 
-def ensure_transcripts() -> str:
+def ensure_transcripts(n_convs: int = N_CONVS) -> str:
     """Synthesize the bench transcript table once (deterministic, cached)."""
-    marker = os.path.join(BENCH_TRANSCRIPTS, "_done")
+    tdir = BENCH_TRANSCRIPTS if n_convs == N_CONVS else f"{BENCH_TRANSCRIPTS}_{n_convs}"
+    marker = os.path.join(tdir, "_done")
     if not os.path.exists(marker):
         from cqf_ray.sources.transcripts import synth_transcripts
 
-        synth_transcripts(BENCH_TRANSCRIPTS, n_convs=N_CONVS, mean_turns=MEAN_TURNS,
+        synth_transcripts(tdir, n_convs=n_convs, mean_turns=MEAN_TURNS,
                           seed=42, shards=64)
         with open(marker, "w") as f:
             f.write("ok")
-    return BENCH_TRANSCRIPTS
+    return tdir
 
 
-def run_flagship(num_cpus: int) -> dict:
+def run_flagship(num_cpus: int, n_convs: int = N_CONVS) -> dict:
     import numpy as np
     import ray
 
@@ -58,7 +62,7 @@ def run_flagship(num_cpus: int) -> dict:
     from cqf_ray.sketches import CQF
     from cqf_ray.stages.agg import build_sketch
 
-    tdir = ensure_transcripts()
+    tdir = ensure_transcripts(n_convs)
     ds = ray.data.read_parquet(tdir, columns=["role", "text", "tool"])
     n_turns = ds.count()
 
@@ -75,7 +79,7 @@ def run_flagship(num_cpus: int) -> dict:
         cqf = build_sketch(
             ds, extract,
             lambda: CQF(q=16, key_bits=44, hash_mode="default", seed=11),
-            counted=True, batch_size=8192,
+            counted=True, batch_size=16384,
         )
         build_s = min(build_s, time.time() - t0)
 
@@ -122,7 +126,7 @@ def single(num_cpus: int, sf_dir: str, flagship_only: bool) -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  log_to_driver=False)
-    flag = run_flagship(num_cpus)
+    flag = run_flagship(num_cpus, n_convs=int(os.environ.get("BENCH_CONVS", N_CONVS)))
     queries = {} if flagship_only else run_queries(sf_dir)
     ray.shutdown()
     total = flag["build_sec"] + sum(queries.values())
@@ -143,14 +147,15 @@ def scaling(sf_dir: str) -> dict:
     CPUs (primary pair — within the VM's real parallel capacity), plus a
     32-CPU reference point (the hypervisor oversubscribes beyond ~16
     schedulable cores, so 8→32 measures host contention, not the engine)."""
-    ensure_transcripts()  # shared input, generated once
+    ensure_transcripts(SCALING_CONVS)  # shared 4× input, generated once
+    env = dict(os.environ, BENCH_CONVS=str(SCALING_CONVS))
     thr: dict[int, float] = {}
     for cpus in (2, 8, 32):
         best = 0.0
         for _rep in range(2):  # best-of-2: steady-state, VM-noise-robust
             cmd = [sys.executable, os.path.abspath(__file__), "--single-flagship",
                    "--cpus", str(cpus), "--sf-dir", sf_dir]
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000, env=env)
             line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
             best = max(best, json.loads(line)["flagship"]["turns_per_sec"])
         thr[cpus] = best
