@@ -107,3 +107,12 @@ def test_sketch_quantiles_agree_with_exact(ray_session):
         for q in (0.5, 0.9):
             rel = abs(approx[q] - exact[q]) / max(abs(exact[q]), 1e-9)
             assert rel < tol, (approx_fn.__name__, q, approx[q], exact[q])
+
+
+def test_every_oracle_key_has_a_query():
+    import __ray_entry__ as E
+
+    qs, sql = E.queries(), E.oracle_sql()
+    missing = set(sql) - set(qs)
+    assert not missing, f"oracle entries without queries: {missing}"
+    assert len(qs) >= 40
