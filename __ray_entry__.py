@@ -70,6 +70,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "hourly_event_windows": _rel.hourly_event_windows,
     "value_quantiles_exact": _rel.value_quantiles_exact,
     "props_key_stats": _rel.props_key_stats,
+    "latest_event_per_user": _rel.latest_event_per_user,
+    "top50_events_by_value": _rel.top50_events_by_value,
     "sampled_event_counts": _rel.sampled_event_counts,
     "union_halves_counts": _rel.union_halves_counts,
     # transcript (north-star) pipelines

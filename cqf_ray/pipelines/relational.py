@@ -227,6 +227,51 @@ def value_quantiles_exact(sf_dir: str) -> pa.Table:
     )
 
 
+def latest_event_per_user(sf_dir: str) -> pa.Table:
+    """Distributed argmax (top-1 per key) WITHOUT shuffling the fact table:
+    (1) combiner-aggregate max(ts) per user (tiny); (2) broadcast that back
+    and filter the streaming fact side to rows hitting their user's max;
+    (3) tiny min(event_id) aggregate breaks exact-ts ties deterministically."""
+    import ray
+
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    maxes = grouped_aggregate(ev, ["user_id"], [("max_ts", "max", "ts")])
+    small = pa.Table.from_pandas(maxes.to_pandas(), preserve_index=False)
+    hit = broadcast_join(ev, small, keys="user_id")
+
+    def at_max(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("ts"), batch.column("max_ts"))
+        return batch.filter(m).select(["user_id", "event_id", "ts"])
+
+    winners = grouped_aggregate(
+        hit.map_batches(at_max, batch_format="pyarrow"),
+        ["user_id"], [("event_id", "min", "event_id")],
+    )
+    df = winners.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["user_id", "event_id"]], preserve_index=False)
+
+
+def top50_events_by_value(sf_dir: str) -> pa.Table:
+    """Distributed top-k without a global sort: each batch keeps its local
+    top-50 (vectorized argpartition), the driver reduces |blocks|×50
+    candidate rows. Deterministic tie-break (value DESC, event_id ASC)."""
+    ev = read(sf_dir, "events", ["event_id", "value"])
+    k = 50
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        if len(v) > k:
+            idx = np.argpartition(-v, kth=k - 1)[:k]
+            batch = batch.take(pa.array(idx))
+        return batch
+
+    cand = ev.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["value", "event_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    cand["value"] = np.round(cand["value"].to_numpy(), 2)
+    return pa.Table.from_pandas(cand.reset_index(drop=True), preserve_index=False)
+
+
 def props_key_stats(sf_dir: str) -> pa.Table:
     """Scalar-function surface: extract the numeric payload from the JSON
     ``props`` string (vectorized regex via polars) and aggregate per event
@@ -296,6 +341,16 @@ def union_halves_counts(sf_dir: str) -> pa.Table:
 
 
 SQL = {
+    "latest_event_per_user": (
+        "SELECT user_id, event_id FROM ("
+        "  SELECT user_id, event_id, ROW_NUMBER() OVER ("
+        "    PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn FROM events"
+        ") WHERE rn = 1 ORDER BY user_id"
+    ),
+    "top50_events_by_value": (
+        "SELECT event_id, ROUND(value, 2) AS value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 50"
+    ),
     "props_key_stats": (
         "SELECT event_type, "
         "CAST(SUM(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS BIGINT) AS sum_k, "
