@@ -103,6 +103,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "cqf_dump_roundtrip": _si.cqf_dump_roundtrip,
     # multimodal plumbing
     "media_features": _mm.media_features,
+    "media_frames": _mm.media_frames,
 }
 
 

@@ -103,16 +103,54 @@ def media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+_FRAME = 64  # bytes per synthetic "frame"
+
+
+def media_frames(sf_dir: str) -> pa.Table:
+    """Frame sampling: explode each payload into fixed-size frame records
+    (media_id, frame_idx, frame_bytes) — the video/audio frame-extraction
+    shape. Vectorized row expansion inside map_batches (repeat + ragged
+    arange), not per-row flat_map."""
+    ds = synth_media(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1,
+                            offset=col.offset * 4).astype(np.int64)
+        n_bytes = off[1:] - off[:-1]
+        n_frames = np.maximum((n_bytes + _FRAME - 1) // _FRAME, 0)
+        mid = np.asarray(batch.column("media_id"), dtype=np.int64)
+        total = int(n_frames.sum())
+        idx = np.ones(total, dtype=np.int64)
+        heads = np.concatenate([[0], np.cumsum(n_frames)[:-1]])
+        nz = n_frames > 0
+        idx[heads[nz]] = np.concatenate([[0], 1 - n_frames[nz][:-1]])
+        frame_idx = np.cumsum(idx)
+        rep_bytes = np.repeat(n_bytes, n_frames)
+        frame_bytes = np.minimum(rep_bytes - frame_idx * _FRAME, _FRAME)
+        return pa.table(
+            {
+                "media_id": pa.array(np.repeat(mid, n_frames)),
+                "frame_idx": pa.array(frame_idx),
+                "frame_bytes": pa.array(frame_bytes),
+            }
+        )
+
+    df = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 SQL = {
-    "media_features": (
-        "SELECT doc_id AS media_id, "
-        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
-        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
-        "CAST(list_sum(list_transform(range(1, octet_length(CAST(text AS BLOB)) + 1), "
-        "  i -> get_bit_ignore(0,0))) AS BIGINT) AS byte_sum "
-        "FROM documents ORDER BY media_id"
+    "media_frames": (
+        "SELECT doc_id AS media_id, CAST(r AS BIGINT) AS frame_idx, "
+        "CAST(LEAST(octet_length(CAST(text AS BLOB)) - r * 64, 64) AS BIGINT) AS frame_bytes "
+        "FROM documents, LATERAL UNNEST(range(CAST(CEIL(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT))) AS t(r) "
+        "ORDER BY media_id, frame_idx"
     ),
 }
-# byte_sum is not cleanly expressible in portable SQL — media_features is
-# registered WITHOUT an oracle (rows-only); SQL kept here only as a sketch.
-SQL = {}
+# media_features' byte_sum is not cleanly expressible in portable SQL, so it
+# stays rows-only (its values are asserted in pytest against a Python oracle);
+# media_frames IS oracle-checked.
