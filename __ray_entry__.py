@@ -64,6 +64,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     # relational scaffolding
     "q1_pricing_summary": _rel.q1_pricing_summary,
     "revenue_by_mktsegment": _rel.revenue_by_mktsegment,
+    "revenue_by_region": _rel.revenue_by_region,
+    "parts_never_ordered": _rel.parts_never_ordered,
     "brand_revenue": _rel.brand_revenue,
     "top20_users": _rel.top20_users,
     "events_per_type": _rel.events_per_type,
@@ -81,6 +83,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "transcript_distinct_text_per_role": _tr.transcript_distinct_text_per_role,
     "transcript_hll_text_per_role": _tr.transcript_hll_text_per_role,
     "transcript_shingle_summary": _tr.transcript_shingle_summary,
+    "transcript_shingle_per_role": _tr.transcript_shingle_per_role,
     # text analysis
     "token_counts": _txt.token_counts,
     "quality_filter": _txt.quality_filter,

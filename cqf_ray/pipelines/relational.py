@@ -227,6 +227,64 @@ def value_quantiles_exact(sf_dir: str) -> pa.Table:
     )
 
 
+def revenue_by_region(sf_dir: str) -> pa.Table:
+    """Three-dim broadcast-join chain (orders ⋈ customer ⋈ nation ⋈ region):
+    the dims pre-join driver-side into ONE small lookup (they're tiny), so
+    the streaming fact side passes through a single broadcast join — never
+    chain per-dim shuffles when the dims compose to one lookup."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    dim = (
+        cust.join(nation, keys="c_nationkey", right_keys="n_nationkey")
+        .join(region, keys="n_regionkey", right_keys="r_regionkey")
+        .select(["c_custkey", "r_name"])
+    )
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "price_s": pa.array(np.round(price * 1e6).astype(np.int64))})
+
+    joined = broadcast_join(
+        orders.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True),
+        dim, keys="o_custkey", right_keys="c_custkey",
+    )
+    out = grouped_aggregate(
+        joined, ["r_name"], [("price_s", "sum", "price_s"), ("n_orders", "count", None)]
+    )
+    df = out.to_pandas()
+    df["revenue"] = round_scaled(df.pop("price_s"))
+    return _finish(df[["r_name", "revenue", "n_orders"]], ["r_name"])
+
+
+def parts_never_ordered(sf_dir: str) -> pa.Table:
+    """Anti-join: parts with no lineitem. The SMALL side (part) is the
+    probe here, so the plan inverts: stream lineitem once to build the
+    distinct-partkey set (combiner partials), then filter part against it
+    driver-side — an anti-join without shuffling either table by key."""
+    li = read(sf_dir, "lineitem", ["l_partkey"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch.column("l_partkey").combine_chunks()))
+        return pa.table({"l_partkey": pa.array(u)})
+
+    seen = np.unique(
+        np.asarray(
+            li.map_batches(distinct_partial, batch_format="pyarrow")
+            .to_pandas()["l_partkey"]
+        )
+    )
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
+    missing = np.sort(pk[~np.isin(pk, seen)])
+    return pa.table({"p_partkey": pa.array(missing)})
+
+
 def latest_event_per_user(sf_dir: str) -> pa.Table:
     """Distributed argmax (top-1 per key) WITHOUT shuffling the fact table:
     (1) combiner-aggregate max(ts) per user (tiny); (2) broadcast that back
@@ -341,6 +399,18 @@ def union_halves_counts(sf_dir: str) -> pa.Table:
 
 
 SQL = {
+    "revenue_by_region": (
+        "SELECT r_name, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_orders "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name"
+    ),
+    "parts_never_ordered": (
+        "SELECT p_partkey FROM part "
+        "WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem) ORDER BY p_partkey"
+    ),
     "latest_event_per_user": (
         "SELECT user_id, event_id FROM ("
         "  SELECT user_id, event_id, ROW_NUMBER() OVER ("

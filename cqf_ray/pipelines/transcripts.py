@@ -122,6 +122,38 @@ def transcript_hll_text_per_role(sf_dir: str) -> pa.Table:
     )
 
 
+def transcript_shingle_per_role(sf_dir: str) -> pa.Table:
+    """Per-role shingle CQFs via the grouped-sketch two-level pattern with
+    the CQF itself as the grouped accumulator (not just HLL): per-batch
+    per-role partial filters, tiny blob shuffle, per-role merge. Output is
+    each role's distinct/total shingle counts (deterministic; rows-only)."""
+    from ..text import char_ngram_hashes
+
+    ds = transcripts_light(sf_dir, ["role", "text"])
+
+    def by_group(batch: pa.Table) -> dict:
+        hashes, offs = char_ngram_hashes(batch.column("text"), n=5, seed=11)
+        roles = batch.column("role").to_numpy(zero_copy_only=False)
+        per_doc = np.diff(offs)
+        rep = np.repeat(roles, per_doc)
+        return {g: hashes[rep == g] for g in np.unique(roles)}
+
+    sketches = grouped_sketches(
+        ds, "role", by_group,
+        lambda: CQF(q=14, key_bits=40, hash_mode="default", seed=11),
+    )
+    rows = sorted(
+        (g, s.num_distinct, s.sum_counts) for g, s in sketches.items()
+    )
+    return pa.table(
+        {
+            "role": pa.array([r[0] for r in rows]),
+            "n_distinct": pa.array([r[1] for r in rows], type=pa.int64()),
+            "total_shingles": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 SQL = {
     "transcript_turns": (
         f"{_CTE} SELECT conv_id, turn_idx, role, text, tool FROM transcripts "

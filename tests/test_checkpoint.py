@@ -79,3 +79,34 @@ def test_corrupt_blob_triggers_rebuild(ray_session, sharded_events, tmp_path):
     rebuilt, _, metrics = checkpointed_build(sharded_events, ext, _mk, ckpt, resume=True)
     assert metrics["partitions_rebuilt"] == 1
     assert rebuilt.to_bytes() == full.to_bytes()
+
+
+def test_streaming_incremental_with_crash_resume(ray_session, tmp_path):
+    """Ordered-stream consumption: crash mid-stream, resume from checkpoint,
+    converge to the bitwise-identical filter; queries answerable mid-stream."""
+    import ray
+
+    from cqf_ray import keys
+    from cqf_ray.state.streaming import StreamingSketchBuilder
+
+    mk = _factories()
+    ext = keys.int_column("user_id")
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+
+    # one-shot reference (fresh dir, no crash)
+    ref = StreamingSketchBuilder(mk, ext, str(tmp_path / "a"), checkpoint_every=2)
+    ref_sketch = ref.run(ds, batch_size=128)
+
+    # crash after 3 batches, query mid-stream, then resume
+    ck = str(tmp_path / "b")
+    b1 = StreamingSketchBuilder(mk, ext, ck, checkpoint_every=2)
+    with pytest.raises(RuntimeError, match="injected stream failure"):
+        b1.run(ds, batch_size=128, fail_after=3)
+    b2 = StreamingSketchBuilder(mk, ext, ck, checkpoint_every=2)
+    assert 0 < b2.batches_done <= 3  # resumed from last checkpoint
+    mid_count = b2.sketch.count_key_value(int(
+        np.asarray(pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id"])
+                   .column("user_id"))[0]))
+    assert mid_count >= 0  # queryable between updates
+    final = b2.run(ds, batch_size=128)
+    assert final.to_bytes() == ref_sketch.to_bytes()
