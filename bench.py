@@ -83,6 +83,31 @@ def run_flagship(num_cpus: int, n_convs: int = N_CONVS) -> dict:
         )
         build_s = min(build_s, time.time() - t0)
 
+    # distributed positive-lookup verification (reference aborts on any
+    # false negative, src/bm.c:756-763): replay the key stream through a
+    # broadcast-probe stage, every extracted key must hit
+    from cqf_ray.sketches.base import sketch_from_bytes
+
+    blob_ref = ray.put(cqf.to_bytes())
+
+    class PositiveVerify:
+        def __init__(self, ref):
+            self.cqf = sketch_from_bytes(ray.get(ref))
+
+        def __call__(self, batch):
+            ks, _ = extract(batch)
+            hits = self.cqf.count_many(ks) > 0
+            return {"n": [len(ks)], "hits": [int(hits.sum())]}
+
+    t2 = time.time()
+    rows = ds.map_batches(
+        PositiveVerify, fn_constructor_args=(blob_ref,),
+        batch_format="pyarrow", batch_size=16384, concurrency=(1, max(num_cpus - 2, 1)),
+    ).take_all()
+    lookup_s = time.time() - t2
+    n_lookups = sum(r["n"] for r in rows)
+    false_negatives = n_lookups - sum(r["hits"] for r in rows)
+
     # FP probe: disjoint uniform keys vs the remainder-bits bound
     rng = np.random.default_rng(7)
     probes = rng.integers(0, 2**63, size=1_000_000, dtype=np.uint64)
@@ -102,6 +127,8 @@ def run_flagship(num_cpus: int, n_convs: int = N_CONVS) -> dict:
         "fp_bound": 2.0 ** -(cqf.key_remainder_bits),
         "remainder_bits": int(cqf.key_remainder_bits),
         "probe_mps": round(len(probes) / probe_s / 1e6, 2),
+        "positive_lookup_mps": round(n_lookups / lookup_s / 1e6, 2),
+        "false_negatives": int(false_negatives),
         "num_cpus": num_cpus,
     }
 
