@@ -42,9 +42,9 @@ def register(cls):
 def sketch_from_bytes(buf: bytes):
     """Deserialize any registered sketch (dispatch on the 4-byte kind tag,
     or the CQF's 8-byte magic)."""
-    from .cqf import CQF, MAGIC
+    from .cqf import CQF, MAGIC, MAGIC_RAW
 
-    if buf[:8] == MAGIC:
+    if buf[:8] in (MAGIC, MAGIC_RAW):
         return CQF.from_bytes(buf)
     kind = buf[:4]
     if kind not in _REGISTRY:

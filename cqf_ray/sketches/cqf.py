@@ -48,6 +48,7 @@ from ..hashing import fingerprint, hash_64i
 
 _U64 = np.uint64
 MAGIC = b"RYCQF001"
+MAGIC_RAW = b"RYCQFR01"
 
 _HASH_MODES = ("default", "invertible", "none")
 
@@ -523,8 +524,37 @@ class CQF:
             ]
         )
 
+    def to_bytes_raw(self) -> bytes:
+        """Fast shuttle serialization for internal partial blobs: header +
+        sorted distinct slot words + counts. Also canonical (pure function
+        of the multiset) but skips the packed quotient-filter layout — use
+        for merge-tree traffic; `to_bytes` (packed, reference-shaped) for
+        published/global artifacts. Both round-trip losslessly."""
+        self._consolidate()
+        header = MAGIC_RAW + struct.pack(
+            "<BBBBBxxxQQ",
+            1, self.q, self.key_bits, self.value_bits,
+            _HASH_MODES.index(self.hash_mode), self.seed, len(self._words),
+        )
+        return b"".join([header, self._words.tobytes(), self._counts.tobytes()])
+
+    @classmethod
+    def _from_bytes_raw(cls, buf: bytes) -> "CQF":
+        (ver, q, key_bits, value_bits, hmode, seed, n) = struct.unpack(
+            "<BBBBBxxxQQ", buf[8 : 8 + 24]
+        )
+        if ver != 1:
+            raise ValueError(f"unsupported raw CQF version {ver}")
+        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, True)
+        off = 8 + 24
+        out._words = np.frombuffer(buf, dtype=_U64, count=n, offset=off).copy()
+        out._counts = np.frombuffer(buf, dtype=_U64, count=n, offset=off + 8 * n).copy()
+        return out
+
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CQF":
+        if buf[:8] == MAGIC_RAW:
+            return cls._from_bytes_raw(buf)
         if buf[:8] != MAGIC:
             raise ValueError("bad magic — not a serialized CQF")
         (ver, q, key_bits, value_bits, hmode, seed, ndistinct, scounts, nocc) = struct.unpack(

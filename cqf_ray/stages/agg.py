@@ -57,9 +57,17 @@ def partial_sketches(
             sk.update(vals, counts)
         else:
             sk.update(extract(batch))
-        return {"sketch": np.array([sk.to_bytes()], dtype=object), "rows": [batch.num_rows]}
+        blob = _shuttle_bytes(sk)
+        return {"sketch": np.array([blob], dtype=object), "rows": [batch.num_rows]}
 
     return ds.map_batches(build, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def _shuttle_bytes(sk) -> bytes:
+    """Internal merge-tree wire format: the CQF's raw (sorted multiset)
+    serialization skips packed-layout encode/decode on every hop — the
+    canonical packed `to_bytes` is for published artifacts."""
+    return sk.to_bytes_raw() if hasattr(sk, "to_bytes_raw") else sk.to_bytes()
 
 
 @ray.remote
@@ -73,7 +81,7 @@ def _merge_blobs(*blobs: bytes) -> bytes:
     acc = sketch_from_bytes(blobs[0])
     for b in blobs[1:]:
         acc.merge_in_place(sketch_from_bytes(b))
-    return acc.to_bytes()
+    return _shuttle_bytes(acc)
 
 
 def tree_merge_blobs(blobs: list, *, fanin: int = 8) -> bytes:
