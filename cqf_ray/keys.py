@@ -30,6 +30,18 @@ def int_column(name: str):
     return extract
 
 
+def hashed_int_column(name: str, seed: int = 0):
+    """Extractor: murmur64 of an integer column — REQUIRED for sketches
+    that consume uniform 64-bit hashes (HLL, Bloom, CMS, MinHash); raw
+    small ints would collapse into a handful of registers/buckets."""
+
+    def extract(batch: pa.Table) -> np.ndarray:
+        raw = np.asarray(batch.column(name).combine_chunks(), dtype=np.int64).astype(_U64)
+        return murmur64a_u64(raw, seed)
+
+    return extract
+
+
 def float_column(name: str):
     """Extractor for quantile sketches: float64 values (nulls dropped)."""
 

@@ -199,15 +199,8 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
     """HLL distinct-user estimate (north-rule companion; RSE≈1.04/√2^p).
     Approximate ⇒ rows-only driver check; error bound asserted in pytest."""
     ds = read(sf_dir, "events", ["user_id"])
-
-    def extract(batch: pa.Table) -> np.ndarray:
-        from ..hashing import murmur64a_u64
-
-        return murmur64a_u64(
-            np.asarray(batch.column("user_id").combine_chunks()).astype(np.uint64), 7
-        )
-
-    hll = build_sketch(ds, extract, lambda: HyperLogLog(p=14))
+    hll = build_sketch(ds, keys.hashed_int_column("user_id", seed=7),
+                       lambda: HyperLogLog(p=14))
     return pa.table({"estimate": pa.array([round(hll.estimate())], type=pa.int64())})
 
 
