@@ -98,6 +98,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     # similarity search
     "ann_brute_force": _ann.ann_brute_force,
     "ann_lsh": _ann.ann_lsh,
+    "ann_ivf": _ann.ann_ivf,
     "embedding_centroids": _ann.embedding_centroids,
     # event-time custom operators (session windows, as-of join)
     "transcript_sessions": _w.transcript_sessions,

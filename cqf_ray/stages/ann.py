@@ -103,6 +103,36 @@ def brute_force_topk(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+class KMeansIVF:
+    """IVF coarse quantizer: seeded Lloyd's k-means over a (driver-side)
+    sample; vectors search only their nearest cells. The scale path
+    complementary to hyperplane LSH — cells adapt to the data distribution.
+    Fit once (small sample), broadcast centroids, assign per batch."""
+
+    def __init__(self, sample: np.ndarray, n_cells: int = 16, iters: int = 10, seed: int = 43):
+        rng = np.random.default_rng(seed)
+        n = sample.shape[0]
+        n_cells = min(n_cells, n)
+        sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        centroids = sample[rng.choice(n, size=n_cells, replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(sample @ centroids.T, axis=1)
+            for c in range(n_cells):
+                m = assign == c
+                if m.any():
+                    v = sample[m].mean(axis=0)
+                    centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+        self.centroids = centroids
+
+    def cells(self, mat: np.ndarray, nprobe: int = 1) -> np.ndarray:
+        """(n, nprobe) nearest-centroid indices (cosine)."""
+        sims = mat @ self.centroids.T
+        if nprobe == 1:
+            return np.argmax(sims, axis=1)[:, None]
+        k = min(nprobe, sims.shape[1])
+        return np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+
+
 class LshBucketer:
     """Random-hyperplane LSH:
     bucket = sign-bit string of `nbits` projections. Stateful stage — the

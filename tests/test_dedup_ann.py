@@ -160,3 +160,13 @@ def test_media_features_plumbing(ray_session, planted_dir):
     exp_sum = np.array([sum(s.encode()) for s in docs.text])
     assert (t.sort_values("media_id").byte_sum.to_numpy() == exp_sum).all()
     assert set(t.kind) <= {"image", "audio"}
+
+
+def test_ann_ivf_recall(ray_session, planted_dir):
+    from cqf_ray.pipelines.ann import ann_brute_force, ann_ivf
+
+    exact = ann_brute_force(planted_dir).to_pandas()
+    approx = ann_ivf(planted_dir, n_cells=8, nprobe=3).to_pandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.5
