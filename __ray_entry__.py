@@ -95,6 +95,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash_near_dups": _dedup.simhash_near_dups,
     "embedding_dup_pairs": _dedup.embedding_dup_pairs,
     "near_dup_canonical": _dedup.near_dup_canonical,
+    "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
     # similarity search
     "ann_brute_force": _ann.ann_brute_force,
     "ann_lsh": _ann.ann_lsh,

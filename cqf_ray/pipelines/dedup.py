@@ -191,6 +191,64 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
     return pa.Table.from_pandas(out.astype(np.int64), preserve_index=False)
 
 
+def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5, max_doc: int = 200) -> pa.Table:
+    """EXACT n-gram Jaccard similarity pairs (distinct character 5-gram
+    sets), J(a,b) ≥ threshold — the mandated standalone n-gram Jaccard
+    operator, oracle-checkable (the SQL side builds the same substring
+    sets). Shingle-set extraction runs distributed (map_batches); the
+    pairing here is a dense intersection matmul over the (bounded,
+    ``doc_id < max_doc``) candidate set. The 100 TB path is the
+    inverted-index plan: explode (shingle → doc), groupby shingle, count
+    pair co-occurrences = exact intersection sizes, with hot-shingle
+    capping — same semantics, shuffle-shaped like MinHash-LSH."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def distinct_shingles(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        keep = did < max_doc
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "shingle": pa.array([], type=pa.int64()),
+                             "doc_len": pa.array([], type=pa.int64())})
+        h, offs = char_ngram_hashes(batch.column("text"), n=5, seed=53)
+        did = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        from ..text import string_bytes_and_offsets
+
+        _, soffs = string_bytes_and_offsets(batch.column("text"))
+        doc_len = np.diff(soffs)
+        out_d, out_s, out_l = [], [], []
+        for i in range(len(did)):
+            u = np.unique(h[offs[i] : offs[i + 1]])
+            out_d.append(np.full(len(u), did[i]))
+            out_s.append(u.view(np.int64))
+            out_l.append(np.full(len(u), doc_len[i]))
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(out_d)),
+             "shingle": pa.array(np.concatenate(out_s)),
+             "doc_len": pa.array(np.concatenate(out_l))}
+        )
+
+    flat = ds.map_batches(distinct_shingles, batch_format="pyarrow").to_pandas()
+    flat = flat[flat.doc_len >= 5]  # SQL side has no shingles for short docs
+    if flat.empty:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+    docs = np.unique(flat.doc_id.to_numpy())
+    vocab, col = np.unique(flat.shingle.to_numpy(), return_inverse=True)
+    row = np.searchsorted(docs, flat.doc_id.to_numpy())
+    M = np.zeros((len(docs), len(vocab)), dtype=np.float32)
+    M[row, col] = 1.0
+    inter = M @ M.T
+    sizes = inter.diagonal()
+    union = sizes[:, None] + sizes[None, :] - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    a, b = np.nonzero(np.triu(jac >= threshold, k=1))
+    df = pd.DataFrame({"doc_a": docs[a], "doc_b": docs[b]}).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
+
+
 def _union_find(pairs_a: np.ndarray, pairs_b: np.ndarray) -> dict[int, int]:
     """Connected components over near-dup pairs → {doc: canonical(min) id}.
     Runs on the verified pair list (tiny relative to the corpus); path
@@ -270,6 +328,21 @@ def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
 
 
 SQL = {
+    "ngram_jaccard_pairs": (
+        "WITH sh AS ("
+        "  SELECT DISTINCT doc_id, substring(text, CAST(r AS BIGINT) + 1, 5) AS g "
+        "  FROM documents, LATERAL UNNEST(range(length(text) - 4)) AS t(r) "
+        "  WHERE doc_id < 200 AND length(text) >= 5), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "pairs AS ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c "
+        "  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "  GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b FROM pairs "
+        "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 "
+        "ORDER BY doc_a, doc_b"
+    ),
     "dedup_exact": (
         "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents "
         "GROUP BY text ORDER BY doc_id"
