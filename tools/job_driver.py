@@ -67,7 +67,9 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "global.cqf"), "wb") as f:
-        f.write(cqf.to_bytes())
+        f.write(cqf.to_bytes())  # packed canonical (reference-layout parity)
+    with open(os.path.join(args.out, "global.raw.cqf"), "wb") as f:
+        f.write(cqf.to_bytes_raw())  # fast-reload multiset form (same content)
     dump_sketch_parquet(cqf, os.path.join(args.out, "dump"), shards=16, invert_keys=False)
 
     metrics.update(
