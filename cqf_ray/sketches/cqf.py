@@ -844,20 +844,41 @@ def _decode_layout(
     assert len(quots) == len(ends), "corrupt layout: occupieds/runends mismatch"
     starts = np.maximum(quots, np.concatenate([[0], ends[:-1] + 1]))
     slots = unpack_all(slot_words, xn, bps)
+    run_len = ends - starts + 1
     if sum_counts == ndistinct:
         # fast path: every count is 1 ⇒ every slot is a bare remainder
-        run_len = ends - starts + 1
         rem = slots[_ranges(starts, ends)]
         qrep = np.repeat(quots, run_len).astype(_U64)
         words = (qrep << _U64(bps)) | rem.astype(_U64)
         return words, np.ones(len(words), dtype=_U64)
+    # hybrid: a run is all-count-1 iff its slots are strictly ascending —
+    # every counter encoding repeats/undershoots the remainder somewhere
+    # (x x; x 0 x; x …digits… x; 0 … 0 0), breaking strict ascent. Decode
+    # ascending runs vectorized; scalar-decode only counter-bearing runs.
+    flat_idx = _ranges(starts, ends)
+    flat = slots[flat_idx]
+    run_of = np.repeat(np.arange(len(starts)), run_len)
+    rising = np.ones(len(flat), dtype=bool)
+    if len(flat) > 1:
+        same_run = run_of[1:] == run_of[:-1]
+        rising[1:] = ~same_run | (flat[1:] > flat[:-1])
+    run_ascending = np.logical_and.reduceat(rising, np.concatenate([[0], np.cumsum(run_len)[:-1]]))
+    asc_mask_flat = np.repeat(run_ascending, run_len)
+    qflat = np.repeat(quots, run_len).astype(_U64)
+    asc_words = (qflat[asc_mask_flat] << _U64(bps)) | flat[asc_mask_flat].astype(_U64)
     words_out = []
     counts_out = []
-    for s, e, qt in zip(starts, ends, quots):
+    for ri in np.flatnonzero(~run_ascending):
+        s, e, qt = starts[ri], ends[ri], quots[ri]
         for r, c in _decode_run(slots[s : e + 1], bps):
             words_out.append((int(qt) << bps) | int(r))
             counts_out.append(c)
-    return np.array(words_out, dtype=_U64), np.array(counts_out, dtype=_U64)
+    words = np.concatenate([asc_words, np.array(words_out, dtype=_U64)])
+    counts = np.concatenate(
+        [np.ones(len(asc_words), dtype=_U64), np.array(counts_out, dtype=_U64)]
+    )
+    order = np.argsort(words, kind="stable")
+    return words[order], counts[order]
 
 
 def _ranges(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

@@ -78,8 +78,12 @@ def probe_dataset(
     concurrency: tuple[int, int] | int = (1, 8),
     batch_size: int | None = 65536,
 ) -> "ray.data.Dataset":
-    """Convenience wrapper: broadcast ``sketch`` and map the probe stage."""
-    ref = ray.put(sketch.to_bytes())
+    """Convenience wrapper: broadcast ``sketch`` and map the probe stage.
+    Ships the raw multiset form when available — per-actor deserialization
+    is then one memcpy instead of a packed-layout decode."""
+    from .agg import _shuttle_bytes
+
+    ref = ray.put(_shuttle_bytes(sketch))
     return ds.map_batches(
         SketchProbe,
         fn_constructor_args=(ref, extract),
