@@ -84,6 +84,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "transcript_hll_text_per_role": _tr.transcript_hll_text_per_role,
     "transcript_shingle_summary": _tr.transcript_shingle_summary,
     "transcript_shingle_per_role": _tr.transcript_shingle_per_role,
+    "transcript_tool_stats": _tr.transcript_tool_stats,
+    "transcript_conv_durations": _tr.transcript_conv_durations,
+    "turns_per_hour_of_day": _tr.turns_per_hour_of_day,
+    "users_with_view_then_purchase": _tr.users_with_view_then_purchase,
     # text analysis
     "token_counts": _txt.token_counts,
     "quality_filter": _txt.quality_filter,

@@ -154,7 +154,107 @@ def transcript_shingle_per_role(sf_dir: str) -> pa.Table:
     )
 
 
+def transcript_tool_stats(sf_dir: str) -> pa.Table:
+    """Turns and distinct conversations per tool (same two-level exact
+    pattern as role stats; `tool` is the event_type passthrough)."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = transcripts_light(sf_dir, ["tool", "conv_id"])
+    per_pair = grouped_aggregate(ds, ["tool", "conv_id"], [("n_turns", "count", None)])
+    out = grouped_aggregate(
+        per_pair, ["tool"], [("n_turns", "sum", "n_turns"), ("n_convs", "count", None)]
+    )
+    df = out.to_pandas().sort_values("tool").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def transcript_conv_durations(sf_dir: str) -> pa.Table:
+    """Wall-clock span per conversation in whole seconds (grouped min/max
+    over event time — no per-group Python, just the combiner aggregate)."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = transcripts_light(sf_dir, ["conv_id", "ts"])
+    out = grouped_aggregate(ds, ["conv_id"], [("t0", "min", "ts"), ("t1", "max", "ts")])
+    df = out.to_pandas()
+    # match SQL date_diff('second', …): count second-boundary crossings,
+    # i.e. floor(t1/1s) − floor(t0/1s), NOT floor((t1−t0)/1s)
+    t0 = df["t0"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000
+    t1 = df["t1"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000
+    df["duration_s"] = t1 - t0
+    df = df[["conv_id", "duration_s"]].sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def turns_per_hour_of_day(sf_dir: str) -> pa.Table:
+    """Hour-of-day histogram of turns (vectorized temporal extraction +
+    combiner aggregate)."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = transcripts_light(sf_dir, ["ts"])
+
+    def hod(batch: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.cast(pc.hour(batch.column("ts")), pa.int64())})
+
+    out = grouped_aggregate(
+        ds.map_batches(hod, batch_format="pyarrow"), ["hour"], [("n_turns", "count", None)]
+    )
+    df = out.to_pandas().sort_values("hour").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def users_with_view_then_purchase(sf_dir: str) -> pa.Table:
+    """Ordered-funnel count: users with a purchase strictly after some view
+    — per-user grouped min(view ts) / max(purchase ts) compared, all via
+    combiner aggregates (no per-group Python, no window)."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import read
+
+    ds = read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        et = batch.column("event_type")
+        ts = batch.column("ts")
+        far_future = pa.scalar(np.datetime64("2200-01-01", "us"), type=pa.timestamp("us"))
+        far_past = pa.scalar(np.datetime64("1900-01-01", "us"), type=pa.timestamp("us"))
+        view_ts = pc_.if_else(pc_.equal(et, "view"), ts, far_future)
+        buy_ts = pc_.if_else(pc_.equal(et, "purchase"), ts, far_past)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "view_ts": view_ts, "buy_ts": buy_ts})
+
+    out = grouped_aggregate(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["user_id"],
+        [("first_view", "min", "view_ts"), ("last_buy", "max", "buy_ts")],
+    )
+    df = out.to_pandas()
+    n = int((df["last_buy"] > df["first_view"]).sum())
+    return pa.table({"n_users": pa.array([n], type=pa.int64())})
+
+
 SQL = {
+    "transcript_tool_stats": (
+        f"{_CTE} SELECT tool, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs "
+        "FROM transcripts GROUP BY tool ORDER BY tool"
+    ),
+    "transcript_conv_durations": (
+        f"{_CTE} SELECT conv_id, "
+        "CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s "
+        "FROM transcripts GROUP BY conv_id ORDER BY conv_id"
+    ),
+    "turns_per_hour_of_day": (
+        f"{_CTE} SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+        "COUNT(*) AS n_turns FROM transcripts GROUP BY 1 ORDER BY hour"
+    ),
+    "users_with_view_then_purchase": (
+        "SELECT COUNT(*) AS n_users FROM ("
+        "  SELECT user_id FROM events GROUP BY user_id "
+        "  HAVING MAX(CASE WHEN event_type = 'purchase' THEN ts END) > "
+        "         MIN(CASE WHEN event_type = 'view' THEN ts END))"
+    ),
     "transcript_turns": (
         f"{_CTE} SELECT conv_id, turn_idx, role, text, tool FROM transcripts "
         "ORDER BY conv_id, turn_idx"
