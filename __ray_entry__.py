@@ -59,6 +59,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "exact_distinct_users": _sk.exact_distinct_users,
     "hll_distinct_users": _sk.hll_distinct_users,
     "cms_top_user_estimates": _sk.cms_top_user_estimates,
+    "bottomk_sample_users": _sk.bottomk_sample_users,
     "tdigest_value_quantiles": _sk.tdigest_value_quantiles,
     "kll_value_quantiles": _sk.kll_value_quantiles,
     # relational scaffolding

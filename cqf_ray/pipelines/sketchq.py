@@ -219,6 +219,18 @@ def cms_top_user_estimates(sf_dir: str) -> pa.Table:
     )
 
 
+def bottomk_sample_users(sf_dir: str) -> pa.Table:
+    """Deterministic distributed uniform sample of 25 user_ids via the
+    bottom-k (hash-priority) sketch — identical result under any
+    partitioning (rows-only: the murmur priority is not SQL-expressible;
+    the partition-invariance property is asserted in pytest)."""
+    from ..sketches import BottomKSample
+
+    ds = read(sf_dir, "events", ["user_id"])
+    bk = build_sketch(ds, keys.int_column("user_id"), lambda: BottomKSample(k=25, seed=17))
+    return pa.table({"user_id": pa.array(np.sort(bk.sample().astype(np.int64)))})
+
+
 def tdigest_value_quantiles(sf_dir: str) -> pa.Table:
     """t-digest quantiles of events.value (mergeable; built distributed)."""
     ds = read(sf_dir, "events", ["value"])

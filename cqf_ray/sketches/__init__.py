@@ -1,5 +1,6 @@
 from .base import Sketch, sketch_from_bytes
 from .bloom import BloomFilter
+from .bottomk import BottomKSample
 from .cms import CountMinSketch
 from .cqf import CQF, CQFNoSpace
 from .hll import HyperLogLog
@@ -14,6 +15,7 @@ __all__ = [
     "Sketch",
     "sketch_from_bytes",
     "BloomFilter",
+    "BottomKSample",
     "CountMinSketch",
     "HyperLogLog",
     "KLL",

@@ -229,3 +229,33 @@ def test_empty_docs_everywhere():
     assert (sigs == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
     fps = simhash64(*token_hashes(["", ""]))
     assert fps.tolist() == [0, 0]
+
+
+def test_bottomk_partition_invariant_and_uniform():
+    """Bottom-k sample is identical under ANY partitioning/merge order and
+    roughly uniform over distinct keys."""
+    from cqf_ray.sketches import BottomKSample
+
+    rng = np.random.default_rng(3)
+    keys = rng.permutation(np.arange(100_000, dtype=np.uint64))
+    whole = BottomKSample(k=200, seed=9)
+    whole.update(keys)
+
+    parts = np.array_split(keys, 7)
+    rng.shuffle(parts)
+    merged = BottomKSample(k=200, seed=9)
+    for p in parts:
+        piece = BottomKSample(k=200, seed=9)
+        piece.update(p)
+        merged.merge_in_place(piece)
+    assert merged.to_bytes() == whole.to_bytes()
+    # duplicates don't change the sample (set semantics)
+    dup = BottomKSample(k=200, seed=9)
+    dup.update(np.concatenate([keys, keys[:5000]]))
+    assert dup.to_bytes() == whole.to_bytes()
+    # rough uniformity: sampled keys spread over the key range
+    s = np.sort(whole.sample().astype(np.int64))
+    assert s.min() < 20_000 and s.max() > 80_000
+    # serialization round-trip
+    rt = BottomKSample.from_bytes(whole.to_bytes())
+    assert rt.to_bytes() == whole.to_bytes()
