@@ -79,8 +79,11 @@ def transcript_shingle_cqf(sf_dir: str, q: int = 16, key_bits: int = 40) -> dict
 
 
 def transcript_shingle_summary(sf_dir: str) -> pa.Table:
-    """Driver-facing wrapper of the flagship build (deterministic numbers;
-    rows-only check — the multiset itself is validated in pytest)."""
+    """Driver-facing wrapper of the flagship build. ORACLE-CHECKED: the
+    CQF's distinct/total equal COUNT(DISTINCT (role,tool,5-gram)) /
+    COUNT(*) over the SQL-built shingle set (collision probability
+    ~|keys|²/2^40·2^-1 — zero observed; the multiset itself is additionally
+    validated against an exact dict oracle in pytest)."""
     r = transcript_shingle_cqf(sf_dir)
     return pa.table(
         {
@@ -126,7 +129,8 @@ def transcript_shingle_per_role(sf_dir: str) -> pa.Table:
     """Per-role shingle CQFs via the grouped-sketch two-level pattern with
     the CQF itself as the grouped accumulator (not just HLL): per-batch
     per-role partial filters, tiny blob shuffle, per-role merge. Output is
-    each role's distinct/total shingle counts (deterministic; rows-only)."""
+    each role's distinct/total shingle counts (oracle-checked via the SQL
+    substring-set equivalent)."""
     from ..text import char_ngram_hashes
 
     ds = transcripts_light(sf_dir, ["role", "text"])
@@ -236,6 +240,24 @@ def users_with_view_then_purchase(sf_dir: str) -> pa.Table:
 
 
 SQL = {
+    "transcript_shingle_summary": (
+        f"{_CTE}, sh AS ("
+        "  SELECT role, tool, CASE WHEN length(text) >= 5 "
+        "THEN substring(text, CAST(r AS BIGINT) + 1, 5) ELSE text END AS g "
+        "  FROM transcripts, LATERAL UNNEST(range(CASE WHEN length(text) >= 5 "
+        "THEN length(text) - 4 ELSE 1 END)) AS t(r)) "
+        "SELECT COUNT(DISTINCT (role, tool, g)) AS n_distinct, "
+        "COUNT(*) AS total_shingles FROM sh"
+    ),
+    "transcript_shingle_per_role": (
+        f"{_CTE}, sh AS ("
+        "  SELECT role, CASE WHEN length(text) >= 5 "
+        "THEN substring(text, CAST(r AS BIGINT) + 1, 5) ELSE text END AS g "
+        "  FROM transcripts, LATERAL UNNEST(range(CASE WHEN length(text) >= 5 "
+        "THEN length(text) - 4 ELSE 1 END)) AS t(r)) "
+        "SELECT role, COUNT(DISTINCT g) AS n_distinct, COUNT(*) AS total_shingles "
+        "FROM sh GROUP BY role ORDER BY role"
+    ),
     "transcript_tool_stats": (
         f"{_CTE} SELECT tool, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs "
         "FROM transcripts GROUP BY tool ORDER BY tool"
