@@ -1,9 +1,13 @@
 """Event-time operators Ray Data has no primitive for: session windows and
-as-of joins (SURVEY.md §2 'custom operators' mandate). Both partition by
-the conversation/user key — the ONE shuffle key the transcript pipelines
-share — and compute vectorized per group (numpy searchsorted / diff), so
-the partitioning assumption is: all rows of a key fit one group task
-(true for conversations; salting would split pathological keys).
+as-of joins (SURVEY.md §2 'custom operators' mandate).
+
+Both are keyed-partition maps (``cqf_ray.stages.keyed``): hash the user/
+conversation key to a COARSE partition, shuffle once, and run ONE
+vectorized kernel per partition — ``np.lexsort`` + run-boundary detection
+instead of one pandas call per group (the per-group form costs ~1 ms/group
+and dominates at millions of conversations).  Partitioning assumption: all
+rows of one entity land in one partition (entities are never split; skew
+unit = one conversation).
 """
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..sources.transcripts import TRANSCRIPTS_SQL
+from ..stages.keyed import keyed_partition_map, run_ids
 from .common import read
 
 _GAP_MIN = 30
@@ -20,58 +25,95 @@ _GAP_MIN = 30
 _CTE = f"WITH transcripts AS ({TRANSCRIPTS_SQL})"
 
 
+def _col_i64(t: pa.Table, name: str) -> np.ndarray:
+    return np.asarray(t.column(name).combine_chunks()).astype(np.int64)
+
+
+def _col_ts_us(t: pa.Table, name: str) -> np.ndarray:
+    return (
+        np.asarray(t.column(name).combine_chunks())
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+
+
+def _sessions_kernel(t: pa.Table) -> pa.Table:
+    """Per-partition session-window kernel: sort by (user, ts, event_id),
+    detect >30-min gaps inside user runs, count sessions/turns per user —
+    all vectorized (one bincount per partition, zero per-user calls)."""
+    uid = _col_i64(t, "user_id")
+    ts = _col_ts_us(t, "ts")
+    eid = _col_i64(t, "event_id")
+    order = np.lexsort((eid, ts, uid))
+    u, s, e = uid[order], ts[order], eid[order]
+    rid, starts, lens = run_ids(u)
+    if len(starts) == 0:
+        return pa.table({"conv_id": pa.array([], type=pa.string()),
+                         "n_sessions": pa.array([], type=pa.int64()),
+                         "n_turns": pa.array([], type=pa.int64())})
+    gap = (np.diff(s) > _GAP_MIN * 60_000_000) & (u[1:] == u[:-1])
+    n_sessions = 1 + np.bincount(rid[1:][gap], minlength=len(starts))
+    conv = np.char.add("c", u[starts].astype(str))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, type=pa.string()),
+            "n_sessions": pa.array(n_sessions.astype(np.int64)),
+            "n_turns": pa.array(lens.astype(np.int64)),
+        }
+    )
+
+
 def transcript_sessions(sf_dir: str) -> pa.Table:
     """Gap-based session windows per conversation: a new session starts
     when > 30 min separate consecutive turns. Returns (conv_id,
     n_sessions, n_turns)."""
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id"])
-
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts) > _GAP_MIN * 60_000_000
-        uid = df["user_id"].iloc[0]
-        return pd.DataFrame(
-            {
-                "conv_id": [f"c{uid}"],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_turns": [len(df)],
-            }
-        )
-
-    df = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
-    df = df.sort_values("conv_id").reset_index(drop=True)
+    out = keyed_partition_map(ds, ["user_id"], _sessions_kernel)
+    df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
     df["n_sessions"] = df["n_sessions"].astype(np.int64)
     df["n_turns"] = df["n_turns"].astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _asof_kernel(t: pa.Table) -> pa.Table:
+    """Per-partition as-of kernel: merge-sort views+purchases by
+    (user, ts, kind, event_id) with views first at equal ts, then a single
+    segmented carry-forward (``np.maximum.accumulate`` of view positions,
+    invalidated across user boundaries) pairs every purchase with the
+    latest view at-or-before it.  No per-user searchsorted loop."""
+    import pyarrow.compute as pc
+
+    et = t.column("event_type")
+    keep = pc.is_in(et, pa.array(["view", "purchase"]))
+    t = t.filter(keep)
+    if t.num_rows == 0:
+        return pa.table({"purchase_id": pa.array([], type=pa.int64()),
+                         "view_id": pa.array([], type=pa.int64())})
+    uid = _col_i64(t, "user_id")
+    ts = _col_ts_us(t, "ts")
+    eid = _col_i64(t, "event_id")
+    is_p = np.asarray(pc.equal(t.column("event_type").combine_chunks(), "purchase"))
+    order = np.lexsort((eid, is_p, ts, uid))
+    u, e, p = uid[order], eid[order], is_p[order]
+    rid, starts, _ = run_ids(u)
+    n = len(u)
+    vpos = np.where(~p, np.arange(n, dtype=np.int64), np.int64(-1))
+    last = np.maximum.accumulate(vpos)
+    valid = last >= starts[rid]
+    sel = p & valid
+    return pa.table(
+        {"purchase_id": pa.array(e[sel]), "view_id": pa.array(e[last[sel]])}
+    )
+
+
 def purchase_view_asof(sf_dir: str) -> pa.Table:
     """As-of join (attribution): for each 'purchase' event, the most recent
-    'view' event of the same user at-or-before it. Keyed shuffle on
-    user_id, then per-group vectorized searchsorted — the canonical way to
-    express an as-of join in Ray Data (oracle: DuckDB's native ASOF JOIN)."""
+    'view' event of the same user at-or-before it. One keyed shuffle on
+    user_id, then a vectorized carry-forward per partition (oracle:
+    DuckDB's native ASOF JOIN)."""
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-
-    def asof(df: pd.DataFrame) -> pd.DataFrame:
-        p = df[df.event_type == "purchase"].sort_values(["ts", "event_id"], kind="mergesort")
-        v = df[df.event_type == "view"].sort_values(["ts", "event_id"], kind="mergesort")
-        if len(p) == 0 or len(v) == 0:
-            return pd.DataFrame({"purchase_id": pd.Series([], dtype=np.int64),
-                                 "view_id": pd.Series([], dtype=np.int64)})
-        vts = v["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        pts = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        idx = np.searchsorted(vts, pts, side="right") - 1
-        m = idx >= 0
-        return pd.DataFrame(
-            {
-                "purchase_id": p["event_id"].to_numpy()[m],
-                "view_id": v["event_id"].to_numpy()[idx[m]],
-            }
-        )
-
-    df = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
-    df = df.sort_values("purchase_id").reset_index(drop=True)
+    out = keyed_partition_map(ds, ["user_id"], _asof_kernel)
+    df = out.to_pandas().sort_values("purchase_id").reset_index(drop=True)
     return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
 
 

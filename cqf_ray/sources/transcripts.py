@@ -67,18 +67,41 @@ FROM events
 """
 
 
-def _events_to_turns(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation group fn: order by (ts, event_id), assign turn_idx."""
-    df = df.sort_values(["ts", "event_id"], kind="mergesort")
-    uid = df["user_id"].iloc[0]
-    return pd.DataFrame(
+def _role_of_types(et: "pa.Array") -> "pa.Array":
+    """event_type → role via dictionary lookup; unmatched AND null both map
+    to 'user' exactly like the SQL CASE's ELSE branch."""
+    enc = et.combine_chunks().dictionary_encode()
+    lut = pa.array(
+        [ROLE_OF_EVENT.get(s.as_py(), "user") for s in enc.dictionary],
+        type=pa.string(),
+    )
+    import pyarrow.compute as pc
+
+    return pc.fill_null(lut.take(enc.indices), "user")
+
+
+def _turns_kernel(t: pa.Table) -> pa.Table:
+    """Per-partition turn-index kernel: one lexsort by (user, ts, event_id)
+    and a segmented arange for turn_idx — replaces the per-conversation
+    pandas call (one call per PARTITION, not per conversation)."""
+    from ..stages.keyed import run_ids
+
+    uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+    ts = np.asarray(t.column("ts").combine_chunks()).astype("datetime64[us]").astype(np.int64)
+    eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+    order = np.lexsort((eid, ts, uid))
+    u = uid[order]
+    rid, starts, _ = run_ids(u)
+    turn_idx = (np.arange(len(u), dtype=np.int64) - starts[rid]).astype(np.int32)
+    t = t.take(pa.array(order))
+    return pa.table(
         {
-            "conv_id": np.repeat(f"c{uid}", len(df)),
-            "turn_idx": np.arange(len(df), dtype=np.int32),
-            "role": df["event_type"].map(ROLE_OF_EVENT).fillna("user").to_numpy(),
-            "text": df["props"].to_numpy(),
-            "tool": df["event_type"].to_numpy(),
-            "ts": df["ts"].to_numpy(),
+            "conv_id": pa.array(np.char.add("c", u.astype(str)), type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": _role_of_types(t.column("event_type")),
+            "text": t.column("text" if "text" in t.column_names else "props"),
+            "tool": t.column("event_type"),
+            "ts": t.column("ts"),
         }
     )
 
@@ -105,13 +128,9 @@ def transcripts_light(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
                     "c", pc.cast(batch.column("user_id"), pa.string()), ""
                 )
             elif col == "role":
-                # dictionary path: map only the (few) unique event types
-                enc = batch.column("event_type").combine_chunks().dictionary_encode()
-                lut = pa.array(
-                    [ROLE_OF_EVENT.get(s.as_py(), "user") for s in enc.dictionary],
-                    type=pa.string(),
-                )
-                out[col] = lut.take(enc.indices)
+                # dictionary path: map only the (few) unique event types;
+                # null/unmatched → 'user' (= the SQL CASE ELSE branch)
+                out[col] = _role_of_types(batch.column("event_type"))
             elif col == "text":
                 out[col] = batch.column("props")
             elif col == "tool":
@@ -127,17 +146,18 @@ def transcripts_from_events(sf_dir: str) -> "ray.data.Dataset":
     """events.parquet → transcript Dataset (schema per ``input_hint``).
 
     The turn-index assignment is a per-conversation window (row_number) —
-    Ray Data expresses it as ``groupby(user_id).map_groups``: a keyed
-    shuffle on the conversation key, exactly the partitioning every
-    downstream per-conv stage reuses (one shuffle key for the whole
-    pipeline, SURVEY.md §7.3). Column pruning at the read keeps only the 5
-    columns the derivation needs.
+    expressed as ONE coarse keyed-partition shuffle on the conversation key
+    (``cqf_ray.stages.keyed``) followed by a vectorized lexsort+segmented-
+    arange kernel per partition; never one call per conversation. Column
+    pruning at the read keeps only the 5 columns the derivation needs.
     """
+    from ..stages.keyed import keyed_partition_map
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
-    return ds.groupby("user_id").map_groups(_events_to_turns, batch_format="pandas")
+    return keyed_partition_map(ds, ["user_id"], _turns_kernel)
 
 
 _WORDS = np.array(

@@ -1,0 +1,102 @@
+"""Keyed-partition map: the scale-correct replacement for per-entity
+``groupby(key).map_groups`` (which pays one Python/pandas call per group —
+~1 ms/group, fatal at millions of conversations; see
+``cqf_ray/stages/groupagg.py`` for the measurement).
+
+Shape: hash the entity key to a COARSE partition id (``P`` partitions, not
+|entities| groups), shuffle once on that id, and run ONE vectorized Arrow
+kernel per partition.  The kernel sees every row of every entity it owns
+(the partitioning invariant per-conv/per-user operators rely on:
+SURVEY.md §2 "custom operators" — document the partitioning assumption),
+sorts locally with ``np.lexsort``, and computes per-entity results with
+run-boundary detection instead of per-group calls.  This is the same
+partition-per-actor translation the reference's striped-lock shared CQF
+got (``/root/reference/src/test_threadsafe.c``): partition ownership
+replaces locking, vectorization replaces the per-item inner loop.
+
+At cluster scale ``P`` should be ~2–4× total cores so partitions pipeline
+and skew amortizes; each partition must fit a worker's heap (entities are
+never split, so the unit of skew is one entity, not one key-range).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..hashing import murmur64a_u64
+
+_PART = "__part"
+
+
+def _key_hash(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Combined 64-bit hash of one or more int-like key columns (vectorized;
+    each column is murmur-mixed with a per-position seed, then xor-folded)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for i, c in enumerate(key_cols):
+        col = batch.column(c)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from ..hashing import hash_strings
+
+            kh = hash_strings(col, seed=0x9E37 + i)
+        else:
+            arr = np.ascontiguousarray(
+                np.asarray(col.combine_chunks()).astype(np.int64)
+            ).view(np.uint64)
+            kh = murmur64a_u64(arr, seed=0x9E37 + i)
+        h ^= kh
+    return h
+
+
+def keyed_partition_map(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    kernel: Callable[[pa.Table], pa.Table],
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Partition ``ds`` by ``hash(key_cols) % num_partitions`` and apply
+    ``kernel`` ONCE per partition (an Arrow table holding all rows of all
+    entities hashed there; the ``__part`` helper column is dropped before
+    the kernel runs).  ``kernel`` must be pure and per-entity-closed: its
+    output may only depend on rows sharing the same entity key."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        part = (_key_hash(batch, key_cols) % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column(_PART, pa.array(part))
+
+    def run(group: pa.Table) -> pa.Table:
+        return kernel(group.drop_columns([_PART]))
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_PART)
+        .map_groups(run, batch_format="pyarrow")
+    )
+
+
+def run_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Start indices of equal-value runs in an already-sorted key array
+    (the vectorized substitute for per-group iteration)."""
+    if len(sorted_keys) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.flatnonzero(
+        np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+    ).astype(np.int64)
+
+
+def run_ids(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(run_id per row, run start indices, run lengths) for a sorted key
+    array — one pass, no Python loop."""
+    n = len(sorted_keys)
+    starts = run_starts(sorted_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), starts, np.empty(0, dtype=np.int64)
+    rid = np.zeros(n, dtype=np.int64)
+    rid[starts[1:]] = 1
+    rid = np.cumsum(rid)
+    lens = np.diff(np.concatenate([starts, [n]]))
+    return rid, starts, lens
