@@ -20,8 +20,13 @@ def sort_table(t: pa.Table, keys: list[str]) -> pa.Table:
 
 
 def round_col(a, ndigits: int = 2) -> np.ndarray:
-    """Round a float column the same way the SQL oracle's ROUND does."""
-    return np.round(np.asarray(a, dtype=np.float64), ndigits)
+    """Round a float column the same way the SQL oracle's ROUND does:
+    half-AWAY-from-zero on the decimal-scaled double (std::round
+    semantics), not numpy's banker's half-to-even."""
+    x = np.asarray(a, dtype=np.float64)
+    s = 10.0**ndigits
+    y = x * s
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / s
 
 
 def round_scaled(s, to_dec: int = 2, from_dec: int = 6) -> np.ndarray:

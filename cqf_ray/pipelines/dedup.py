@@ -1,19 +1,28 @@
 """Deduplication pipelines over `documents`: exact, MinHash+LSH, SimHash,
-n-gram Jaccard verification, embedding-cosine near-dup (driver mandate:
-first-class training-data operators).
+inverted-index exact n-gram Jaccard, embedding-cosine near-dup (driver
+mandate: first-class training-data operators).
 
-Scale shapes:
-* exact dedup — hash-partition on a 64-bit text hash (uniform key), group,
-  resolve collisions against the true text within each (tiny) group;
+Every stage is distributed; nothing non-aggregated reaches the driver:
+
+* exact dedup — hash-partition on a 64-bit text hash (8-byte shuffle keys,
+  not full texts), group, verify collisions via in-group min/max of the
+  true text, fall back to text-keyed grouping for colliding hashes only;
 * MinHash LSH — shingle→signature per batch (vectorized), explode to
-  (band_key, doc) rows, groupby band_key (the only shuffle; band tables are
-  ~num_bands × n_docs small rows), pair up within buckets, then verify
-  candidates with exact n-gram Jaccard;
-* SimHash — 64-bit fingerprint, bucket by fingerprint bands, verify by
-  Hamming distance;
-* embedding cosine — normalized vectors, candidate generation by
-  brute-force block product against a broadcast matrix (LSH/IVF variant in
-  pipelines/ann.py scales this).
+  (band, bkey, doc) rows, hash-partition on the bucket key (the only
+  shuffle; |docs|×bands small rows), pair up in-partition with a
+  vectorized run kernel, then verify candidates with the distributed
+  inverted-index exact Jaccard below;
+* SimHash — 64-bit fingerprint, bucket by four 16-bit bands (pigeonhole-
+  complete for Hamming ≤ 3), Hamming-verify INSIDE the pair kernel;
+* inverted-index Jaccard — explode (shingle → doc), partition by shingle,
+  pair co-occurrence counts = exact intersection sizes, combiner-first
+  grouped count, threshold on |∩|/|∪|;
+* embedding cosine — normalized vectors, block product against a
+  broadcast matrix (LSH/IVF variant in pipelines/ann.py scales this).
+
+Oracle contract: shingle kernels hash BYTE n-grams while the SQL oracles
+substring CHARACTERS — identical only for ASCII text (asserted in the
+shingle stage); driver testdata is ASCII.
 """
 
 from __future__ import annotations
@@ -21,88 +30,238 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
+from ..hashing import hash_strings
 from ..sketches.minhash import MinHasher
 from ..sketches.simhash import hamming64, simhash64
 from ..stages.groupagg import grouped_aggregate
-from ..text import char_ngram_hashes
+from ..stages.keyed import keyed_partition_map, pairs_within_runs, run_ids_multi
+from ..text import char_ngram_hashes, string_bytes_and_offsets
 from .common import read
-
-
-def dedup_exact(sf_dir: str) -> pa.Table:
-    """Exact dedup: canonical doc (min doc_id) + copy count per distinct
-    text, as a combiner-first grouped aggregate keyed on the text itself
-    (exact by construction; per-batch partials collapse duplicate-heavy
-    batches before the shuffle). At 100 TB, to avoid shuffling full text,
-    key on hash64(text) and keep the text only for in-group collision
-    verification — same plan shape, smaller exchange."""
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
-    out = grouped_aggregate(
-        ds, ["text"], [("doc_id", "min", "doc_id"), ("n_copies", "count", None)]
-    )
-    df = out.to_pandas()[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
-    df["n_copies"] = df["n_copies"].astype(np.int64)
-    return pa.Table.from_pandas(df, preserve_index=False)
-
-
-def _doc_shingles(batch: pa.Table, n: int = 5, seed: int = 29):
-    return char_ngram_hashes(batch.column("text"), n=n, seed=seed)
-
 
 _MAX_BUCKET = 256  # skip degenerate LSH buckets (standard practice: a
 # bucket this hot is a trivial shingle collision, and pairing it is O(L²))
 
 
-def _pairs_from_buckets(bands: np.ndarray, bkeys: np.ndarray, doc_ids: np.ndarray,
-                        payload: np.ndarray | None = None):
-    """Vectorized within-bucket pair generation: lexsort by (band, bkey),
-    detect runs, emit all intra-run pairs. Replaces per-bucket map_groups
-    (one task per bucket is pure overhead at 10^5 buckets). The candidate
-    table is |docs|×bands small rows; above driver scale the same kernel
-    runs inside map_batches after a sort — the pairing math is identical.
-    Returns (doc_a, doc_b[, payload_a, payload_b]) with doc_a < doc_b."""
-    order = np.lexsort((doc_ids, bkeys, bands))
-    b, k, d = bands[order], bkeys[order], doc_ids[order]
-    p = payload[order] if payload is not None else None
-    boundary = np.concatenate([[True], (b[1:] != b[:-1]) | (k[1:] != k[:-1])])
-    starts = np.flatnonzero(boundary)
-    lens = np.diff(np.concatenate([starts, [len(b)]]))
-    out_a, out_b, pl_a, pl_b = [], [], [], []
-    for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
-        if L > _MAX_BUCKET:
-            continue
-        ii, jj = np.triu_indices(int(L), k=1)
-        out_a.append(d[s + ii])
-        out_b.append(d[s + jj])
-        if p is not None:
-            pl_a.append(p[s + ii])
-            pl_b.append(p[s + jj])
-    if not out_a:
-        z = np.empty(0, dtype=np.int64)
-        return (z, z) if payload is None else (z, z, z.astype(payload.dtype), z.astype(payload.dtype))
-    a = np.concatenate(out_a)
-    bb = np.concatenate(out_b)
-    if payload is None:
-        return a, bb
-    return a, bb, np.concatenate(pl_a), np.concatenate(pl_b)
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup: canonical doc (min doc_id) + copy count per distinct
+    text. Keyed on ``hash64(text)`` so the shuffle moves 8-byte keys, not
+    document bodies; each hash group carries min/max of the text so hash
+    collisions are DETECTED exactly (min≠max ⇒ two texts share a hash) and
+    resolved by a text-keyed second pass over only the colliding groups
+    (expected ~never at 2⁻⁶⁴ rates, but correctness never rides on it)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch.column("text"), seed=11).view(np.int64)
+        return pa.table(
+            {"h": pa.array(h), "doc_id": batch.column("doc_id"),
+             "text": batch.column("text")}
+        )
+
+    grouped = grouped_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+        [("doc_id", "min", "doc_id"), ("n_copies", "count", None),
+         ("t_min", "min", "text"), ("t_max", "max", "text")],
+    )
+    df = grouped.to_pandas()
+    bad = df[df.t_min != df.t_max]
+    df = df[df.t_min == df.t_max][["doc_id", "n_copies"]]
+    if len(bad):  # rare path: true per-text grouping for colliding hashes
+        bad_h = ray.put(np.sort(bad["h"].to_numpy().astype(np.int64)))
+
+        def only_bad(batch: pa.Table) -> pa.Table:
+            h = hash_strings(batch.column("text"), seed=11).view(np.int64)
+            return batch.filter(pa.array(np.isin(h, ray.get(bad_h))))
+
+        fix = grouped_aggregate(
+            ds.map_batches(only_bad, batch_format="pyarrow"),
+            ["text"], [("doc_id", "min", "doc_id"), ("n_copies", "count", None)],
+        ).to_pandas()[["doc_id", "n_copies"]]
+        df = pd.concat([df, fix], ignore_index=True)
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    df["n_copies"] = df["n_copies"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _doc_shingles(batch_texts, n: int = 5, seed: int = 29, *, check_ascii: bool = True):
+    """Distinct-preserving shingle hashes per doc; asserts the ASCII oracle
+    contract (byte n-grams == character n-grams only for ASCII input)."""
+    if check_ascii:
+        data, _ = string_bytes_and_offsets(batch_texts)
+        if len(data) and int(data.max()) >= 128:
+            raise ValueError(
+                "non-ASCII text: byte-shingle engine and character-substring "
+                "SQL oracle diverge; disable the oracle or use ASCII input"
+            )
+    return char_ngram_hashes(batch_texts, n=n, seed=seed)
+
+
+def _bucket_pair_kernel(payload_cols: list[str], *, max_run: int | None = _MAX_BUCKET,
+                        verify=None):
+    """Build a per-partition kernel: sort by (band, bkey, doc_id), detect
+    bucket runs, emit all intra-bucket (doc_a < doc_b) pairs with payload
+    columns fanned to _a/_b — one vectorized pass, no per-bucket calls.
+    ``verify(out_dict) -> mask`` can prune pairs in-kernel (e.g. Hamming)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        band = np.asarray(t.column("band").combine_chunks()).astype(np.int64)
+        bkey = np.asarray(t.column("bkey").combine_chunks()).astype(np.int64)
+        did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        order = np.lexsort((did, bkey, band))
+        b, k, d = band[order], bkey[order], did[order]
+        rid, starts, lens = run_ids_multi(b, k)
+        li, ri = pairs_within_runs(rid, starts, lens, max_run=max_run)
+        out = {"doc_a": d[li], "doc_b": d[ri]}
+        for c in payload_cols:
+            p = np.asarray(t.column(c).combine_chunks()).astype(np.int64)[order]
+            out[f"{c}_a"] = p[li]
+            out[f"{c}_b"] = p[ri]
+        m = out["doc_a"] != out["doc_b"]
+        if verify is not None:
+            m &= verify(out)
+        return pa.table({c: pa.array(v[m]) for c, v in out.items()})
+
+    return kernel
+
+
+def _dedup_pairs(pairs_ds: "ray.data.Dataset", extra_cols: list[str] = ()) -> pd.DataFrame:
+    """Distinct (doc_a, doc_b) pairs via a combiner-first grouped count
+    (a pair can surface from several bands/partitions); only the deduped
+    pair list — the operator's aggregated RESULT — reaches the driver."""
+    aggs = [("n", "count", None)] + [(c, "min", c) for c in extra_cols]
+    out = grouped_aggregate(pairs_ds, ["doc_a", "doc_b"], aggs)
+    df = out.to_pandas()
+    cols = ["doc_a", "doc_b"] + list(extra_cols)
+    return df[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _inverted_jaccard(
+    sf_dir: str,
+    *,
+    n: int = 5,
+    seed: int = 53,
+    threshold: float,
+    id_filter: np.ndarray | None = None,
+    num_partitions: int = 32,
+    hot_cap: int | None = None,
+) -> pd.DataFrame:
+    """EXACT n-gram Jaccard pairs by inverted index, fully distributed:
+    explode (shingle, doc_id, doc_size), partition by shingle, emit
+    co-occurrence pairs per shingle run, grouped-count them (= exact
+    intersection sizes), then threshold |∩| / (|A|+|B|−|∩|).
+
+    ``id_filter`` (broadcast, sorted) restricts to candidate docs — the
+    verification mode used by MinHash-LSH. ``hot_cap`` optionally skips
+    shingles with document frequency above the cap (approximation for
+    adversarial corpora; None = exact, the oracle-checked default).
+    Docs shorter than ``n`` bytes have no shingles (matches the SQL
+    ``length(text) >= n`` contract)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    filt_ref = ray.put(np.sort(id_filter.astype(np.int64))) if id_filter is not None else None
+
+    def explode(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        if filt_ref is not None:
+            keep = np.isin(did, ray.get(filt_ref))
+            batch = batch.filter(pa.array(keep))
+            did = did[keep]
+        empty = pa.table({"shingle": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "size": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        h, offs = _doc_shingles(batch.column("text"), n=n, seed=seed)
+        _, soffs = string_bytes_and_offsets(batch.column("text"))
+        doc_len = np.diff(soffs)
+        out_s, out_d, out_z = [], [], []
+        for i in range(len(did)):  # per-doc distinct; O(docs/batch) tiny loop
+            if doc_len[i] < n:
+                continue
+            u = np.unique(h[offs[i] : offs[i + 1]])
+            out_s.append(u.view(np.int64))
+            out_d.append(np.full(len(u), did[i]))
+            out_z.append(np.full(len(u), len(u)))
+        if not out_s:
+            return empty
+        return pa.table(
+            {"shingle": pa.array(np.concatenate(out_s)),
+             "doc_id": pa.array(np.concatenate(out_d)),
+             "size": pa.array(np.concatenate(out_z))}
+        )
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        """Per-partition: sort by shingle, expand intra-run pairs, then
+        collapse to per-pair partial counts IN-KERNEL via np.unique on a
+        packed (doc_a<<32 | doc_b) key — the partition emits ≤ |pairs|
+        counted rows, not the raw co-occurrence explosion. Assumes
+        doc_id < 2³² (asserted)."""
+        sh = np.asarray(t.column("shingle").combine_chunks()).astype(np.int64)
+        did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        size = np.asarray(t.column("size").combine_chunks()).astype(np.int64)
+        order = np.lexsort((did, sh))
+        s, d, z = sh[order], did[order], size[order]
+        rid, starts, lens = run_ids_multi(s)
+        li, ri = pairs_within_runs(rid, starts, lens, max_run=hot_cap)
+        if len(li) and int(d.max()) >= 1 << 32:
+            raise ValueError("packed pair key requires doc_id < 2**32")
+        packed = (d[li].astype(np.uint64) << np.uint64(32)) | d[ri].astype(np.uint64)
+        u, cnt = np.unique(packed, return_counts=True)
+        da = (u >> np.uint64(32)).astype(np.int64)
+        db = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # per-doc sizes via the partition's (sorted-unique doc → size) map
+        ud, first = np.unique(d, return_index=True)
+        uz = z[first]
+        return pa.table(
+            {"doc_a": pa.array(da), "doc_b": pa.array(db),
+             "c": pa.array(cnt.astype(np.int64)),
+             "size_a": pa.array(uz[np.searchsorted(ud, da)]),
+             "size_b": pa.array(uz[np.searchsorted(ud, db)])}
+        )
+
+    flat = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = keyed_partition_map(flat, ["shingle"], pair_kernel,
+                                num_partitions=num_partitions)
+    counted = grouped_aggregate(
+        pairs, ["doc_a", "doc_b"],
+        [("c", "sum", "c"), ("size_a", "min", "size_a"), ("size_b", "min", "size_b")],
+    ).to_pandas()
+    if counted.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    c = counted["c"].to_numpy().astype(np.float64)
+    union = counted["size_a"].to_numpy() + counted["size_b"].to_numpy() - c
+    keep = c / union >= threshold
+    out = counted[keep][["doc_a", "doc_b"]].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def minhash_lsh_pairs(
-    sf_dir: str, *, num_perm: int = 128, bands: int = 32, threshold: float = 0.7
+    sf_dir: str, *, num_perm: int = 128, bands: int = 64, threshold: float = 0.7
 ) -> pa.Table:
     """MinHash+LSH near-duplicate pairs, verified with exact n-gram Jaccard.
 
     Stage 1 (map_batches): per-doc 128-perm MinHash signatures; explode to
-    (band_key, doc_id, signature) rows. Stage 2: groupby band_key — only
-    bucketed candidates shuffle. Stage 3: within-bucket pairing, global
-    dedup of pairs, then exact-Jaccard verification against the documents'
-    true shingle sets (a broadcast of the candidate doc texts).
+    (band, bkey, doc_id) rows. Stage 2: hash-partition on the bucket key —
+    only the |docs|×bands small band table shuffles — and pair up with one
+    vectorized run kernel per partition. Stage 3: distinct pairs via a
+    grouped count. Stage 4: exact-Jaccard verification over the candidate
+    docs only, itself the distributed inverted-index pipeline.
+
+    Default ``bands=64`` (rows/band = 2): P(miss | J ≥ 0.7) ≤ (1−0.49)⁶⁴
+    ≈ 2·10⁻¹⁹ — recall is effectively 1, making the verified output equal
+    to the exact J ≥ threshold pair set (the SQL oracle). At corpus scale
+    with a lower precision budget, pass bands=32 (rows=4) and drop the
+    oracle. Reference analog: the k-way merge never materializes either
+    (/root/reference/src/gqf.c:2479-2544 streams the heads).
     """
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     hasher = MinHasher(num_perm=num_perm, seed=31)
 
     def stage1(batch: pa.Table) -> pa.Table:
-        hashes, offs = _doc_shingles(batch)
+        hashes, offs = _doc_shingles(batch.column("text"))
         sigs = hasher.signatures(hashes, offs)  # (ndocs, num_perm)
         bkeys = hasher.band_keys(sigs, bands)  # (ndocs, bands) uint64
         ndocs = sigs.shape[0]
@@ -115,50 +274,25 @@ def minhash_lsh_pairs(
             }
         )
 
-    bt = (
-        ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
-    a, b = _pairs_from_buckets(
-        bt["band"].to_numpy(), bt["bkey"].to_numpy(), bt["doc_id"].to_numpy()
-    )
-    cand = pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
+    band_ds = ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
+    pair_ds = keyed_partition_map(band_ds, ["band", "bkey"], _bucket_pair_kernel([]))
+    cand = _dedup_pairs(pair_ds)
     if len(cand) == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
-    # exact verification on the candidate set (small): true Jaccard of
-    # 5-gram shingle sets
     need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
-    import pyarrow.parquet as pq
-    import pyarrow.compute as pc
-    import os
-
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    docs = docs.filter(pc.is_in(docs.column("doc_id"), pa.array(need.astype(np.int64))))
-    h, offs = _doc_shingles(docs)
-    did = np.asarray(docs.column("doc_id"), dtype=np.int64)
-    shingle_sets = {
-        int(did[i]): np.unique(h[offs[i] : offs[i + 1]]) for i in range(len(did))
-    }
-    keep_a, keep_b = [], []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = shingle_sets[int(a)], shingle_sets[int(b)]
-        inter = np.intersect1d(sa, sb, assume_unique=True)
-        union = len(sa) + len(sb) - len(inter)
-        if union and len(inter) / union >= threshold:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-    df = pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b}).sort_values(
-        ["doc_a", "doc_b"]
-    ).reset_index(drop=True)
-    return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
+    exact = _inverted_jaccard(sf_dir, n=5, seed=29, threshold=threshold,
+                              id_filter=need)
+    out = cand.merge(exact, on=["doc_a", "doc_b"], how="inner")
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out.astype(np.int64), preserve_index=False)
 
 
 def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup pairs: 64-bit fingerprints, candidate buckets from
     four 16-bit bands (any pair within Hamming ≤ 3 of 64 bits shares ≥ 1
-    exact band by pigeonhole when ≤ 3 differing bits spread over 4 bands),
-    verified by exact Hamming distance."""
+    exact band by pigeonhole), Hamming-verified INSIDE the distributed
+    pair kernel — only verified pairs leave the partitions."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def stage1(batch: pa.Table) -> pa.Table:
@@ -175,78 +309,32 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    bt = ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    a, b, sig_a, sig_b = _pairs_from_buckets(
-        bt["band"].to_numpy(), bt["bkey"].to_numpy(), bt["doc_id"].to_numpy(),
-        payload=bt["sig"].to_numpy(),
-    )
-    hd = hamming64(sig_a.view(np.uint64), sig_b.view(np.uint64))
-    m = hd <= max_hamming
-    out = (
-        pd.DataFrame({"doc_a": a[m], "doc_b": b[m], "hamming": hd[m].astype(np.int64)})
-        .drop_duplicates(subset=["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(out.astype(np.int64), preserve_index=False)
+    def verify(out: dict) -> np.ndarray:
+        hd = hamming64(out["sig_a"].view(np.uint64), out["sig_b"].view(np.uint64))
+        out["hamming"] = hd.astype(np.int64)
+        return hd <= max_hamming
 
+    band_ds = ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
+    base = _bucket_pair_kernel(["sig"], verify=verify)
 
-def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5, max_doc: int = 200) -> pa.Table:
-    """EXACT n-gram Jaccard similarity pairs (distinct character 5-gram
-    sets), J(a,b) ≥ threshold — the mandated standalone n-gram Jaccard
-    operator, oracle-checkable (the SQL side builds the same substring
-    sets). Shingle-set extraction runs distributed (map_batches); the
-    pairing here is a dense intersection matmul over the (bounded,
-    ``doc_id < max_doc``) candidate set. The 100 TB path is the
-    inverted-index plan: explode (shingle → doc), groupby shingle, count
-    pair co-occurrences = exact intersection sizes, with hot-shingle
-    capping — same semantics, shuffle-shaped like MinHash-LSH."""
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    def kernel(t: pa.Table) -> pa.Table:
+        return base(t).select(["doc_a", "doc_b", "hamming"])
 
-    def distinct_shingles(batch: pa.Table) -> pa.Table:
-        did = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        keep = did < max_doc
-        batch = batch.filter(pa.array(keep))
-        if batch.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "shingle": pa.array([], type=pa.int64()),
-                             "doc_len": pa.array([], type=pa.int64())})
-        h, offs = char_ngram_hashes(batch.column("text"), n=5, seed=53)
-        did = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        from ..text import string_bytes_and_offsets
-
-        _, soffs = string_bytes_and_offsets(batch.column("text"))
-        doc_len = np.diff(soffs)
-        out_d, out_s, out_l = [], [], []
-        for i in range(len(did)):
-            u = np.unique(h[offs[i] : offs[i + 1]])
-            out_d.append(np.full(len(u), did[i]))
-            out_s.append(u.view(np.int64))
-            out_l.append(np.full(len(u), doc_len[i]))
-        return pa.table(
-            {"doc_id": pa.array(np.concatenate(out_d)),
-             "shingle": pa.array(np.concatenate(out_s)),
-             "doc_len": pa.array(np.concatenate(out_l))}
-        )
-
-    flat = ds.map_batches(distinct_shingles, batch_format="pyarrow").to_pandas()
-    flat = flat[flat.doc_len >= 5]  # SQL side has no shingles for short docs
-    if flat.empty:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64())})
-    docs = np.unique(flat.doc_id.to_numpy())
-    vocab, col = np.unique(flat.shingle.to_numpy(), return_inverse=True)
-    row = np.searchsorted(docs, flat.doc_id.to_numpy())
-    M = np.zeros((len(docs), len(vocab)), dtype=np.float32)
-    M[row, col] = 1.0
-    inter = M @ M.T
-    sizes = inter.diagonal()
-    union = sizes[:, None] + sizes[None, :] - inter
-    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-    a, b = np.nonzero(np.triu(jac >= threshold, k=1))
-    df = pd.DataFrame({"doc_a": docs[a], "doc_b": docs[b]}).sort_values(
-        ["doc_a", "doc_b"]).reset_index(drop=True)
+    pair_ds = keyed_partition_map(band_ds, ["band", "bkey"], kernel)
+    df = _dedup_pairs(pair_ds, extra_cols=["hamming"])
     return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
+
+
+def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
+                        hot_cap: int | None = None) -> pa.Table:
+    """EXACT n-gram Jaccard similarity pairs (distinct character 5-gram
+    sets), J(a,b) ≥ threshold, via the distributed inverted index — no
+    doc-id cap, no dense matrix: explode (shingle → doc), partition by
+    shingle, pair co-occurrence counts = exact intersection sizes.
+    Oracle-checked against the same substring-set SQL over ALL docs."""
+    df = _inverted_jaccard(sf_dir, n=5, seed=53, threshold=threshold,
+                           hot_cap=hot_cap)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def _union_find(pairs_a: np.ndarray, pairs_b: np.ndarray) -> dict[int, int]:
@@ -274,7 +362,8 @@ def _union_find(pairs_a: np.ndarray, pairs_b: np.ndarray) -> dict[int, int]:
 def near_dup_canonical(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
     """Training-data dedup decision list: MinHash-LSH candidates → exact
     Jaccard verify → connected components → (doc_id, canonical_id, keep).
-    Only docs in a dup group appear; keep=True marks the group minimum."""
+    Only docs in a dup group appear; keep=True marks the group minimum.
+    Oracle: recursive-CTE min-label closure over the exact pair set."""
     pairs = minhash_lsh_pairs(sf_dir, threshold=threshold).to_pandas()
     if len(pairs) == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
@@ -292,10 +381,9 @@ def near_dup_canonical(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
 def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (vec pairs with cosine ≥ t).
     Batch×broadcast matmul: the embedding matrix is broadcast once; each
-    batch computes its block of the similarity matrix vectorized."""
-    import ray
-
-    from ..stages.ann import load_embedding_matrix
+    batch computes its block of the similarity matrix vectorized (buffer-
+    level column extraction, no Python-list staging)."""
+    from ..stages.ann import batch_embeddings, load_embedding_matrix
 
     ids, mat = load_embedding_matrix(sf_dir)  # normalized float64
     mat_ref = ray.put((ids, mat))
@@ -307,7 +395,7 @@ def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
-            emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            emb = batch_embeddings(batch)
             emb /= np.linalg.norm(emb, axis=1, keepdims=True)
             sims = emb @ self.mat.T  # (batch, N)
             bi, gj = np.nonzero(sims >= threshold)
@@ -327,12 +415,13 @@ def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-SQL = {
-    "ngram_jaccard_pairs": (
+def _jaccard_pairs_sql(threshold: float, shingle_seed_note: str = "") -> str:
+    """Exact 5-gram-Jaccard pair SQL over ALL documents (ASCII contract)."""
+    return (
         "WITH sh AS ("
         "  SELECT DISTINCT doc_id, substring(text, CAST(r AS BIGINT) + 1, 5) AS g "
         "  FROM documents, LATERAL UNNEST(range(length(text) - 4)) AS t(r) "
-        "  WHERE doc_id < 200 AND length(text) >= 5), "
+        "  WHERE length(text) >= 5), "
         "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
         "pairs AS ("
         "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c "
@@ -340,8 +429,28 @@ SQL = {
         "  GROUP BY 1, 2) "
         "SELECT doc_a, doc_b FROM pairs "
         "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
-        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 "
+        f"WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold} "
         "ORDER BY doc_a, doc_b"
+    )
+
+
+SQL = {
+    "ngram_jaccard_pairs": _jaccard_pairs_sql(0.5),
+    # LSH with 64 bands × 2 rows has recall ≈ 1 − 2·10⁻¹⁹ at J ≥ 0.7, and
+    # every candidate is verified with exact Jaccard, so the output equals
+    # the exact pair set (see minhash_lsh_pairs docstring).
+    "minhash_lsh_pairs": _jaccard_pairs_sql(0.7),
+    "near_dup_canonical": (
+        "WITH RECURSIVE pairs AS (" + _jaccard_pairs_sql(0.7).replace("ORDER BY doc_a, doc_b", "") + "), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, r) AS ("
+        "  SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "  UNION "
+        "  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r) "
+        "SELECT node AS doc_id, MIN(r) AS canonical_id, "
+        "       CAST(node = MIN(r) AS BOOLEAN) AS keep "
+        "FROM reach GROUP BY node ORDER BY doc_id"
     ),
     "dedup_exact": (
         "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents "

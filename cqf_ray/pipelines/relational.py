@@ -17,14 +17,14 @@ import os
 
 from ..stages.groupagg import grouped_aggregate
 from ..stages.join import broadcast_join
-from .common import read, round_scaled
+from .common import read, round_col, round_scaled
 
 
 def _finish(ds, sort_keys: list[str], round_cols: dict[str, int] | None = None) -> pa.Table:
     """Small-result collection: round floats like the oracle's ROUND, sort."""
     df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
     for c, nd in (round_cols or {}).items():
-        df[c] = np.round(df[c].astype(np.float64), nd)
+        df[c] = round_col(df[c], nd)
     df = df.sort_values(sort_keys).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -91,9 +91,9 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
             "sum_base_price": round_scaled(df["price_s"]),
             "sum_disc_price": round_scaled(df["disc_price_s"]),
             "sum_charge": round_scaled(df["charge_s"]),
-            "avg_qty": np.round(df["qty_s"] / 1e6 / n, 4),
-            "avg_price": np.round(df["price_s"] / 1e6 / n, 4),
-            "avg_disc": np.round(df["disc_s"] / 1e6 / n, 4),
+            "avg_qty": round_col(df["qty_s"] / 1e6 / n, 4),
+            "avg_price": round_col(df["price_s"] / 1e6 / n, 4),
+            "avg_disc": round_col(df["disc_s"] / 1e6 / n, 4),
             "count_order": n,
         }
     )
@@ -263,25 +263,51 @@ def revenue_by_region(sf_dir: str) -> pa.Table:
 
 
 def parts_never_ordered(sf_dir: str) -> pa.Table:
-    """Anti-join: parts with no lineitem. The SMALL side (part) is the
-    probe here, so the plan inverts: stream lineitem once to build the
-    distinct-partkey set (combiner partials), then filter part against it
-    driver-side — an anti-join without shuffling either table by key."""
+    """Anti-join: parts with no lineitem, as a broadcast sketch anti-probe
+    (reference's AMQ-as-prefilter role, ``src/bm.c:655-660``) that stays
+    EXACT: (1) distributed distinct of ``l_partkey`` (combiner-first
+    grouped count — only 8-byte keys shuffle); (2) a Bloom of the distinct
+    keys broadcast once — ``member == False`` parts are DEFINITE negatives
+    (no false negatives); (3) Bloom hits are verified exactly against the
+    broadcast sorted key set (searchsorted, vectorized), because Bloom
+    false positives would otherwise drop never-ordered parts. Nothing
+    non-aggregated reaches the driver."""
+    import ray
+
+    from ..sketches import BloomFilter
+    from ..stages.probe import probe_dataset
+    from .. import keys as K
+
     li = read(sf_dir, "lineitem", ["l_partkey"])
+    seen_ds = grouped_aggregate(li, ["l_partkey"], [("n", "count", None)])
+    seen = np.sort(seen_ds.to_pandas()["l_partkey"].to_numpy().astype(np.int64))
+    bloom = BloomFilter(log2_bits=22, num_hashes=7, seed=1)
+    bloom.update(seen.astype(np.uint64))
+    seen_ref = ray.put(seen)
 
-    def distinct_partial(batch: pa.Table) -> pa.Table:
-        u = np.unique(np.asarray(batch.column("l_partkey").combine_chunks()))
-        return pa.table({"l_partkey": pa.array(u)})
+    part = read(sf_dir, "part", ["p_partkey"])
+    probed = probe_dataset(part, bloom, K.int_column("p_partkey"),
+                           count_col="bloom_hit", concurrency=(1, 4))
 
-    seen = np.unique(
-        np.asarray(
-            li.map_batches(distinct_partial, batch_format="pyarrow")
-            .to_pandas()["l_partkey"]
-        )
-    )
-    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
-    pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
-    missing = np.sort(pk[~np.isin(pk, seen)])
+    class ExactAnti:
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = np.asarray(batch.column("p_partkey").combine_chunks(), dtype=np.int64)
+            hit = np.asarray(batch.column("member").combine_chunks())
+            idx = np.searchsorted(self.keys, pk)
+            idx = np.minimum(idx, len(self.keys) - 1) if len(self.keys) else idx
+            truly_seen = hit & (self.keys[idx] == pk) if len(self.keys) else np.zeros(len(pk), bool)
+            return pa.table({"p_partkey": pa.array(pk[~truly_seen])})
+
+    out = probed.map_batches(
+        ExactAnti, fn_constructor_args=(seen_ref,),
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    if out.empty:  # empty Dataset.to_pandas drops the schema — rebuild it
+        return pa.table({"p_partkey": pa.array([], type=pa.int64())})
+    missing = np.sort(out["p_partkey"].to_numpy().astype(np.int64))
     return pa.table({"p_partkey": pa.array(missing)})
 
 

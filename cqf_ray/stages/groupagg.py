@@ -63,16 +63,22 @@ def grouped_aggregate(
     aggs: AggSpec,
     *,
     batch_size: int | None = 65536,
+    num_partitions: int = 32,
 ) -> "ray.data.Dataset":
     """Distributed GROUP BY with per-batch combining. Returns a Dataset of
     one row per group with exactly the columns ``keys + [out_names]``.
 
-    The final merge uses Ray's built-in vectorized aggregates over the
-    partial rows (NOT ``map_groups`` — that pays one pandas call per group,
-    which dominates at thousands of groups); partials re-merge with sum/
-    min/max, which are associative over partials for every supported op.
+    The final merge is a keyed-partition map (``cqf_ray.stages.keyed``):
+    partial rows hash-partition by the group key, and ONE vectorized
+    polars ``group_by`` runs per partition — every group lands wholly in
+    one partition, so partition-local merges ARE the final results.
+    (Neither Ray's built-in ``groupby().aggregate`` nor ``map_groups``
+    survives high-cardinality keys: both pay per-group Python overhead —
+    measured ~1 ms/group, i.e. minutes at 10⁵ groups like dedup pair
+    counting.)  Partials re-merge with sum/min/max, associative over
+    partials for every supported op.
     """
-    from ray.data.aggregate import Max, Min, Sum
+    from .keyed import keyed_partition_map
 
     def partial(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -80,38 +86,19 @@ def grouped_aggregate(
         out = pl.from_arrow(batch).group_by(keys).agg(_partial_exprs(aggs))
         return out.to_arrow()
 
-    remerge = []
-    avg_names = []
-    for name, op, _ in aggs:
-        if op == "avg":
-            remerge.append(Sum(f"{name}__s", alias_name=f"{name}__s"))
-            remerge.append(Sum(f"{name}__n", alias_name=f"{name}__n"))
-            avg_names.append(name)
-        elif op in ("sum", "count"):
-            remerge.append(Sum(name, alias_name=name))
-        elif op == "min":
-            remerge.append(Min(name, alias_name=name))
-        elif op == "max":
-            remerge.append(Max(name, alias_name=name))
-        else:
-            raise ValueError(f"unknown agg op {op!r}")
+    names = keys + [name for name, _, _ in aggs]
+    merge_exprs, post_exprs = _final_exprs(aggs)
+
+    def final_kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = pl.from_arrow(t).group_by(keys).agg(merge_exprs)
+        if post_exprs:
+            out = out.with_columns(post_exprs)
+        return out.select(names).to_arrow()
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    merged = partials.groupby(keys).aggregate(*remerge)
-    names = keys + [name for name, _, _ in aggs]
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        cols = {}
-        for n in batch.column_names:
-            cols[n] = batch.column(n)
-        for name in avg_names:
-            s = np.asarray(batch.column(f"{name}__s"), dtype=np.float64)
-            n_ = np.asarray(batch.column(f"{name}__n"), dtype=np.float64)
-            cols[name] = pa.array(s / n_)
-        return pa.table({n: cols[n] for n in names})
-
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    return keyed_partition_map(partials, keys, final_kernel,
+                               num_partitions=num_partitions)

@@ -88,6 +88,44 @@ def run_starts(sorted_keys: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
+def pairs_within_runs(
+    rid: np.ndarray, starts: np.ndarray, lens: np.ndarray, *, max_run: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """All intra-run index pairs (i, j) with i < j in sort order, fully
+    vectorized (no per-run Python loop): each position pairs with every
+    later position of its run via a repeat + segmented-arange expansion.
+    ``max_run`` skips runs longer than the cap (degenerate hot buckets —
+    pairing them is O(L²) for no signal). Returns (left_idx, right_idx)
+    into the sorted arrays."""
+    n = len(rid)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    keep_run = lens >= 2
+    if max_run is not None:
+        keep_run &= lens <= max_run
+    rem = np.where(keep_run[rid], lens[rid] - (np.arange(n, dtype=np.int64) - starts[rid]) - 1, 0)
+    left = np.repeat(np.arange(n, dtype=np.int64), rem)
+    if len(left) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    right = left + _segmented_arange(rem) + 1
+    return left, right
+
+
+def _segmented_arange(seg_lens: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] for segment lengths (vectorized)."""
+    total = int(seg_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    nz = seg_lens > 0
+    lens_nz = seg_lens[nz]
+    heads = np.concatenate([[0], np.cumsum(lens_nz)[:-1]])
+    out[heads] = np.concatenate([[0], 1 - lens_nz[:-1]])
+    return np.cumsum(out)
+
+
 def run_ids(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(run_id per row, run start indices, run lengths) for a sorted key
     array — one pass, no Python loop."""
@@ -95,6 +133,24 @@ def run_ids(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     starts = run_starts(sorted_keys)
     if n == 0:
         return np.empty(0, dtype=np.int64), starts, np.empty(0, dtype=np.int64)
+    rid = np.zeros(n, dtype=np.int64)
+    rid[starts[1:]] = 1
+    rid = np.cumsum(rid)
+    lens = np.diff(np.concatenate([starts, [n]]))
+    return rid, starts, lens
+
+
+def run_ids_multi(*sorted_cols: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(run_id, starts, lens) over a COMPOSITE sort key: a new run begins
+    where ANY of the (already co-sorted) columns changes."""
+    n = len(sorted_cols[0])
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    change = np.zeros(n - 1, dtype=bool)
+    for c in sorted_cols:
+        change |= c[1:] != c[:-1]
+    starts = np.flatnonzero(np.concatenate([[True], change])).astype(np.int64)
     rid = np.zeros(n, dtype=np.int64)
     rid[starts[1:]] = 1
     rid = np.cumsum(rid)
