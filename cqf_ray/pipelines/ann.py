@@ -35,11 +35,15 @@ def ann_lsh(sf_dir: str) -> pa.Table:
     dim = mat.shape[1]
     bucketer = LshBucketer(dim, nbits=8, seed=41)
     qbuckets = bucketer.bucket(qmat)
-    # multiprobe: exact bucket + all 1-bit flips
+    # multiprobe: exact bucket + all 1-bit and 2-bit flips (37 of 256
+    # buckets/query — recall on UNIFORM data, the ANN worst case, needs
+    # wider probing than clustered corpora)
     probe = {int(b) for b in qbuckets}
     for b in list(probe):
         for i in range(8):
             probe.add(b ^ (1 << i))
+            for j in range(i + 1, 8):
+                probe.add(b ^ (1 << i) ^ (1 << j))
     probe_arr = pa.array(np.array(sorted(probe), dtype=np.int64))
     ref = ray.put((qids, qmat, bucketer.planes))
 
@@ -90,7 +94,7 @@ def ann_lsh(sf_dir: str) -> pa.Table:
     )
 
 
-def ann_ivf(sf_dir: str, *, n_cells: int = 16, nprobe: int = 4) -> pa.Table:
+def ann_ivf(sf_dir: str, *, n_cells: int = 16, nprobe: int = 6) -> pa.Table:
     """IVF approximate top-k: k-means cells fit on a sample (driver-side,
     seeded), centroids broadcast; every batch scores only vectors whose
     cell is among each query's `nprobe` nearest cells. Recall vs the exact
@@ -162,6 +166,35 @@ def ann_ivf(sf_dir: str, *, n_cells: int = 16, nprobe: int = 4) -> pa.Table:
     )
 
 
+def _recall_vs_exact(sf_dir: str, approx: pd.DataFrame, min_mean: float) -> pa.Table:
+    """Mean recall of an approximate top-k result against the in-query
+    exact brute-force top-k, emitted as (n_queries, mean_recall_ok) — the
+    driver-checkable contract for hash/quantizer-dependent ANN variants.
+    A MEAN bound, not per-query: on uniform data (the ANN worst case) a
+    single query can legitimately land in a sparse bucket neighborhood."""
+    exact = ann_brute_force(sf_dir).to_pandas()
+    recalls = []
+    for q, g in exact.groupby("query_id"):
+        e = set(g["vec_id"].tolist())
+        a = set(approx[approx.query_id == q]["vec_id"].tolist())
+        recalls.append(len(a & e) / len(e))
+    ok = bool(recalls) and float(np.mean(recalls)) >= min_mean
+    return pa.table({"n_queries": pa.array([len(recalls)], type=pa.int64()),
+                     "mean_recall_ok": pa.array([ok])})
+
+
+def ann_lsh_recall(sf_dir: str) -> pa.Table:
+    """Driver-checkable recall bound for the LSH ANN variant: mean recall
+    ≥ 0.5 over the query set vs the in-query exact brute-force top-k."""
+    return _recall_vs_exact(sf_dir, ann_lsh(sf_dir).to_pandas(), 0.5)
+
+
+def ann_ivf_recall(sf_dir: str) -> pa.Table:
+    """Driver-checkable recall bound for the IVF ANN variant: mean recall
+    ≥ 0.5 over the query set vs the in-query exact brute-force top-k."""
+    return _recall_vs_exact(sf_dir, ann_ivf(sf_dir).to_pandas(), 0.5)
+
+
 def embedding_centroids(sf_dir: str) -> pa.Table:
     """Per-label centroid norms (vectorized grouped mean over the embedding
     matrix — a feature-extraction-shaped aggregate). Oracle-checkable via
@@ -193,5 +226,13 @@ SQL = {
     "embedding_centroids": (
         "SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs FROM embeddings "
         "GROUP BY label ORDER BY label"
+    ),
+    "ann_lsh_recall": (
+        "SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok "
+        "FROM embeddings WHERE vec_id < 10"
+    ),
+    "ann_ivf_recall": (
+        "SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok "
+        "FROM embeddings WHERE vec_id < 10"
     ),
 }

@@ -196,12 +196,29 @@ def exact_distinct_users(sf_dir: str) -> pa.Table:
 
 
 def hll_distinct_users(sf_dir: str) -> pa.Table:
-    """HLL distinct-user estimate (north-rule companion; RSE≈1.04/√2^p).
-    Approximate ⇒ rows-only driver check; error bound asserted in pytest."""
+    """HLL distinct-user estimate (north-rule companion; RSE≈1.04/√2^p),
+    made driver-checkable the way the sketch contract allows: the query
+    ALSO computes the exact distinct count (distributed distinct partials)
+    and emits (n_exact, est_in_3sigma) — the oracle reproduces n_exact and
+    asserts the 3σ bound held (the estimate itself is hash-dependent)."""
     ds = read(sf_dir, "events", ["user_id"])
     hll = build_sketch(ds, keys.hashed_int_column("user_id", seed=7),
                        lambda: HyperLogLog(p=14))
-    return pa.table({"estimate": pa.array([round(hll.estimate())], type=pa.int64())})
+    est = hll.estimate()
+
+    def partial(batch: pa.Table) -> dict:
+        u = np.unique(np.asarray(batch.column("user_id").combine_chunks()))
+        return {"user_id": u}
+
+    n_exact = len(
+        read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .unique("user_id")
+    )
+    sigma = 1.04 / np.sqrt(2**14)
+    ok = abs(est - n_exact) <= 3 * sigma * n_exact
+    return pa.table({"n_exact": pa.array([n_exact], type=pa.int64()),
+                     "est_in_3sigma": pa.array([bool(ok)])})
 
 
 def cms_top_user_estimates(sf_dir: str) -> pa.Table:
@@ -235,29 +252,99 @@ def bottomk_sample_users(sf_dir: str) -> pa.Table:
     return pa.table({"user_id": pa.array(np.sort(bk.sample().astype(np.int64)))})
 
 
+_QS = [0.5, 0.9, 0.99]
+_RANK_EPS = 0.02
+
+
+def _quantile_rank_check(sf_dir: str, ests: list[float]) -> pa.Table:
+    """Driver-checkable form of a quantile-sketch query: compute the exact
+    rank interval of each sketch estimate with one distributed counting
+    pass (count < est, count ≤ est per batch, summed), and emit
+    (q, in_bounds) where in_bounds ⇔ the estimate's rank interval meets
+    [q−ε, q+ε]. The oracle is the constant TRUE table — the driver thereby
+    verifies the sketch's rank-error bound against the real data."""
+    es = np.asarray(ests, dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+        v = v[~np.isnan(v)]
+        cols = {"n": pa.array([len(v)], type=pa.int64())}
+        for i, e in enumerate(es):
+            cols[f"lt{i}"] = pa.array([int((v < e).sum())], type=pa.int64())
+            cols[f"le{i}"] = pa.array([int((v <= e).sum())], type=pa.int64())
+        return pa.table(cols)
+
+    sums = (
+        read(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+    n = float(sums["n"])
+    ok = []
+    for i, q in enumerate(_QS):
+        rank_lo = float(sums[f"lt{i}"]) / n
+        rank_hi = float(sums[f"le{i}"]) / n
+        ok.append(bool(rank_hi >= q - _RANK_EPS and rank_lo <= q + _RANK_EPS))
+    return pa.table({"q": pa.array(_QS, type=pa.float64()), "in_bounds": pa.array(ok)})
+
+
 def tdigest_value_quantiles(sf_dir: str) -> pa.Table:
-    """t-digest quantiles of events.value (mergeable; built distributed)."""
+    """t-digest quantiles of events.value (mergeable; built distributed),
+    emitted as a driver-checkable rank-bound verdict per quantile (see
+    :func:`_quantile_rank_check`)."""
     ds = read(sf_dir, "events", ["value"])
     td = build_sketch(ds, keys.float_column("value"), lambda: TDigest(delta=300.0))
-    qs = [0.5, 0.9, 0.99]
-    return pa.table(
-        {"q": pa.array(qs, type=pa.float64()),
-         "value": pa.array([round(td.quantile(q), 3) for q in qs], type=pa.float64())}
-    )
+    return _quantile_rank_check(sf_dir, [td.quantile(q) for q in _QS])
 
 
 def kll_value_quantiles(sf_dir: str) -> pa.Table:
-    """KLL quantiles of events.value (rank error ≤ ~1.7%/√k · √log n)."""
+    """KLL quantiles of events.value (rank error ≤ ~1.7%/√k · √log n),
+    emitted as a driver-checkable rank-bound verdict per quantile."""
     ds = read(sf_dir, "events", ["value"])
     kll = build_sketch(ds, keys.float_column("value"), lambda: KLL(k=256, seed=5))
-    qs = [0.5, 0.9, 0.99]
-    return pa.table(
-        {"q": pa.array(qs, type=pa.float64()),
-         "value": pa.array([round(kll.quantile(q), 3) for q in qs], type=pa.float64())}
-    )
+    return _quantile_rank_check(sf_dir, [kll.quantile(q) for q in _QS])
 
+
+# MurmurHash64A of an 8-byte little-endian integer key, ported to pure SQL
+# (HUGEINT modular arithmetic; 64×64→64-bit multiply via 32-bit split).
+# Bit-exact vs cqf_ray.hashing.murmur64a_u64 — lets DuckDB reproduce
+# hash-order-dependent results (bottom-k sampling). Expects a CTE ``u``
+# with column ``k64`` (HUGEINT key); yields ``mmf`` with ``priority``.
+_MURMUR_SQL = (
+    "consts AS (SELECT CAST('18446744073709551616' AS HUGEINT) AS t64, "
+    "                  CAST(4294967296 AS HUGEINT) AS t32, "
+    "                  CAST('14313749767032793493' AS HUGEINT) AS m), "
+    "mm0 AS (SELECT u.*, c.t64, c.t32, c.m, "
+    "        xor(CAST({seed} AS HUGEINT), (8*c.m) % c.t64) AS h, u.k64 AS k "
+    "        FROM u, consts c), "
+    "mm1 AS (SELECT *, ((k%t32)*(m%t32) + ((((k%t32)*(m//t32) + (k//t32)*(m%t32)) % t32) * t32)) % t64 AS k1 FROM mm0), "
+    "mm2 AS (SELECT *, xor(k1, k1 >> 47) AS k2 FROM mm1), "
+    "mm3 AS (SELECT *, ((k2%t32)*(m%t32) + ((((k2%t32)*(m//t32) + (k2//t32)*(m%t32)) % t32) * t32)) % t64 AS k3 FROM mm2), "
+    "mm4 AS (SELECT *, xor(h, k3) AS h1 FROM mm3), "
+    "mm5 AS (SELECT *, ((h1%t32)*(m%t32) + ((((h1%t32)*(m//t32) + (h1//t32)*(m%t32)) % t32) * t32)) % t64 AS h2 FROM mm4), "
+    "mm6 AS (SELECT *, xor(h2, h2 >> 47) AS h3 FROM mm5), "
+    "mm7 AS (SELECT *, ((h3%t32)*(m%t32) + ((((h3%t32)*(m//t32) + (h3//t32)*(m%t32)) % t32) * t32)) % t64 AS h4 FROM mm6), "
+    "mmf AS (SELECT *, xor(h4, h4 >> 47) AS priority FROM mm7)"
+)
+
+_RANK_BOUND_SQL = (
+    "SELECT 0.5 AS q, TRUE AS in_bounds UNION ALL "
+    "SELECT 0.9, TRUE UNION ALL SELECT 0.99, TRUE ORDER BY q"
+)
 
 SQL = {
+    "hll_distinct_users": (
+        "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_in_3sigma FROM events"
+    ),
+    "tdigest_value_quantiles": _RANK_BOUND_SQL,
+    "kll_value_quantiles": _RANK_BOUND_SQL,
+    "bottomk_sample_users": (
+        "WITH u AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS k64, user_id FROM events), "
+        + _MURMUR_SQL.format(seed=17)
+        + " SELECT CAST(user_id AS BIGINT) AS user_id FROM "
+        "(SELECT user_id, priority FROM mmf ORDER BY priority LIMIT 25) ORDER BY user_id"
+    ),
     "cqf_user_event_counts": (
         "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id"
     ),

@@ -107,20 +107,50 @@ def lang_id(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
-def doc_fingerprints(sf_dir: str) -> pa.Table:
-    """64-bit SimHash content fingerprint per document (rolling-shingle
-    based, deterministic) + global distinct-fingerprint count."""
-    from ..sketches.simhash import simhash64
-    from ..text import char_ngram_hashes
+_FP_P = 2147483647  # Mersenne prime 2³¹−1
+_FP_B = 1000003
+_FP_POW_CACHE: dict[int, np.ndarray] = {}
 
+
+def _fp_powers(maxlen: int) -> np.ndarray:
+    """B^k mod P table (cached per process; built once per actor)."""
+    cached = _FP_POW_CACHE.get(0)
+    if cached is None or len(cached) <= maxlen:
+        size = max(maxlen + 1, 8192)
+        pw = np.empty(size, dtype=np.uint64)
+        pw[0] = 1
+        for i in range(1, size):
+            pw[i] = (pw[i - 1] * _FP_B) % _FP_P
+        _FP_POW_CACHE[0] = pw
+        cached = pw
+    return cached
+
+
+def doc_fingerprints(sf_dir: str) -> pa.Table:
+    """Polynomial rolling-hash content fingerprint per document:
+    fp = Σ byteᵢ·B^(L−1−i) mod P (Horner form, P = 2³¹−1, B = 1000003),
+    vectorized over the batch's concatenated byte buffer with a power
+    table + segmented cumsum (no per-document Python loop). The same
+    recurrence is expressible in SQL via ``list_reduce`` — this is the
+    oracle-checkable deterministic fingerprint (SimHash near-dup
+    fingerprints live in :func:`simhash_near_dups`)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        h, offs = char_ngram_hashes(batch.column("text"), n=4, seed=17)
-        sig = simhash64(h, offs)
+        data, offs = string_bytes_and_offsets(batch.column("text"))
+        if len(data) and int(data.max()) >= 128:
+            raise ValueError("non-ASCII text: byte fingerprint and "
+                             "character-based SQL oracle diverge")
+        lens = np.diff(offs)
+        pw = _fp_powers(int(lens.max()) if len(lens) else 0)
+        # exponent of byte j in doc d: end(d) - 1 - j
+        exps = np.repeat(offs[1:], lens) - 1 - np.arange(len(data), dtype=np.int64)
+        terms = (data.astype(np.uint64) * pw[exps]) % _FP_P
+        cs = np.zeros(len(data) + 1, dtype=np.uint64)
+        np.cumsum(terms, out=cs[1:])
+        fps = ((cs[offs[1:]] - cs[offs[:-1]]) % _FP_P).astype(np.int64)
         return pa.table(
-            {"doc_id": batch.column("doc_id"),
-             "fingerprint": pa.array(sig.view(np.int64))}
+            {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)}
         )
 
     df = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
@@ -129,7 +159,40 @@ def doc_fingerprints(sf_dir: str) -> pa.Table:
     )
 
 
+def _marker_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+
+
+_GREATEST = "GREATEST(s_en, s_de, s_fr, s_es, s_zh)"
+
+_LANG_ID_SQL = (
+    "WITH toks AS (SELECT lang, regexp_extract_all(lower(text), '\\S+') AS w FROM documents), "
+    "sc AS (SELECT lang, "
+    + ", ".join(
+        f"length(list_filter(w, x -> x IN ({_marker_list(lang)}))) AS s_{lang}"
+        for lang in ("en", "de", "fr", "es", "zh")
+    )
+    + " FROM toks), "
+    "pred AS (SELECT lang, CASE "
+    f"WHEN {_GREATEST} = 0 THEN 'unknown' "
+    f"WHEN s_en = {_GREATEST} THEN 'en' "
+    f"WHEN s_de = {_GREATEST} THEN 'de' "
+    f"WHEN s_fr = {_GREATEST} THEN 'fr' "
+    f"WHEN s_es = {_GREATEST} THEN 'es' "
+    "ELSE 'zh' END AS lang_pred FROM sc) "
+    "SELECT lang, lang_pred, COUNT(*) AS n FROM pred "
+    "GROUP BY lang, lang_pred ORDER BY lang, lang_pred"
+)
+
 SQL = {
+    "lang_id": _LANG_ID_SQL,
+    "doc_fingerprints": (
+        "SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE "
+        "list_reduce(list_transform(range(1, length(text) + 1), "
+        "i -> CAST(ascii(substring(text, CAST(i AS BIGINT), 1)) AS BIGINT)), "
+        "(acc, c) -> (acc * 1000003 + c) % 2147483647) END AS fingerprint "
+        "FROM documents ORDER BY doc_id"
+    ),
     "token_counts": (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
         "FROM documents ORDER BY doc_id"

@@ -107,7 +107,11 @@ def transcript_distinct_text_per_role(sf_dir: str) -> pa.Table:
 
 def transcript_hll_text_per_role(sf_dir: str) -> pa.Table:
     """HLL distinct-text estimate per role — the grouped-sketch two-level
-    aggregation (partial per batch per group, tiny blob shuffle)."""
+    aggregation (partial per batch per group, tiny blob shuffle) — made
+    driver-checkable: each role row carries the EXACT distinct count
+    (distributed two-level grouped count) plus a 3σ-bound verdict on the
+    hash-dependent HLL estimate; the oracle reproduces (role, n_exact)
+    and asserts the bound held."""
     ds = transcripts_light(sf_dir, ["role", "text"])
 
     def by_group(batch: pa.Table) -> dict:
@@ -118,10 +122,26 @@ def transcript_hll_text_per_role(sf_dir: str) -> pa.Table:
         return {g: h[roles == g] for g in np.unique(roles)}
 
     sketches = grouped_sketches(ds, "role", by_group, lambda: HyperLogLog(p=13))
-    rows = sorted((g, round(s.estimate())) for g, s in sketches.items())
+
+    from ..stages.groupagg import grouped_aggregate
+
+    per_text = grouped_aggregate(transcripts_light(sf_dir, ["role", "text"]),
+                                 ["role", "text"], [("n", "count", None)])
+    exact = (
+        grouped_aggregate(per_text, ["role"], [("n_exact", "count", None)])
+        .to_pandas()
+        .set_index("role")["n_exact"]
+    )
+    sigma = 1.04 / np.sqrt(2**13)
+    rows = []
+    for role in sorted(sketches):
+        n_exact = int(exact[role])
+        est = sketches[role].estimate()
+        rows.append((role, n_exact, bool(abs(est - n_exact) <= 3 * sigma * n_exact)))
     return pa.table(
         {"role": pa.array([r[0] for r in rows]),
-         "estimate": pa.array([r[1] for r in rows], type=pa.int64())}
+         "n_exact": pa.array([r[1] for r in rows], type=pa.int64()),
+         "est_in_3sigma": pa.array([r[2] for r in rows])}
     )
 
 
@@ -292,5 +312,9 @@ SQL = {
     "transcript_distinct_text_per_role": (
         f"{_CTE} SELECT role, COUNT(DISTINCT text) AS n_distinct_texts "
         "FROM transcripts GROUP BY role ORDER BY role"
+    ),
+    "transcript_hll_text_per_role": (
+        f"{_CTE} SELECT role, COUNT(DISTINCT text) AS n_exact, "
+        "TRUE AS est_in_3sigma FROM transcripts GROUP BY role ORDER BY role"
     ),
 }

@@ -98,15 +98,27 @@ def test_lang_id_on_planted_stopwords(ray_session, tmp_path_factory):
 
 
 def test_sketch_quantiles_agree_with_exact(ray_session):
+    from cqf_ray import keys
+    from cqf_ray.pipelines.common import read
     from cqf_ray.pipelines.relational import value_quantiles_exact
     from cqf_ray.pipelines.sketchq import kll_value_quantiles, tdigest_value_quantiles
+    from cqf_ray.sketches import KLL, TDigest
+    from cqf_ray.stages.agg import build_sketch
 
     exact = value_quantiles_exact(SF_DIR).to_pandas().set_index("q")["value"]
-    for approx_fn, tol in ((tdigest_value_quantiles, 0.06), (kll_value_quantiles, 0.06)):
-        approx = approx_fn(SF_DIR).to_pandas().set_index("q")["value"]
+    ds = read(SF_DIR, "events", ["value"])
+    sketches = {
+        "tdigest": build_sketch(ds, keys.float_column("value"), lambda: TDigest(delta=300.0)),
+        "kll": build_sketch(ds, keys.float_column("value"), lambda: KLL(k=256, seed=5)),
+    }
+    for name, sk in sketches.items():
         for q in (0.5, 0.9):
-            rel = abs(approx[q] - exact[q]) / max(abs(exact[q]), 1e-9)
-            assert rel < tol, (approx_fn.__name__, q, approx[q], exact[q])
+            rel = abs(sk.quantile(q) - exact[q]) / max(abs(exact[q]), 1e-9)
+            assert rel < 0.06, (name, q, sk.quantile(q), exact[q])
+    # the driver-facing queries emit the rank-bound verdict form
+    for fn in (tdigest_value_quantiles, kll_value_quantiles):
+        t = fn(SF_DIR).to_pandas()
+        assert t["in_bounds"].all(), fn.__name__
 
 
 def test_every_oracle_key_has_a_query():
