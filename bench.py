@@ -193,11 +193,19 @@ def scaling(sf_dir: str) -> dict:
             cmd = [sys.executable, os.path.abspath(__file__), "--single-flagship",
                    "--cpus", str(cpus), "--sf-dir", sf_dir]
             proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000, env=env)
-            line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            t = json.loads(line)["flagship"]["turns_per_sec"]
+            lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                # a crashed rep (OOM, Ray startup race) must not discard the
+                # completed reps — surface it and move on
+                print(f"# scaling rep failed (cpus={cpus}, rc={proc.returncode}): "
+                      f"{proc.stderr.strip()[-400:]}", file=sys.stderr)
+                continue
+            t = json.loads(lines[-1])["flagship"]["turns_per_sec"]
             raw[cpus].append(t)
             best = max(best, t)
             time.sleep(5)  # let the previous Ray session fully release
+        if best == 0.0:
+            raise RuntimeError(f"all scaling reps failed at cpus={cpus}")
         thr[cpus] = best
     eff_2_8 = (thr[8] / thr[2]) / 4.0
     eff_8_32 = (thr[32] / thr[8]) / 4.0

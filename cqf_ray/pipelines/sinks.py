@@ -32,7 +32,15 @@ def dump_sketch_parquet(cqf, out_dir: str, shards: int = 16, invert_keys: bool =
     """Hash-ordered lossless (key, value, count) dump of a CQF to sharded
     Parquet — the distributed analog of qf_iterator + serialize. Shards
     split the (sorted) key space so each file covers a disjoint range;
-    finished shards are skipped on resume."""
+    finished shards are skipped on resume.
+
+    Each row also carries the distributed unique-index surface
+    (SURVEY §2.3's mapping of ``qf_get_unique_index``,
+    ``/root/reference/src/gqf.c:2096-2105``): ``(partition_id,
+    local_index)`` — lexicographically strictly increasing in global hash
+    order because shards cover disjoint ascending key ranges. A consumer
+    can address any enumerated item by that stable pair without a global
+    counter."""
     os.makedirs(out_dir, exist_ok=True)
     if invert_keys and cqf.hash_mode == "invertible":
         k, v, c = cqf.keys_arrays()
@@ -52,6 +60,8 @@ def dump_sketch_parquet(cqf, out_dir: str, shards: int = 16, invert_keys: bool =
                 "key": pa.array(k[lo:hi].astype(np.int64)),
                 "value": pa.array(v[lo:hi].astype(np.int64)),
                 "count": pa.array(c[lo:hi].astype(np.int64)),
+                "partition_id": pa.array(np.full(hi - lo, s, dtype=np.int64)),
+                "local_index": pa.array(np.arange(hi - lo, dtype=np.int64)),
             }
         )
         tmp = path + ".tmp"

@@ -503,12 +503,13 @@ class CQF:
         runends + bit-packed slots. Byte-identical for equal multisets."""
         lay = self._packed_layout()
         header = MAGIC + struct.pack(
-            "<BBBBBxxxQQQQ",
-            1,  # version
+            "<BBBBBBxxQQQQ",
+            2,  # version (2: flags byte carries auto_resize)
             lay.q,
             self.key_bits,
             self.value_bits,
             _HASH_MODES.index(self.hash_mode),
+            1 if self.auto_resize else 0,
             self.seed,
             self.num_distinct,
             self.sum_counts,
@@ -532,20 +533,21 @@ class CQF:
         published/global artifacts. Both round-trip losslessly."""
         self._consolidate()
         header = MAGIC_RAW + struct.pack(
-            "<BBBBBxxxQQ",
-            1, self.q, self.key_bits, self.value_bits,
-            _HASH_MODES.index(self.hash_mode), self.seed, len(self._words),
+            "<BBBBBBxxQQ",
+            2, self.q, self.key_bits, self.value_bits,
+            _HASH_MODES.index(self.hash_mode), 1 if self.auto_resize else 0,
+            self.seed, len(self._words),
         )
         return b"".join([header, self._words.tobytes(), self._counts.tobytes()])
 
     @classmethod
     def _from_bytes_raw(cls, buf: bytes) -> "CQF":
-        (ver, q, key_bits, value_bits, hmode, seed, n) = struct.unpack(
-            "<BBBBBxxxQQ", buf[8 : 8 + 24]
+        (ver, q, key_bits, value_bits, hmode, flags, seed, n) = struct.unpack(
+            "<BBBBBBxxQQ", buf[8 : 8 + 24]
         )
-        if ver != 1:
+        if ver != 2:
             raise ValueError(f"unsupported raw CQF version {ver}")
-        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, True)
+        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, bool(flags & 1))
         off = 8 + 24
         out._words = np.frombuffer(buf, dtype=_U64, count=n, offset=off).copy()
         out._counts = np.frombuffer(buf, dtype=_U64, count=n, offset=off + 8 * n).copy()
@@ -557,12 +559,12 @@ class CQF:
             return cls._from_bytes_raw(buf)
         if buf[:8] != MAGIC:
             raise ValueError("bad magic — not a serialized CQF")
-        (ver, q, key_bits, value_bits, hmode, seed, ndistinct, scounts, nocc) = struct.unpack(
-            "<BBBBBxxxQQQQ", buf[8 : 8 + 40]
+        (ver, q, key_bits, value_bits, hmode, flags, seed, ndistinct, scounts, nocc) = struct.unpack(
+            "<BBBBBBxxQQQQ", buf[8 : 8 + 40]
         )
-        if ver != 1:
+        if ver != 2:
             raise ValueError(f"unsupported CQF version {ver}")
-        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, True)
+        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, bool(flags & 1))
         xn = out.xnslots
         nblocks = (xn + 63) // 64
         off = 8 + 40

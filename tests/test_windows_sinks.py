@@ -47,6 +47,31 @@ def test_dump_resume_skips_existing_shards(ray_session, tmp_path):
     assert os.path.exists(os.path.join(out, files[1]))  # missing shard rebuilt
 
 
+def test_dump_unique_index_globally_monotone(ray_session, tmp_path):
+    """SURVEY §2.3: the distributed qf_get_unique_index analog —
+    (partition_id, local_index) read back across ALL shards must be
+    lexicographically strictly increasing in global hash/key order."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cqf_ray.pipelines.sinks import dump_sketch_parquet
+    from cqf_ray.pipelines.sketchq import _user_cqf
+
+    cqf = _user_cqf(SF_DIR)
+    out = str(tmp_path / "dump_uidx")
+    dump_sketch_parquet(cqf, out, shards=4)
+    t = pq.read_table(out)
+    df = t.to_pandas().sort_values("key").reset_index(drop=True)
+    uidx = df["partition_id"].to_numpy() * (df["local_index"].max() + 1) + df[
+        "local_index"
+    ].to_numpy()
+    assert (np.diff(uidx) > 0).all()
+    # and each shard's local indices are dense from 0
+    for _, g in df.groupby("partition_id"):
+        li = np.sort(g["local_index"].to_numpy())
+        assert (li == np.arange(len(li))).all()
+
+
 def test_write_dataset_resumable_marker(ray_session, tmp_path):
     import ray
 
