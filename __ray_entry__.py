@@ -76,6 +76,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh_recall": _ann.ann_lsh_recall,
     "ann_ivf_recall": _ann.ann_ivf_recall,
     "parts_never_ordered": _rel.parts_never_ordered,
+    # --- new round-2 operators ---
+    "sliding_event_windows": _rel.sliding_event_windows,
+    "value_quantiles_by_type": _rel.value_quantiles_by_type,
+    "tfidf_top_terms": _txt.tfidf_top_terms,
     # --- CQF core surface (build/enumerate/probe/algebra/delete) ---
     "cqf_user_event_counts": _sk.cqf_user_event_counts,
     "cqf_semijoin_orders": _sk.cqf_semijoin_orders,

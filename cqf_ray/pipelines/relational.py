@@ -206,6 +206,78 @@ def hourly_event_windows(sf_dir: str) -> pa.Table:
     return _finish(df[["hour", "event_type", "n", "sum_value"]], ["hour", "event_type"])
 
 
+def sliding_event_windows(sf_dir: str) -> pa.Table:
+    """SLIDING event-time windows (3-hour span, 1-hour slide): each event
+    contributes to the 3 windows covering it, expressed as a vectorized
+    ×3 row expansion inside map_batches followed by the combiner grouped
+    aggregate — the streaming-window shape Ray Data has no primitive for.
+    At scale the expansion factor is span/slide (constant), so the shuffle
+    grows linearly, not quadratically."""
+    ev = read(sf_dir, "events", ["ts", "value"])
+    span_hours = 3
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        h_us = np.asarray(hour.combine_chunks()).astype("datetime64[us]").astype(np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v_s = np.round(v * 1e6).astype(np.int64)
+        starts = np.concatenate(
+            [h_us - r * 3_600_000_000 for r in range(span_hours)]
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(starts.astype("datetime64[us]")),
+                "value_s": pa.array(np.tile(v_s, span_hours)),
+            }
+        )
+
+    out = grouped_aggregate(
+        ev.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_start"],
+        [("n_events", "count", None), ("value_s", "sum", "value_s")],
+    )
+    df = out.to_pandas()
+    df["sum_value"] = round_scaled(df.pop("value_s"))
+    return _finish(df[["window_start", "n_events", "sum_value"]], ["window_start"])
+
+
+def value_quantiles_by_type(sf_dir: str) -> pa.Table:
+    """EXACT grouped quantiles (p50/p90/p99 of value per event_type):
+    keyed-partition shuffle on the group key, then ONE vectorized kernel
+    per partition sorts each type's values and reads the
+    floor(q·(n−1)) order statistics — grouped quantiles without a
+    per-group pandas call and without a global sort."""
+    from ..stages.keyed import keyed_partition_map, run_ids
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+    qs = [0.5, 0.9, 0.99]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        codes = et.dictionary_encode()
+        code = np.asarray(codes.indices).astype(np.int64)
+        v = np.asarray(t.column("value").combine_chunks(), dtype=np.float64)
+        order = np.lexsort((v, code))
+        c, vv = code[order], v[order]
+        rid, starts, lens = run_ids(c)
+        out_t, out_q, out_v = [], [], []
+        for q in qs:
+            idx = starts + np.floor(q * (lens - 1)).astype(np.int64)
+            out_t.append(np.asarray(codes.dictionary)[c[starts]])
+            out_q.append(np.full(len(starts), q))
+            out_v.append(vv[idx])
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_t), type=pa.string()),
+                "q": pa.array(np.concatenate(out_q), type=pa.float64()),
+                "value": pa.array(round_col(np.concatenate(out_v), 3)),
+            }
+        )
+
+    out = keyed_partition_map(ev, ["event_type"], kernel, num_partitions=8)
+    return _finish(out.to_pandas(), ["event_type", "q"])
+
+
 def value_quantiles_exact(sf_dir: str) -> pa.Table:
     """Exact quantiles via distributed sort + index split (the exact
     counterpart the t-digest/KLL estimates are judged against)."""
@@ -499,6 +571,25 @@ SQL = {
         "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
         "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+    ),
+    "sliding_event_windows": (
+        "SELECT date_trunc('hour', ts) - CAST(r AS BIGINT) * INTERVAL 1 HOUR AS window_start, "
+        "COUNT(*) AS n_events, "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value "
+        "FROM events, LATERAL UNNEST(range(3)) AS t(r) "
+        "GROUP BY 1 ORDER BY window_start"
+    ),
+    "value_quantiles_by_type": (
+        "WITH s AS (SELECT event_type, value, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS r, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) "
+        "SELECT event_type, q, ROUND(value, 3) AS value FROM ("
+        "  SELECT event_type, 0.5 AS q, value FROM s WHERE r = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) "
+        "  UNION ALL "
+        "  SELECT event_type, 0.9, value FROM s WHERE r = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) "
+        "  UNION ALL "
+        "  SELECT event_type, 0.99, value FROM s WHERE r = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT)"
+        ") ORDER BY event_type, q"
     ),
     "value_quantiles_exact": (
         "WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS r, "

@@ -159,6 +159,85 @@ def doc_fingerprints(sf_dir: str) -> pa.Table:
     )
 
 
+def tfidf_top_terms(sf_dir: str, *, k: int = 3) -> pa.Table:
+    """Top-k terms per document by tf·idf — the corpus-statistics text
+    operator (feature extraction for retrieval/quality pipelines).
+
+    idf is QUANTIZED to integer milli-idf: ``idf_int = (N·1000) // df`` and
+    ``score = tf · idf_int`` — integer-exact on both engines, so ranking
+    (score DESC, term ASC) is bit-identical to the SQL oracle with no
+    float-libm tie hazards. Shape: per-batch tf (docs never span batches →
+    batch-local tf is final), distributed df count over the (doc, term)
+    rows, df map broadcast once, then a keyed-partition top-k kernel per
+    doc (sort + run-boundary take, no per-doc calls)."""
+    import ray
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map, run_ids
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df_ = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+                "t": pl.from_arrow(batch.column("text").combine_chunks()).str.to_lowercase(),
+            }
+        )
+        out = (
+            df_.with_columns(pl.col("t").str.extract_all(r"\S+").alias("term"))
+            .select("doc_id", "term")
+            .explode("term")
+            .drop_nulls()
+            .group_by(["doc_id", "term"])
+            .agg(pl.len().cast(pl.Int64).alias("tf"))
+        )
+        return out.to_arrow()
+
+    tf_ds = ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+    df_tbl = (
+        grouped_aggregate(tf_ds, ["term"], [("df", "count", None)])
+        .to_pandas()
+        .sort_values("term")
+    )
+    terms_sorted = df_tbl["term"].to_numpy()
+    idf_int = (np.int64(n_docs) * 1000) // df_tbl["df"].to_numpy().astype(np.int64)
+    ref = ray.put((terms_sorted, idf_int))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts, idf = ray.get(ref)
+        term = np.asarray(batch.column("term").combine_chunks())
+        tf = np.asarray(batch.column("tf").combine_chunks()).astype(np.int64)
+        pos = np.searchsorted(ts, term)
+        return batch.append_column("score", pa.array(tf * idf[pos]))
+
+    def topk_kernel(t: pa.Table) -> pa.Table:
+        did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        term = np.asarray(t.column("term").combine_chunks())
+        sc = np.asarray(t.column("score").combine_chunks()).astype(np.int64)
+        order = np.lexsort((term, -sc, did))
+        d, te, s = did[order], term[order], sc[order]
+        rid, starts, lens = run_ids(d)
+        within = np.arange(len(d), dtype=np.int64) - starts[rid]
+        keep = within < k
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep]),
+                "rank": pa.array(within[keep] + 1),
+                "term": pa.array(te[keep], type=pa.string()),
+                "score": pa.array(s[keep]),
+            }
+        )
+
+    scored = tf_ds.map_batches(score, batch_format="pyarrow")
+    out = keyed_partition_map(scored, ["doc_id"], topk_kernel, num_partitions=16)
+    df = out.to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _marker_list(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
 
@@ -185,6 +264,18 @@ _LANG_ID_SQL = (
 )
 
 SQL = {
+    "tfidf_top_terms": (
+        "WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), "
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT COUNT(*) AS n FROM documents), "
+        "scored AS (SELECT doc_id, term, tf * ((n.n * 1000) // df.df) AS score "
+        "           FROM tf JOIN df USING (term), n), "
+        "ranked AS (SELECT doc_id, term, score, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored) "
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(score AS BIGINT) AS score "
+        "FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"
+    ),
     "lang_id": _LANG_ID_SQL,
     "doc_fingerprints": (
         "SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE "
