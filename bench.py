@@ -223,19 +223,25 @@ def scaling(sf_dir: str, n_pairs: int = 3) -> dict:
         if t32 is not None:
             raw[32].append(t32)
     effs = [(t8 / t2) / 4.0 for t2, t8 in pairs]
-    best_i = max(range(len(effs)), key=lambda i: effs[i])
-    t2b, t8b = pairs[best_i]
+    # primary statistic: best-of-reps PER POINT (each point at its
+    # least-disturbed observation — interleaving spreads both points
+    # across the same time window so neither is systematically favored).
+    # Per-pair efficiencies are reported raw; a pair > 1.0 flags a
+    # noise-depressed 2-cpu baseline, not superlinear scaling.
+    t2b = max(raw[2])
+    t8b = max(raw[8])
     t32b = max(raw[32]) if raw[32] else float("nan")
+    eff = (t8b / t2b) / 4.0
     return {
-        "metric": "scaling efficiency N→4N (num_cpus 2 → 8, fresh processes, same input, interleaved pairs)",
-        "value": round(effs[best_i], 3),
+        "metric": "scaling efficiency N→4N (num_cpus 2 → 8, fresh processes, same input, interleaved reps, best-of-reps per point)",
+        "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {},
         "throughput_turns_per_sec": {"2": t2b, "8": t8b, "32": t32b},
         "raw_reps_turns_per_sec": {str(c): raw[c] for c in raw},
         "per_pair_efficiency": [round(e, 3) for e in effs],
         "speedup_2_to_8": round(t8b / t2b, 2),
-        "efficiency_2_to_8": round(effs[best_i], 3),
+        "efficiency_2_to_8": round(eff, 3),
         "speedup_8_to_32": round(t32b / t8b, 2),
         "efficiency_8_to_32": round((t32b / t8b) / 4.0, 3),
         "sf": sf_dir,
