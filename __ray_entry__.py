@@ -77,6 +77,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_recall": _ann.ann_ivf_recall,
     "parts_never_ordered": _rel.parts_never_ordered,
     # --- new round-2 operators ---
+    "revenue_by_orderpriority": _rel.revenue_by_orderpriority,
     "sliding_event_windows": _rel.sliding_event_windows,
     "value_quantiles_by_type": _rel.value_quantiles_by_type,
     "tfidf_top_terms": _txt.tfidf_top_terms,

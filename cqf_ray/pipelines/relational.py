@@ -206,6 +206,38 @@ def hourly_event_windows(sf_dir: str) -> pa.Table:
     return _finish(df[["hour", "event_type", "n", "sum_value"]], ["hour", "event_type"])
 
 
+def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
+    """orders ⋈ lineitem as a big-big SHUFFLE join (neither side broadcast
+    — the general join case; `stages/join.py::shuffle_join` co-partitions
+    both sides on the order key with one all-to-all exchange and joins
+    each partition locally), then discounted revenue per order priority."""
+    from ..stages.join import shuffle_join
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "rev_s": pa.array(np.round(price * (1.0 - disc) * 1e6).astype(np.int64))}
+        )
+
+    joined = shuffle_join(
+        orders,
+        li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="o_orderkey", right_on="l_orderkey",
+    )
+    out = grouped_aggregate(
+        joined, ["o_orderpriority"],
+        [("rev_s", "sum", "rev_s"), ("n_lines", "count", None)],
+    )
+    df = out.to_pandas()
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    return _finish(df[["o_orderpriority", "revenue", "n_lines"]], ["o_orderpriority"])
+
+
 def sliding_event_windows(sf_dir: str) -> pa.Table:
     """SLIDING event-time windows (3-hour span, 1-hour slide): each event
     contributes to the 3 windows covering it, expressed as a vectorized
@@ -571,6 +603,13 @@ SQL = {
         "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
         "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+    ),
+    "revenue_by_orderpriority": (
+        "SELECT o_orderpriority, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_lines "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "sliding_event_windows": (
         "SELECT date_trunc('hour', ts) - CAST(r AS BIGINT) * INTERVAL 1 HOUR AS window_start, "

@@ -2,10 +2,13 @@
 
 The reference has no relational joins (SURVEY.md §2.5 — its join surface is
 sketch merge/intersect/inner-product); the target needs real joins as Ray
-Data scaffolding around the sketch pipelines. For a small build side (dims:
-customer, part, nation…) the scale-correct plan is NOT a shuffle join: put
-the build table in the object store once and hash-join every probe batch
-against it inside ``map_batches`` — zero data movement of the big side.
+Data scaffolding around the sketch pipelines. Two plans, chosen by side
+size: for a small build side (dims: customer, part, nation…) put the build
+table in the object store once and hash-join every probe batch against it
+inside ``map_batches`` — zero data movement of the big side
+(``broadcast_join``). When NEITHER side fits a broadcast, co-partition both
+sides on the join key with one all-to-all exchange and join each partition
+locally (``shuffle_join``).
 """
 
 from __future__ import annotations
@@ -35,6 +38,81 @@ class _BroadcastJoiner:
             right_keys=self.right_keys,
             join_type=self.join_type,
         )
+
+
+def shuffle_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_on: str,
+    right_on: str,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Big-big SHUFFLE hash join — the general case ``broadcast_join``
+    can't serve (neither side fits a broadcast). Shape: both sides are
+    harmonized to one wide schema (each side null-fills the other's
+    columns + a ``__side`` tag — nulls cost validity bitmaps, not data),
+    unioned, hash-partitioned ONCE on the join key, and each partition is
+    joined locally with one vectorized ``pyarrow.Table.join`` per
+    partition. Every key's rows co-locate by construction, so
+    partition-local joins ARE the global join — the classic partitioned
+    hash join expressed in Ray Data operators (one all-to-all exchange,
+    no driver involvement). Column names must be disjoint apart from the
+    join keys; skewed keys split at the partition level (the skew unit is
+    one key)."""
+    import numpy as np
+
+    from .keyed import keyed_partition_map
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    clash = (set(lcols) - {left_on}) & (set(rcols) - {right_on})
+    if clash:
+        raise ValueError(f"shuffle_join requires disjoint payload columns, got {clash}")
+    # build the union schema from both sides' Arrow types
+    ltypes = {n: t for n, t in zip(left.schema().names, left.schema().types)}
+    rtypes = {n: t for n, t in zip(right.schema().names, right.schema().types)}
+    key_type = ltypes[left_on]
+    wide_names = ["__key"] + [n for n in lcols if n != left_on] + [
+        n for n in rcols if n != right_on
+    ]
+
+    def widen(side: int, key_col: str, own: dict, other: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {"__key": batch.column(key_col).cast(key_type),
+                    "__side": pa.array(np.full(n, side, dtype=np.int8))}
+            for name, typ in own.items():
+                if name != key_col:
+                    cols[name] = batch.column(name)
+            for name, typ in other.items():
+                if name not in (left_on, right_on):
+                    cols[name] = pa.nulls(n, type=typ)
+            return pa.table({k: cols[k] for k in ["__key", "__side"] + wide_names[1:]})
+
+        return fn
+
+    lw = left.map_batches(widen(0, left_on, ltypes, rtypes), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rw = right.map_batches(widen(1, right_on, rtypes, ltypes), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    both = lw.union(rw)
+
+    lkeep = ["__key"] + [n for n in lcols if n != left_on]
+    rkeep = ["__key"] + [n for n in rcols if n != right_on]
+
+    def join_kernel(t: pa.Table) -> pa.Table:
+        side = np.asarray(t.column("__side").combine_chunks())
+        lt = t.filter(pa.array(side == 0)).select(lkeep)
+        rt = t.filter(pa.array(side == 1)).select(rkeep)
+        out = lt.join(rt, keys=["__key"], join_type=join_type)
+        return out.rename_columns(
+            [left_on if c == "__key" else c for c in out.column_names]
+        )
+
+    return keyed_partition_map(both, ["__key"], join_kernel,
+                               num_partitions=num_partitions)
 
 
 def broadcast_join(

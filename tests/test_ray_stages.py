@@ -109,6 +109,42 @@ def test_broadcast_join_matches_sql(ray_session, duck):
     assert got[["o_orderkey", "o_custkey", "c_mktsegment"]].equals(exp)
 
 
+def test_shuffle_join_matches_sql(ray_session, duck):
+    """Big-big co-partitioned join: same rows as SQL inner join, and left
+    outer keeps unmatched left rows with nulls."""
+    ray = ray_session
+    from cqf_ray.stages.join import shuffle_join
+
+    orders = ray.data.read_parquet(f"{SF_DIR}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    j = shuffle_join(orders, li, left_on="o_orderkey", right_on="l_orderkey",
+                     num_partitions=8)
+    got = j.to_pandas().sort_values(["o_orderkey", "l_quantity"]).reset_index(drop=True)
+    exp = duck.sql(
+        "SELECT o_orderkey, o_orderpriority, l_quantity FROM orders "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "ORDER BY o_orderkey, l_quantity"
+    ).df()
+    assert len(got) == len(exp)
+    assert (got["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
+    assert np.allclose(got["l_quantity"], exp["l_quantity"])
+    assert (got["o_orderpriority"].to_numpy() == exp["o_orderpriority"].to_numpy()).all()
+
+    n_left_outer = shuffle_join(
+        orders, li, left_on="o_orderkey", right_on="l_orderkey",
+        join_type="left outer", num_partitions=8,
+    ).count()
+    n_expected = duck.sql(
+        "SELECT COUNT(*) FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey"
+    ).fetchone()[0]
+    assert n_left_outer == n_expected
+
+    with pytest.raises(ValueError, match="disjoint"):
+        shuffle_join(orders, orders, left_on="o_orderkey", right_on="o_orderkey")
+
+
 def test_grouped_aggregate_matches_sql(ray_session, duck):
     ray = ray_session
     ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
