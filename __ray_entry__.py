@@ -64,6 +64,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct_users": _sk.hll_distinct_users,
     "transcript_hll_text_per_role": _tr.transcript_hll_text_per_role,
     "tdigest_value_quantiles": _sk.tdigest_value_quantiles,
+    "tdigest_quantiles_by_type": _sk.tdigest_quantiles_by_type,
     "kll_value_quantiles": _sk.kll_value_quantiles,
     "bottomk_sample_users": _sk.bottomk_sample_users,
     "doc_fingerprints": _txt.doc_fingerprints,

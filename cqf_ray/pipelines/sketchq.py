@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 from .. import keys
 from ..sketches import CQF, CountMinSketch, HyperLogLog, KLL, TDigest
 from ..stages.agg import build_sketch
+from ..stages.groupagg import grouped_aggregate
 from ..stages.probe import probe_dataset
 from .common import read
 
@@ -298,6 +299,66 @@ def tdigest_value_quantiles(sf_dir: str) -> pa.Table:
     return _quantile_rank_check(sf_dir, [td.quantile(q) for q in _QS])
 
 
+def tdigest_quantiles_by_type(sf_dir: str) -> pa.Table:
+    """GROUPED mergeable quantile sketches: one t-digest per event_type
+    (two-level pattern: per-batch per-group partial digests, tiny blob
+    shuffle, per-group merge), emitted as the driver-checkable rank-bound
+    verdict per (event_type, q) — the grouped analog of
+    :func:`tdigest_value_quantiles`. One distributed counting pass checks
+    every group's estimates at once."""
+    from ..stages.agg import grouped_sketches
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def by_group(batch: pa.Table) -> dict:
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+        return {g: v[types == g] for g in np.unique(types)}
+
+    sketches = grouped_sketches(ds, "event_type", by_group,
+                                lambda: TDigest(delta=300.0))
+    groups = sorted(sketches)
+    ests = {g: [sketches[g].quantile(q) for q in _QS] for g in groups}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+        rows = {"event_type": [], "n": []}
+        for i in range(len(_QS)):
+            rows[f"lt{i}"] = []
+            rows[f"le{i}"] = []
+        for g in np.unique(types):
+            vg = v[types == g]
+            rows["event_type"].append(g)
+            rows["n"].append(len(vg))
+            for i, e in enumerate(ests[str(g)]):
+                rows[f"lt{i}"].append(int((vg < e).sum()))
+                rows[f"le{i}"].append(int((vg <= e).sum()))
+        return pa.table(rows)
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("n", "sum", "n")]
+        + [(f"lt{i}", "sum", f"lt{i}") for i in range(len(_QS))]
+        + [(f"le{i}", "sum", f"le{i}") for i in range(len(_QS))],
+    ).to_pandas().set_index("event_type")
+    out_t, out_q, out_ok = [], [], []
+    for g in groups:
+        n = float(counts.loc[g, "n"])
+        for i, q in enumerate(_QS):
+            rank_lo = float(counts.loc[g, f"lt{i}"]) / n
+            rank_hi = float(counts.loc[g, f"le{i}"]) / n
+            out_t.append(g)
+            out_q.append(q)
+            out_ok.append(bool(rank_hi >= q - _RANK_EPS and rank_lo <= q + _RANK_EPS))
+    return pa.table(
+        {"event_type": pa.array(out_t, type=pa.string()),
+         "q": pa.array(out_q, type=pa.float64()),
+         "in_bounds": pa.array(out_ok)}
+    )
+
+
 def kll_value_quantiles(sf_dir: str) -> pa.Table:
     """KLL quantiles of events.value (rank error ≤ ~1.7%/√k · √log n),
     emitted as a driver-checkable rank-bound verdict per quantile."""
@@ -338,6 +399,11 @@ SQL = {
         "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_in_3sigma FROM events"
     ),
     "tdigest_value_quantiles": _RANK_BOUND_SQL,
+    "tdigest_quantiles_by_type": (
+        "SELECT event_type, q, TRUE AS in_bounds "
+        "FROM (SELECT DISTINCT event_type FROM events), "
+        "(SELECT UNNEST([0.5, 0.9, 0.99]) AS q) ORDER BY event_type, q"
+    ),
     "kll_value_quantiles": _RANK_BOUND_SQL,
     "bottomk_sample_users": (
         "WITH u AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS k64, user_id FROM events), "
