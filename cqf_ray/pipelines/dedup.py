@@ -44,17 +44,20 @@ _MAX_BUCKET = 256  # skip degenerate LSH buckets (standard practice: a
 # bucket this hot is a trivial shingle collision, and pairing it is O(L²))
 
 
-def dedup_exact(sf_dir: str) -> pa.Table:
+def dedup_exact(sf_dir: str, *, _hash=None) -> pa.Table:
     """Exact dedup: canonical doc (min doc_id) + copy count per distinct
     text. Keyed on ``hash64(text)`` so the shuffle moves 8-byte keys, not
     document bodies; each hash group carries min/max of the text so hash
     collisions are DETECTED exactly (min≠max ⇒ two texts share a hash) and
     resolved by a text-keyed second pass over only the colliding groups
-    (expected ~never at 2⁻⁶⁴ rates, but correctness never rides on it)."""
+    (expected ~never at 2⁻⁶⁴ rates, but correctness never rides on it —
+    ``_hash`` lets tests inject a deliberately weak hash to force that
+    path)."""
+    hash_fn = _hash or (lambda col: hash_strings(col, seed=11))
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def keyed(batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch.column("text"), seed=11).view(np.int64)
+        h = hash_fn(batch.column("text")).view(np.int64)
         return pa.table(
             {"h": pa.array(h), "doc_id": batch.column("doc_id"),
              "text": batch.column("text")}
@@ -73,7 +76,7 @@ def dedup_exact(sf_dir: str) -> pa.Table:
         bad_h = ray.put(np.sort(bad["h"].to_numpy().astype(np.int64)))
 
         def only_bad(batch: pa.Table) -> pa.Table:
-            h = hash_strings(batch.column("text"), seed=11).view(np.int64)
+            h = hash_fn(batch.column("text")).view(np.int64)
             return batch.filter(pa.array(np.isin(h, ray.get(bad_h))))
 
         fix = grouped_aggregate(

@@ -83,6 +83,23 @@ def test_exact_dedup_finds_planted_copies(ray_session, planted_dir):
     assert (t.loc[t.doc_id != 0, "n_copies"] == 1).all()
 
 
+def test_dedup_exact_hash_collision_fallback(ray_session, planted_dir):
+    """Force hash collisions with a deliberately weak 2-bit hash: the
+    min/max-text collision detector must route colliding groups through
+    the exact text-keyed fallback and still produce the exact answer."""
+    import numpy as np
+
+    from cqf_ray.hashing import hash_strings
+    from cqf_ray.pipelines.dedup import dedup_exact
+
+    def weak_hash(col):
+        return hash_strings(col, seed=11) % np.uint64(4)  # ≤4 buckets ⇒ collisions
+
+    exact = dedup_exact(planted_dir).to_pandas()
+    with_collisions = dedup_exact(planted_dir, _hash=weak_hash).to_pandas()
+    assert exact.equals(with_collisions)
+
+
 def test_minhash_lsh_finds_near_dups(ray_session, planted_dir):
     from cqf_ray.pipelines.dedup import minhash_lsh_pairs
 
