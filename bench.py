@@ -37,6 +37,8 @@ QUERY_SET = [
     "minhash_lsh_pairs",
     "ann_brute_force",
     "transcript_role_stats",
+    "revenue_by_orderpriority",  # big-big shuffle join
+    "transcript_sessions",  # keyed-partition window kernel
 ]
 
 

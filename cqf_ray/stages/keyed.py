@@ -51,18 +51,32 @@ def _key_hash(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     return h
 
 
+def default_num_partitions(floor: int = 32) -> int:
+    """Default partition count: ~2× cluster CPUs (so partitions pipeline
+    and skew amortizes) with a floor — on a 256-node cluster this scales
+    automatically instead of bottlenecking on a hardcoded 32."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(floor, 2 * cpus)
+
+
 def keyed_partition_map(
     ds: "ray.data.Dataset",
     key_cols: list[str],
     kernel: Callable[[pa.Table], pa.Table],
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Partition ``ds`` by ``hash(key_cols) % num_partitions`` and apply
     ``kernel`` ONCE per partition (an Arrow table holding all rows of all
     entities hashed there; the ``__part`` helper column is dropped before
     the kernel runs).  ``kernel`` must be pure and per-entity-closed: its
-    output may only depend on rows sharing the same entity key."""
+    output may only depend on rows sharing the same entity key.
+    ``num_partitions`` defaults to ~2× cluster CPUs (floor 32)."""
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
 
     def assign(batch: pa.Table) -> pa.Table:
         part = (_key_hash(batch, key_cols) % np.uint64(num_partitions)).astype(np.int64)
