@@ -17,6 +17,7 @@ from collections.abc import Callable
 from typing import Any
 
 from cqf_ray.pipelines import ann as _ann
+from cqf_ray.pipelines import clean as _cl
 from cqf_ray.pipelines import dedup as _dedup
 from cqf_ray.pipelines import multimodal as _mm
 from cqf_ray.pipelines import relational as _rel
@@ -78,6 +79,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_recall": _ann.ann_ivf_recall,
     "parts_never_ordered": _rel.parts_never_ordered,
     # --- new round-2 operators ---
+    "clean_corpus": _cl.clean_corpus,
     "revenue_by_orderpriority": _rel.revenue_by_orderpriority,
     "sliding_event_windows": _rel.sliding_event_windows,
     "value_quantiles_by_type": _rel.value_quantiles_by_type,
@@ -132,6 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (_sk, _rel, _tr, _txt, _dedup, _ann, _mm, _w, _si):
+    for mod in (_sk, _rel, _tr, _txt, _dedup, _ann, _mm, _w, _si, _cl):
         out.update(mod.SQL)
     return out
