@@ -52,14 +52,16 @@ def _key_hash(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
 
 
 def default_num_partitions(floor: int = 32) -> int:
-    """Default partition count: ~2× cluster CPUs (so partitions pipeline
-    and skew amortizes) with a floor — on a 256-node cluster this scales
-    automatically instead of bottlenecking on a hardcoded 32."""
+    """Default partition count: cluster CPU count (so partitions saturate
+    the cluster and skew amortizes) with a floor — on a 256-node cluster
+    this scales automatically instead of bottlenecking on a hardcoded 32.
+    Kept at 1× CPUs (not more): each extra partition costs a fixed
+    per-kernel overhead that dominates on small inputs."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 0))
     except Exception:
         cpus = 0
-    return max(floor, 2 * cpus)
+    return max(floor, cpus)
 
 
 def keyed_partition_map(
