@@ -68,6 +68,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "tdigest_quantiles_by_type": _sk.tdigest_quantiles_by_type,
     "kll_value_quantiles": _sk.kll_value_quantiles,
     "bottomk_sample_users": _sk.bottomk_sample_users,
+    "bottomk_sample_by_type": _sk.bottomk_sample_by_type,
     "doc_fingerprints": _txt.doc_fingerprints,
     "lang_id": _txt.lang_id,
     "minhash_lsh_pairs": _dedup.minhash_lsh_pairs,

@@ -299,6 +299,33 @@ def tdigest_value_quantiles(sf_dir: str) -> pa.Table:
     return _quantile_rank_check(sf_dir, [td.quantile(q) for q in _QS])
 
 
+def bottomk_sample_by_type(sf_dir: str, *, k: int = 5) -> pa.Table:
+    """GROUPED deterministic uniform samples: one bottom-k (hash-priority)
+    sketch per event_type via the two-level grouped-sketch pattern.
+    Partition-order-invariant like the global variant, and exactly
+    reproducible by the murmur-in-SQL oracle with a per-group window —
+    the sampled (event_type, user_id) rows hash-match SQL bit-for-bit."""
+    from ..sketches import BottomKSample
+    from ..stages.agg import grouped_sketches
+
+    ds = read(sf_dir, "events", ["event_type", "user_id"])
+
+    def by_group(batch: pa.Table) -> dict:
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = np.asarray(batch.column("user_id").combine_chunks(), dtype=np.int64)
+        return {g: uid[types == g].astype(np.uint64) for g in np.unique(types)}
+
+    sketches = grouped_sketches(ds, "event_type", by_group,
+                                lambda: BottomKSample(k=k, seed=17))
+    out_t, out_u = [], []
+    for g in sorted(sketches):
+        sample = np.sort(sketches[g].sample().astype(np.int64))
+        out_t.extend([g] * len(sample))
+        out_u.extend(sample.tolist())
+    return pa.table({"event_type": pa.array(out_t, type=pa.string()),
+                     "user_id": pa.array(out_u, type=pa.int64())})
+
+
 def tdigest_quantiles_by_type(sf_dir: str) -> pa.Table:
     """GROUPED mergeable quantile sketches: one t-digest per event_type
     (two-level pattern: per-batch per-group partial digests, tiny blob
@@ -405,6 +432,14 @@ SQL = {
         "(SELECT UNNEST([0.5, 0.9, 0.99]) AS q) ORDER BY event_type, q"
     ),
     "kll_value_quantiles": _RANK_BOUND_SQL,
+    "bottomk_sample_by_type": (
+        "WITH u AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS k64, user_id FROM events), "
+        + _MURMUR_SQL.format(seed=17)
+        + " SELECT event_type, CAST(user_id AS BIGINT) AS user_id FROM "
+        "(SELECT event_type, user_id, "
+        " ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY priority) AS rn FROM mmf) "
+        "WHERE rn <= 5 ORDER BY event_type, user_id"
+    ),
     "bottomk_sample_users": (
         "WITH u AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS k64, user_id FROM events), "
         + _MURMUR_SQL.format(seed=17)
