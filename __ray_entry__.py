@@ -74,6 +74,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_lsh_pairs": _dedup.minhash_lsh_pairs,
     "near_dup_canonical": _dedup.near_dup_canonical,
     "simhash_near_dups": _dedup.simhash_near_dups,
+    "simhash_complete": _dedup.simhash_complete,
     "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
     "dedup_exact": _dedup.dedup_exact,
     "ann_lsh_recall": _ann.ann_lsh_recall,

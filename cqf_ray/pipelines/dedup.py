@@ -442,6 +442,33 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
     return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
 
 
+def simhash_complete(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
+    """Driver-checkable completeness verdict for the SimHash banding: the
+    banded pipeline's pair set must EQUAL the brute-force all-pairs
+    Hamming ≤ 3 set (guaranteed by pigeonhole over four 16-bit bands —
+    this query proves the property held on the actual data). Fingerprints
+    are computed distributed; the all-pairs reference check runs on the
+    collected (tiny) fingerprint vector."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h, offs = char_ngram_hashes(batch.column("text"), n=4, seed=37)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "sig": pa.array(simhash64(h, offs).view(np.int64))})
+
+    sigs = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    did = sigs["doc_id"].to_numpy().astype(np.int64)
+    sg = sigs["sig"].to_numpy().view(np.uint64)
+    ii, jj = np.triu_indices(len(did), k=1)
+    hd = hamming64(sg[ii], sg[jj])
+    m = hd <= max_hamming
+    brute = set(zip(np.minimum(did[ii[m]], did[jj[m]]).tolist(),
+                    np.maximum(did[ii[m]], did[jj[m]]).tolist()))
+    banded = simhash_near_dups(sf_dir, max_hamming=max_hamming).to_pandas()
+    got = set(zip(banded["doc_a"].tolist(), banded["doc_b"].tolist()))
+    return pa.table({"complete": pa.array([got == brute])})
+
+
 def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
                         hot_cap: int | None = None) -> pa.Table:
     """EXACT n-gram Jaccard similarity pairs (distinct character 5-gram
@@ -552,6 +579,7 @@ def _jaccard_pairs_sql(threshold: float, shingle_seed_note: str = "") -> str:
 
 
 SQL = {
+    "simhash_complete": "SELECT TRUE AS complete",
     "ngram_jaccard_pairs": _jaccard_pairs_sql(0.5),
     # LSH with 64 bands × 2 rows has recall ≈ 1 − 2·10⁻¹⁹ at J ≥ 0.7, and
     # every candidate is verified with exact Jaccard, so the output equals
