@@ -15,6 +15,12 @@ Order of operations (matches the SQL exactly):
 
 The heavy stages are all distributed; only aggregated artifacts (kept-id
 sets, verified pair lists) reach the driver for the final set algebra.
+
+Scale note: the ENGINE runs in seconds at every testdata scale (LSH keeps
+the pair space sparse); the SQL ORACLE's exact-Jaccard self-join is
+quadratic in shingle document frequency and exhausts DuckDB temp space
+beyond the sf0.01 gate scale — the oracle is correctness evidence, not the
+scale path.
 """
 
 from __future__ import annotations
