@@ -138,6 +138,10 @@ def _dedup_pairs(pairs_ds: "ray.data.Dataset", extra_cols: list[str] = ()) -> pd
     out = grouped_aggregate(pairs_ds, ["doc_a", "doc_b"], aggs)
     df = out.to_pandas()
     cols = ["doc_a", "doc_b"] + list(extra_cols)
+    if df.empty or "doc_a" not in df.columns:
+        # a pair-free corpus yields an empty Dataset, whose to_pandas drops
+        # the schema (same guard as _inverted_jaccard / parts_never_ordered)
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
     return df[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -442,14 +446,26 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
     return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
 
 
+_SIMHASH_COMPLETE_CAP = 100_000  # all-pairs verdict: 1e10 Hamming ops max
+
+
 def simhash_complete(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
-    """Driver-checkable completeness verdict for the SimHash banding: the
-    banded pipeline's pair set must EQUAL the brute-force all-pairs
-    Hamming ≤ 3 set (guaranteed by pigeonhole over four 16-bit bands —
-    this query proves the property held on the actual data). Fingerprints
-    are computed distributed; the all-pairs reference check runs on the
-    collected (tiny) fingerprint vector."""
+    """Driver-checkable completeness VERDICT for the SimHash banding — not
+    an operator: the banded pipeline's pair set must EQUAL the brute-force
+    all-pairs Hamming ≤ 3 set (guaranteed by pigeonhole over four 16-bit
+    bands — this query proves the property held on the actual data).
+    Fingerprints are computed distributed; the all-pairs reference check is
+    O(n²) ON THE DRIVER by design and hard-capped at
+    ``_SIMHASH_COMPLETE_CAP`` docs so it can never be mistaken for (or run
+    as) the corpus-scale operator — that is ``simhash_near_dups``."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    if n_docs > _SIMHASH_COMPLETE_CAP:
+        raise ValueError(
+            f"simhash_complete is an O(n²) small-scale verdict (cap "
+            f"{_SIMHASH_COMPLETE_CAP} docs, got {n_docs}); run "
+            "simhash_near_dups for the scalable operator"
+        )
 
     def fp(batch: pa.Table) -> pa.Table:
         h, offs = char_ngram_hashes(batch.column("text"), n=4, seed=37)

@@ -139,8 +139,12 @@ def cqf_user_type_counts(sf_dir: str) -> pa.Table:
 
     def build(batch: pa.Table) -> dict:
         uid = np.asarray(batch.column("user_id").combine_chunks(), dtype=np.int64)
-        et = batch.column("event_type").to_numpy(zero_copy_only=False)
-        codes = np.array([etypes.get(t, 7) for t in et], dtype=np.uint64)
+        # dictionary-encode: the Python dict lookup runs once per DISTINCT
+        # event_type (≤5), not once per row; indices gather is vectorized
+        enc = batch.column("event_type").combine_chunks().dictionary_encode()
+        lut = np.array([etypes.get(s.as_py(), 7) for s in enc.dictionary],
+                       dtype=np.uint64)
+        codes = lut[np.asarray(enc.indices, dtype=np.int64)]
         sk = CQF(q=8, key_bits=_KEY_BITS, value_bits=3, hash_mode="invertible", seed=0)
         sk.insert_many(uid.astype(np.uint64), values=codes)
         return {"sketch": np.array([sk.to_bytes()], dtype=object)}

@@ -545,9 +545,12 @@ class CQF:
         (ver, q, key_bits, value_bits, hmode, flags, seed, n) = struct.unpack(
             "<BBBBBBxxQQ", buf[8 : 8 + 24]
         )
-        if ver != 2:
+        if ver not in (1, 2):
             raise ValueError(f"unsupported raw CQF version {ver}")
-        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, bool(flags & 1))
+        # v1 blobs (round-1 checkpoints/dumps) zero-padded the flags byte and
+        # implied auto_resize=True; v2 carries it in bit 0 of the flags byte.
+        auto = bool(flags & 1) if ver == 2 else True
+        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, auto)
         off = 8 + 24
         out._words = np.frombuffer(buf, dtype=_U64, count=n, offset=off).copy()
         out._counts = np.frombuffer(buf, dtype=_U64, count=n, offset=off + 8 * n).copy()
@@ -562,9 +565,10 @@ class CQF:
         (ver, q, key_bits, value_bits, hmode, flags, seed, ndistinct, scounts, nocc) = struct.unpack(
             "<BBBBBBxxQQQQ", buf[8 : 8 + 40]
         )
-        if ver != 2:
+        if ver not in (1, 2):
             raise ValueError(f"unsupported CQF version {ver}")
-        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, bool(flags & 1))
+        auto = bool(flags & 1) if ver == 2 else True  # v1: pad byte, implicit True
+        out = cls(q, key_bits, value_bits, _HASH_MODES[hmode], seed, auto)
         xn = out.xnslots
         nblocks = (xn + 63) // 64
         off = 8 + 40

@@ -63,7 +63,7 @@ def grouped_aggregate(
     aggs: AggSpec,
     *,
     batch_size: int | None = 65536,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed GROUP BY with per-batch combining. Returns a Dataset of
     one row per group with exactly the columns ``keys + [out_names]``.

@@ -76,7 +76,8 @@ def keyed_partition_map(
     entities hashed there; the ``__part`` helper column is dropped before
     the kernel runs).  ``kernel`` must be pure and per-entity-closed: its
     output may only depend on rows sharing the same entity key.
-    ``num_partitions`` defaults to ~2× cluster CPUs (floor 32)."""
+    ``num_partitions`` defaults to 1× cluster CPUs (floor 32) — see
+    ``default_num_partitions`` for why 1× and not more."""
     if num_partitions is None:
         num_partitions = default_num_partitions()
 

@@ -141,6 +141,25 @@ def test_serialize_roundtrip_counts():
     assert back.to_bytes() == blob
 
 
+def test_deserialize_accepts_v1_blobs():
+    """Round-1 blobs (version 1: flags byte was a zero pad, auto_resize
+    implicitly True) must still load — packed and raw forms both."""
+    cqf = CQF(q=10, key_bits=26, hash_mode="default", seed=9, auto_resize=True)
+    keys, counts = _rand_workload(800, 1 << 40, seed=3, max_count=50)
+    cqf.insert_many(keys, counts=counts)
+    for blob in (cqf.to_bytes(), cqf.to_bytes_raw()):
+        # rewrite the v2 header as v1: version byte 1, flags byte back to pad
+        v1 = bytearray(blob)
+        assert v1[8] == 2 and v1[13] in (0, 1)
+        v1[8], v1[13] = 1, 0
+        back = CQF.from_bytes(bytes(v1))
+        assert back.auto_resize is True
+        assert back.num_distinct == cqf.num_distinct
+        assert back.sum_counts == cqf.sum_counts
+        np.testing.assert_array_equal(back._words, cqf._words)
+        np.testing.assert_array_equal(back._counts, cqf._counts)
+
+
 def test_serialize_roundtrip_membership_fastpath():
     # all-count-1 filter exercises the vectorized decode fast path
     cqf = CQF(q=12, key_bits=30, hash_mode="default", seed=1)
