@@ -193,9 +193,14 @@ def grouped_sketches(
     Level 1 (``map_batches``): each batch emits one (group, blob) row per
     group present in the batch — the partial aggregate that tames skew
     (SURVEY.md §7.3: hot `conv_id`s pre-combine before any shuffle).
-    Level 2: groupby over the tiny (group, blob) table, fold blobs per
-    group. Returns {group: sketch}.
+    Level 2: a ``keyed_partition_map`` over the (group, blob) rows — every
+    group's partials land wholly in one partition and ONE kernel call per
+    PARTITION folds all of that partition's groups (a Python loop over
+    groups inside the kernel costs ~µs/group, vs ~1 ms/group for
+    ``groupby().map_groups`` — the measured wall stays flat to ≥10⁴
+    groups; see ``cqf_ray/stages/groupagg.py``). Returns {group: sketch}.
     """
+    from .keyed import keyed_partition_map, run_starts
 
     def level1(batch: pa.Table) -> dict:
         groups, blobs = [], []
@@ -206,18 +211,28 @@ def grouped_sketches(
             blobs.append(sk.to_bytes())
         return {group_key: groups, "sketch": np.array(blobs, dtype=object)}
 
-    def fold(df):
-        import pandas as pd
+    def fold_kernel(t: pa.Table) -> pa.Table:
+        key_type = t.schema.field(group_key).type
+        if t.num_rows == 0:
+            return pa.table({group_key: pa.array([], type=key_type),
+                             "sketch": pa.array([], type=pa.binary())})
+        t = t.sort_by(group_key)
+        keys_np = np.asarray(t.column(group_key).to_pylist(), dtype=object)
+        blobs = t.column("sketch").to_pylist()
+        starts = run_starts(keys_np)
+        ends = np.concatenate([starts[1:], [len(keys_np)]])
+        out_k, out_b = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            acc = sketch_from_bytes(blobs[s])
+            for b in blobs[s + 1 : e]:
+                acc.merge_in_place(sketch_from_bytes(b))
+            out_k.append(keys_np[s])
+            out_b.append(acc.to_bytes())
+        return pa.table({group_key: pa.array(out_k, type=key_type),
+                         "sketch": pa.array(out_b, type=pa.binary())})
 
-        acc = sketch_from_bytes(df["sketch"].iloc[0])
-        for b in df["sketch"].iloc[1:]:
-            acc.merge_in_place(sketch_from_bytes(b))
-        return pd.DataFrame({group_key: [df[group_key].iloc[0]], "sketch": [acc.to_bytes()]})
-
-    rows = (
-        ds.map_batches(level1, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-        .groupby(group_key)
-        .map_groups(fold, batch_format="pandas")
-        .take_all()
+    partials = ds.map_batches(
+        level1, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+    rows = keyed_partition_map(partials, [group_key], fold_kernel).take_all()
     return {r[group_key]: sketch_from_bytes(r["sketch"]) for r in rows}

@@ -94,6 +94,44 @@ def test_grouped_hll_error_bound(ray_session, duck):
         assert abs(got[g] - exp[g]) <= max(3, 0.1 * exp[g])
 
 
+def test_grouped_sketches_high_cardinality_flat_wall(ray_session):
+    """The final fold is a keyed-partition map (one kernel per partition),
+    so per-group cost is ~µs: 12k groups must stay in seconds, where a
+    per-group map_groups fold (~1 ms/group + scheduling) would not."""
+    import time
+
+    ray = ray_session
+    n_groups, rows_per = 12_000, 5
+    ds = ray.data.range(n_groups * rows_per, override_num_blocks=8)
+
+    def to_rows(batch):
+        ids = batch["id"].astype(np.int64)
+        return {"gid": ids % n_groups, "val": ids.astype(np.uint64)}
+
+    ds2 = ds.map_batches(to_rows)
+
+    def by_group(batch: pa.Table):
+        from cqf_ray.hashing import murmur64a_u64
+
+        gid = np.asarray(batch.column("gid").combine_chunks()).astype(np.int64)
+        val = murmur64a_u64(
+            np.asarray(batch.column("val").combine_chunks()).astype(np.uint64), 7
+        )
+        order = np.argsort(gid, kind="stable")
+        g, v = gid[order], val[order]
+        bounds = np.flatnonzero(np.concatenate([[True], g[1:] != g[:-1]]))
+        ends = np.concatenate([bounds[1:], [len(g)]])
+        return {int(g[s]): v[s:e] for s, e in zip(bounds, ends)}
+
+    t0 = time.time()
+    got = grouped_sketches(ds2, "gid", by_group, lambda: HyperLogLog(p=8))
+    elapsed = time.time() - t0
+    assert len(got) == n_groups
+    for gid in range(0, n_groups, 500):  # exact at tiny range (linear counting)
+        assert abs(got[gid].estimate() - rows_per) <= 2
+    assert elapsed < 25, f"grouped fold took {elapsed:.1f}s for {n_groups} groups"
+
+
 def test_broadcast_join_matches_sql(ray_session, duck):
     ray = ray_session
     import pyarrow.parquet as pq
