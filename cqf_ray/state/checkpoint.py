@@ -117,6 +117,44 @@ def _build_partition(
     )
 
 
+def resize_partition_blob(ckpt_dir: str, partition: int, new_q: int) -> PartitionRecord:
+    """In-place checkpoint-blob resize — the ``qf_resize_file`` analog
+    (``/root/reference/src/gqf_file.c:170-228`` re-packs the mmap'd filter
+    into a larger file): load ONE partition's blob, re-pack its multiset at
+    ``new_q``, atomically rename-over the old blob, and append a fresh
+    manifest line. No input re-read, no lineage rebuild — the blob after
+    resize is byte-identical to a fresh build of the same partition at
+    ``new_q`` (the serialization is a pure function of multiset + geometry).
+    Corrupt/missing blobs still go through the rebuild-from-lineage path
+    (``checkpointed_build(resume=True)``)."""
+    manifest = load_manifest(ckpt_dir)
+    if partition not in manifest:
+        raise KeyError(f"partition {partition} not in manifest at {ckpt_dir}")
+    rec = manifest[partition]
+    if not _verified_done(rec, ckpt_dir):
+        raise ValueError(
+            f"partition {partition} blob missing or checksum-bad: resize "
+            "needs a verified blob; rebuild it via checkpointed_build(resume=True)"
+        )
+    path = os.path.join(ckpt_dir, rec.blob)
+    with open(path, "rb") as f:
+        sk = sketch_from_bytes(f.read())
+    sk.resize(new_q)
+    blob = sk.to_bytes_raw() if hasattr(sk, "to_bytes_raw") else sk.to_bytes()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic publish, same as the build path
+    new_rec = PartitionRecord(
+        partition=rec.partition, inputs=rec.inputs, rows=rec.rows,
+        blob=rec.blob, sha256=hashlib.sha256(blob).hexdigest(),
+        status="done", seed=rec.seed,
+    )
+    with open(_manifest_path(ckpt_dir), "a") as f:
+        f.write(json.dumps(asdict(new_rec)) + "\n")
+    return new_rec
+
+
 def checkpointed_build(
     input_paths: list[str],
     extract: Callable,

@@ -81,6 +81,53 @@ def test_corrupt_blob_triggers_rebuild(ray_session, sharded_events, tmp_path):
     assert rebuilt.to_bytes() == full.to_bytes()
 
 
+def test_resize_partition_blob_in_place(ray_session, sharded_events, tmp_path):
+    """qf_resize_file analog: resizing one checkpointed partition blob
+    in place (no input re-read) yields a blob byte-identical to a fresh
+    build of that partition at the new q, updates the manifest sha, and
+    leaves the merged multiset unchanged."""
+    from cqf_ray.state.checkpoint import resize_partition_blob
+
+    ckpt = str(tmp_path / "ckpt")
+    ext = keys.int_column("user_id")
+    _mk = _factories()
+    full, _, _ = checkpointed_build(sharded_events, ext, _mk, ckpt, resume=False)
+
+    rec = resize_partition_blob(ckpt, 3, new_q=11)
+    assert rec.status == "done"
+    m = load_manifest(ckpt)
+    assert m[3].sha256 == rec.sha256
+
+    # byte-identical to building the same fragment fresh at q=11
+    mk11 = lambda: CQF(q=11, key_bits=34, hash_mode="invertible", seed=0)  # noqa: E731
+    fresh_dir = str(tmp_path / "fresh11")
+    checkpointed_build([sorted(sharded_events)[3]], ext, mk11, fresh_dir, resume=False)
+    with open(os.path.join(ckpt, m[3].blob), "rb") as f:
+        resized_blob = f.read()
+    with open(os.path.join(fresh_dir, "part-00000.sketch"), "rb") as f:
+        fresh_blob = f.read()
+    assert resized_blob == fresh_blob
+
+    # resume over the resized checkpoint: nothing rebuilds, and the merged
+    # filter holds the same multiset (q grows to the max partition q)
+    again, _, metrics = checkpointed_build(sharded_events, ext, _mk, ckpt, resume=True)
+    assert metrics["partitions_rebuilt"] == 0
+    ka, va, ca = again.keys_arrays()
+    kf, vf, cf = full.keys_arrays()
+    np.testing.assert_array_equal(ka, kf)
+    np.testing.assert_array_equal(ca, cf)
+
+    # guard rails: unknown partition / corrupt blob
+    with pytest.raises(KeyError):
+        resize_partition_blob(ckpt, 99, new_q=11)
+    victim = os.path.join(ckpt, m[2].blob)
+    with open(victim, "r+b") as f:
+        f.seek(40)
+        f.write(b"\xde\xad")
+    with pytest.raises(ValueError, match="checksum-bad"):
+        resize_partition_blob(ckpt, 2, new_q=11)
+
+
 def test_streaming_incremental_with_crash_resume(ray_session, tmp_path):
     """Ordered-stream consumption: crash mid-stream, resume from checkpoint,
     converge to the bitwise-identical filter; queries answerable mid-stream."""
