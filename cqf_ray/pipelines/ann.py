@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..stages.ann import LshBucketer, batch_embeddings, brute_force_topk, load_embedding_matrix
+from ..stages.ann import LshBucketer, batch_embeddings, brute_force_topk, load_query_matrix
 from .common import read
 
 _N_QUERIES = 10
@@ -15,12 +15,12 @@ _K = 5
 
 def ann_brute_force(sf_dir: str) -> pa.Table:
     """Exact cosine top-5 for the first 10 vec_ids against the whole table
-    (self excluded): broadcast query matrix, per-batch matmul, small final
-    reduction. Oracle-checkable (DuckDB list_cosine_similarity)."""
-    ids, mat = load_embedding_matrix(sf_dir)
-    qsel = ids < _N_QUERIES
+    (self excluded): broadcast query matrix (filtered predicate-pushdown
+    read — only the query rows reach the driver), per-batch matmul, small
+    final reduction. Oracle-checkable (DuckDB list_cosine_similarity)."""
+    qids, qmat = load_query_matrix(sf_dir, _N_QUERIES)
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return brute_force_topk(ds, ids[qsel], mat[qsel], _K)
+    return brute_force_topk(ds, qids, qmat, _K)
 
 
 def ann_lsh(sf_dir: str) -> pa.Table:
@@ -29,10 +29,8 @@ def ann_lsh(sf_dir: str) -> pa.Table:
     flipping one bit). Recall vs the exact result asserted in pytest."""
     import ray
 
-    ids, mat = load_embedding_matrix(sf_dir)
-    qsel = ids < _N_QUERIES
-    qids, qmat = ids[qsel], mat[qsel]
-    dim = mat.shape[1]
+    qids, qmat = load_query_matrix(sf_dir, _N_QUERIES)
+    dim = qmat.shape[1]
     bucketer = LshBucketer(dim, nbits=8, seed=41)
     qbuckets = bucketer.bucket(qmat)
     # multiprobe: exact bucket + all 1-bit and 2-bit flips (37 of 256
@@ -95,19 +93,20 @@ def ann_lsh(sf_dir: str) -> pa.Table:
 
 
 def ann_ivf(sf_dir: str, *, n_cells: int = 16, nprobe: int = 6) -> pa.Table:
-    """IVF approximate top-k: k-means cells fit on a sample (driver-side,
-    seeded), centroids broadcast; every batch scores only vectors whose
+    """IVF approximate top-k: k-means cells fit on a DISTRIBUTED hash
+    sample (only ~n/3 sampled vectors reach the driver — never the full
+    table), centroids broadcast; every batch scores only vectors whose
     cell is among each query's `nprobe` nearest cells. Recall vs the exact
     result asserted in pytest."""
     import ray
 
-    from ..stages.ann import KMeansIVF
+    from ..stages.ann import KMeansIVF, sample_embeddings
 
-    ids, mat = load_embedding_matrix(sf_dir)
-    qsel = ids < _N_QUERIES
-    qids, qmat = ids[qsel], mat[qsel]
-    # sample for the quantizer: every 3rd vector (deterministic)
-    ivf = KMeansIVF(mat[::3], n_cells=n_cells, iters=10, seed=43)
+    qids, qmat = load_query_matrix(sf_dir, _N_QUERIES)
+    sample = sample_embeddings(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]), rate_inv=3, seed=17
+    )
+    ivf = KMeansIVF(sample, n_cells=n_cells, iters=10, seed=43)
     probe_cells = ivf.cells(qmat, nprobe=nprobe)  # (m, nprobe)
     ref = ray.put((qids, qmat, ivf.centroids, probe_cells))
 

@@ -16,16 +16,50 @@ import pyarrow.parquet as pq
 import ray
 
 
-def load_embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(vec_ids int64, L2-normalized float64 matrix) for broadcast sides.
-    Driver-side read of the SMALL side only (queries / centroids); the big
-    side always streams through map_batches."""
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+def _ids_and_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(t.column("vec_id"), dtype=np.int64)
     flat = np.asarray(t.column("embedding").combine_chunks().flatten(), dtype=np.float64)
     mat = flat.reshape(len(ids), -1)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     return ids, mat
+
+
+def load_embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """FULL-table (vec_ids, L2-normalized matrix) — small-scale VERIFY role
+    only (all-pairs `embedding_dup_pairs`, tests). The ANN pipelines never
+    call this: queries come from `load_query_matrix` (filtered read) and
+    quantizer fits from `sample_embeddings` (distributed hash sample)."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return _ids_and_matrix(t)
+
+
+def load_query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, normalized matrix) for the query rows only: a predicate-
+    pushdown read (`filters=`) so just the matching row groups/rows are
+    decoded — never the whole table on the driver."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    return _ids_and_matrix(t)
+
+
+def sample_embeddings(ds: "ray.data.Dataset", *, rate_inv: int = 3, seed: int = 17) -> np.ndarray:
+    """Deterministic distributed hash sample of an embeddings Dataset for
+    quantizer fits: each batch keeps rows with murmur64(vec_id) % rate_inv
+    == 0, so only ~n/rate_inv sampled vectors (the aggregate) reach the
+    driver — the full table never does. Partition-layout-invariant."""
+    from ..hashing import murmur64a_u64
+
+    def pick(batch: pa.Table) -> dict:
+        vid = np.asarray(batch.column("vec_id").combine_chunks()).astype(np.int64)
+        keep = murmur64a_u64(vid.view(np.uint64), seed=seed) % np.uint64(rate_inv) == 0
+        return {"embedding": batch_embeddings(batch)[keep]}
+
+    sampled = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    mat = np.stack(sampled["embedding"].to_numpy()).astype(np.float64)
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
 
 def batch_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
