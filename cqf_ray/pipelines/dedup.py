@@ -27,6 +27,8 @@ shingle stage); driver testdata is ASCII.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -40,8 +42,16 @@ from ..stages.keyed import keyed_partition_map, pairs_within_runs, run_ids_multi
 from ..text import char_ngram_hashes, string_bytes_and_offsets
 from .common import read
 
-_MAX_BUCKET = 256  # skip degenerate LSH buckets (standard practice: a
-# bucket this hot is a trivial shingle collision, and pairing it is O(L²))
+_MAX_BUCKET = 256  # optional hot-bucket cap for the generic kernel; the
+# ORACLE-CHECKED near-dup paths run cap-free — they pre-collapse exact-dup
+# texts instead, so a bucket's size is its count of DISTINCT texts and a
+# large bucket is real signal, never exact-copy inflation (round-2 ADVICE:
+# a silent cap made 'output == exact pair set' data-dependent)
+
+# candidate-doc count above which pair verification abandons the broadcast
+# shingle-set design for the partitioned co-shuffle (see
+# _verify_pairs_jaccard_partitioned)
+_VERIFY_BROADCAST_DOC_LIMIT = 20_000
 
 
 def dedup_exact(sf_dir: str, *, _hash=None) -> pa.Table:
@@ -103,23 +113,46 @@ def _doc_shingles(batch_texts, n: int = 5, seed: int = 29, *, check_ascii: bool 
 
 
 def _bucket_pair_kernel(payload_cols: list[str], *, max_run: int | None = _MAX_BUCKET,
-                        verify=None):
+                        verify=None, collapse_col: str | None = None):
     """Build a per-partition kernel: sort by (band, bkey, doc_id), detect
     bucket runs, emit all intra-bucket (doc_a < doc_b) pairs with payload
     columns fanned to _a/_b — one vectorized pass, no per-bucket calls.
-    ``verify(out_dict) -> mask`` can prune pairs in-kernel (e.g. Hamming)."""
+    ``verify(out_dict) -> mask`` can prune pairs in-kernel (e.g. Hamming).
+
+    ``collapse_col`` (a 64-bit text-hash column): within each bucket run,
+    rows sharing the collapse value are first collapsed to their min-doc
+    DELEGATE, and only delegates pair up. Exact-duplicate texts — the one
+    real-world cause of unboundedly hot buckets — then cost one row per
+    bucket instead of O(copies²) pairs; the full doc-level pair set is
+    reconstructed afterwards from the exact-dup class structure
+    (``_expand_pairs``). A 64-bit collapse collision can only SUPPRESS a
+    candidate (never fabricate one) and only if the colliding doc shares
+    every candidate bucket with its collider — odds ≪ the banding miss
+    rate ≈1.5e-4 that the pipeline already documents."""
 
     def kernel(t: pa.Table) -> pa.Table:
         band = np.asarray(t.column("band").combine_chunks()).astype(np.int64)
         bkey = np.asarray(t.column("bkey").combine_chunks()).astype(np.int64)
         did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
-        order = np.lexsort((did, bkey, band))
-        b, k, d = band[order], bkey[order], did[order]
+        payloads = {
+            c: np.asarray(t.column(c).combine_chunks()).astype(np.int64)
+            for c in payload_cols
+        }
+        if collapse_col is not None:
+            th = np.asarray(t.column(collapse_col).combine_chunks()).astype(np.int64)
+            order = np.lexsort((did, th, bkey, band))
+            b, k, ths, d = band[order], bkey[order], th[order], did[order]
+            _, starts3, _ = run_ids_multi(b, k, ths)
+            b, k, d = b[starts3], k[starts3], d[starts3]
+            payloads = {c: p[order][starts3] for c, p in payloads.items()}
+        else:
+            order = np.lexsort((did, bkey, band))
+            b, k, d = band[order], bkey[order], did[order]
+            payloads = {c: p[order] for c, p in payloads.items()}
         rid, starts, lens = run_ids_multi(b, k)
         li, ri = pairs_within_runs(rid, starts, lens, max_run=max_run)
         out = {"doc_a": d[li], "doc_b": d[ri]}
-        for c in payload_cols:
-            p = np.asarray(t.column(c).combine_chunks()).astype(np.int64)[order]
+        for c, p in payloads.items():
             out[f"{c}_a"] = p[li]
             out[f"{c}_b"] = p[ri]
         m = out["doc_a"] != out["doc_b"]
@@ -245,6 +278,147 @@ def _inverted_jaccard(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _exact_class_membership(sf_dir: str, *, min_len: int = 5) -> pd.DataFrame:
+    """(doc_id, rep) rows for every member of an exact-duplicate text class
+    (≥2 members) among docs of at least ``min_len`` bytes — the class
+    structure that lets the near-dup pipelines run LSH over DELEGATES and
+    reconstruct the full doc-level pair set afterwards (``_expand_pairs``).
+
+    Distributed shape: each batch pre-collapses to one row per distinct
+    text IN THE BATCH (hash, text, min doc, member list) — the combiner
+    that bounds the shuffle; a keyed-partition map on the text hash then
+    merges the batch classes, grouping by the FULL text inside the
+    partition, so 64-bit hash collisions are handled exactly (same
+    contract as ``dedup_exact``). Only dup-class membership rows — output-
+    sized, not corpus-sized — reach the driver."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if min_len > 0:
+            _, soffs = string_bytes_and_offsets(batch.column("text"))
+            batch = batch.filter(pa.array(np.diff(soffs) >= min_len))
+        g = pl.from_arrow(batch).group_by("text").agg(
+            rep=pl.col("doc_id").min(),
+            dids=pl.col("doc_id"),
+            n=pl.len().cast(pl.Int64),
+        )
+        h = hash_strings(g.get_column("text").to_arrow(), seed=11).view(np.int64)
+        return g.with_columns(pl.Series("h", h)).to_arrow()
+
+    def merge_kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(t)
+            .group_by(["h", "text"])
+            .agg(rep=pl.col("rep").min(), dids=pl.col("dids").flatten(),
+                 n=pl.col("n").sum())
+            .filter(pl.col("n") >= 2)
+            .select(doc_id=pl.col("dids"), rep=pl.col("rep"))
+            .explode("doc_id")
+        )
+        return out.to_arrow()
+
+    out = keyed_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], merge_kernel,
+    ).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "rep": pd.Series([], dtype=np.int64)})
+    return out.astype(np.int64).sort_values(["rep", "doc_id"]).reset_index(drop=True)
+
+
+def _expand_pairs(rep_pairs: pd.DataFrame, membership: pd.DataFrame,
+                  payload: str | None = None) -> pd.DataFrame:
+    """Doc-level pair set from delegate-level verified pairs plus the
+    exact-dup class structure: every intra-class pair (byte-identical
+    texts satisfy any J threshold; Hamming payload 0) plus the cross-class
+    expansion of each verified pair — similarity between docs equals that
+    between their class reps because members are byte-identical. Runs on
+    the driver but is OUTPUT-sized: |result| rows, no corpus state."""
+    from ..stages.keyed import run_ids
+
+    mdoc = membership["doc_id"].to_numpy(np.int64)
+    mrep = membership["rep"].to_numpy(np.int64)
+    pa_ = rep_pairs["doc_a"].to_numpy(np.int64) if len(rep_pairs) else np.empty(0, np.int64)
+    pb_ = rep_pairs["doc_b"].to_numpy(np.int64) if len(rep_pairs) else np.empty(0, np.int64)
+    pay = (rep_pairs[payload].to_numpy(np.int64)
+           if payload is not None and len(rep_pairs) else np.empty(0, np.int64))
+
+    lookup_o = np.argsort(mdoc)
+    ldoc, lrep = mdoc[lookup_o], mrep[lookup_o]
+
+    def to_rep(x: np.ndarray) -> np.ndarray:
+        if len(ldoc) == 0 or len(x) == 0:
+            return x.copy()
+        i = np.clip(np.searchsorted(ldoc, x), 0, len(ldoc) - 1)
+        hit = ldoc[i] == x
+        return np.where(hit, lrep[i], x)
+
+    ra, rb = to_rep(pa_), to_rep(pb_)
+    lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+    if len(lo) and (int(hi.max()) >= 1 << 32 or int(lo.min()) < 0):
+        raise ValueError("pair expansion packs doc_id < 2**32")
+    packed = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+    # several delegate pairs may map to one class pair; keep one (payloads
+    # agree across copies — members are identical — min for determinism)
+    o = np.lexsort((pay, packed)) if payload is not None else np.argsort(packed)
+    packed, lo, hi = packed[o], lo[o], hi[o]
+    pay = pay[o] if payload is not None else pay
+    first = np.concatenate([[True], packed[1:] != packed[:-1]]) if len(packed) else np.empty(0, bool)
+    lo, hi = lo[first], hi[first]
+    pay = pay[first] if payload is not None else pay
+
+    # class table augmented with singletons for pair endpoints not in a class
+    need = np.unique(np.concatenate([lo, hi]))
+    known = np.unique(mrep)
+    missing = need[~np.isin(need, known)]
+    cdoc = np.concatenate([mdoc, missing])
+    crep = np.concatenate([mrep, missing])
+    co = np.lexsort((cdoc, crep))
+    cdoc, crep = cdoc[co], crep[co]
+    reps_u, starts = np.unique(crep, return_index=True)
+    offs = np.concatenate([starts, [len(crep)]]).astype(np.int64)
+
+    # intra-class pairs (dup classes only — singletons contribute none)
+    rid, st, ln = run_ids(crep)
+    li, ri = pairs_within_runs(rid, st, ln, max_run=None)
+    intra_a, intra_b = cdoc[li], cdoc[ri]
+
+    # cross-class expansion of each verified class pair
+    ia = np.searchsorted(reps_u, lo)
+    ib = np.searchsorted(reps_u, hi)
+    sa = offs[ia + 1] - offs[ia]
+    sb = offs[ib + 1] - offs[ib]
+    tot = sa * sb
+    pidx = np.repeat(np.arange(len(lo), dtype=np.int64), tot)
+    w = _segmented_arange_local(tot)
+    sb_r = sb[pidx]
+    cross_a = cdoc[offs[ia][pidx] + w // sb_r]
+    cross_b = cdoc[offs[ib][pidx] + w % sb_r]
+    cross_lo = np.minimum(cross_a, cross_b)
+    cross_hi = np.maximum(cross_a, cross_b)
+
+    out = {
+        "doc_a": np.concatenate([intra_a, cross_lo]),
+        "doc_b": np.concatenate([intra_b, cross_hi]),
+    }
+    if payload is not None:
+        out[payload] = np.concatenate([np.zeros(len(intra_a), np.int64),
+                                       np.repeat(pay, tot)])
+    df = pd.DataFrame(out)
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _segmented_arange_local(seg_lens: np.ndarray) -> np.ndarray:
+    from ..stages.keyed import _segmented_arange
+
+    return _segmented_arange(seg_lens.astype(np.int64))
+
+
 def _verify_pairs_jaccard(
     sf_dir: str,
     cand: pd.DataFrame,
@@ -253,6 +427,7 @@ def _verify_pairs_jaccard(
     seed: int = 29,
     threshold: float,
     num_partitions: int = 32,
+    broadcast_limit: int = _VERIFY_BROADCAST_DOC_LIMIT,
 ) -> pd.DataFrame:
     """Exact-Jaccard verification of an explicit candidate PAIR list —
     cost Σ(|A|+|B|) over the pairs, NOT the inverted index's Σ df² (which
@@ -262,10 +437,15 @@ def _verify_pairs_jaccard(
     once (flat array + offsets — ~2 KB/doc); (3) the pair list streams
     through map_batches, each batch verified with ONE vectorized pass:
     tag both docs' shingles with the pair ordinal, lexsort, and count
-    duplicate (pair, shingle) entries = |A ∩ B|. At corpora where the
-    candidate-doc set no longer fits a broadcast, partition the pairs by
-    doc_a and co-shuffle the sets instead (same kernel per partition)."""
+    duplicate (pair, shingle) entries = |A ∩ B|. When the candidate-doc
+    set exceeds ``broadcast_limit``, the broadcast-free co-shuffle path
+    (``_verify_pairs_jaccard_partitioned``) runs instead — bitwise-equal
+    output, pytest-forced."""
     need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])).astype(np.int64)
+    if len(need) > broadcast_limit:
+        return _verify_pairs_jaccard_partitioned(
+            sf_dir, cand, n=n, seed=seed, threshold=threshold
+        )
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     filt_ref = ray.put(np.sort(need))
 
@@ -358,54 +538,248 @@ def _verify_pairs_jaccard(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def minhash_lsh_pairs(
-    sf_dir: str, *, num_perm: int = 128, bands: int = 32, threshold: float = 0.7
-) -> pa.Table:
-    """MinHash+LSH near-duplicate pairs, verified with exact n-gram Jaccard.
+def _verify_pairs_jaccard_partitioned(
+    sf_dir: str,
+    cand: pd.DataFrame,
+    *,
+    n: int = 5,
+    seed: int = 29,
+    threshold: float,
+) -> pd.DataFrame:
+    """Broadcast-free exact-Jaccard verification of a candidate pair list —
+    the scale fallback the broadcast path's docstring promises. Two keyed
+    passes, no candidate-set broadcast anywhere:
 
-    Stage 1 (map_batches): per-doc 128-perm MinHash signatures; explode to
-    (band, bkey, doc_id) rows. Stage 2: hash-partition on the bucket key —
-    only the |docs|×bands small band table shuffles — and pair up with one
-    vectorized run kernel per partition. Stage 3: distinct pairs via a
-    grouped count. Stage 4: exact-Jaccard verification over the candidate
-    docs only, itself the distributed inverted-index pipeline.
+    1. co-shuffle BY DOC: the candidate docs' distinct-shingle rows and a
+       2-rows-per-pair request table land in the same partitions; one
+       vectorized kernel routes each doc's shingles to every pair that
+       references it, emitting (pair_id, side, shingle, set_size) rows —
+       data moved is Σ(|A|+|B|) over the pairs;
+    2. co-shuffle BY PAIR: each pair's rows land wholly in one partition;
+       one lexsort kernel counts duplicate (pair, shingle) entries =
+       |A ∩ B| and reads |A|,|B| off the side rows.
+
+    The driver holds only the pair list (already its caller's state) and
+    the per-pair verdicts. The float threshold expression is byte-for-byte
+    the broadcast path's, so both paths return identical results."""
+    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])).astype(np.int64)
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    filt_ref = ray.put(np.sort(need))
+    empty_routed = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "shingle": pa.array([], type=pa.int64()),
+                             "pair_id": pa.array([], type=pa.int64()),
+                             "side": pa.array([], type=pa.int64())})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        keep = np.isin(did, ray.get(filt_ref))
+        batch = batch.filter(pa.array(keep))
+        did = did[keep]
+        if batch.num_rows == 0:
+            return empty_routed
+        h, offs = _doc_shingles(batch.column("text"), n=n, seed=seed)
+        _, soffs = string_bytes_and_offsets(batch.column("text"))
+        doc_len = np.diff(soffs)
+        out_d, out_s = [], []
+        for i in range(len(did)):
+            if doc_len[i] < n:
+                continue
+            u = np.unique(h[offs[i] : offs[i + 1]])
+            out_d.append(np.full(len(u), did[i]))
+            out_s.append(u.view(np.int64))
+        if not out_d:
+            return empty_routed
+        d = np.concatenate(out_d)
+        return pa.table({"doc_id": pa.array(d), "shingle": pa.array(np.concatenate(out_s)),
+                         "pair_id": pa.array(np.full(len(d), -1)),
+                         "side": pa.array(np.full(len(d), -1))})
+
+    npairs = len(cand)
+    req = pa.table({
+        "doc_id": pa.array(np.concatenate([cand["doc_a"].to_numpy(np.int64),
+                                           cand["doc_b"].to_numpy(np.int64)])),
+        "shingle": pa.array(np.zeros(2 * npairs, np.int64)),
+        "pair_id": pa.array(np.tile(np.arange(npairs, dtype=np.int64), 2)),
+        "side": pa.array(np.repeat(np.array([0, 1], dtype=np.int64), npairs)),
+    })
+    union_ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).union(
+        ray.data.from_arrow(req)
+    )
+
+    routed_schema = pa.table({"pair_id": pa.array([], type=pa.int64()),
+                              "side": pa.array([], type=pa.int64()),
+                              "shingle": pa.array([], type=pa.int64()),
+                              "size": pa.array([], type=pa.int64())})
+
+    def route_kernel(t: pa.Table) -> pa.Table:
+        side = np.asarray(t.column("side").combine_chunks()).astype(np.int64)
+        doc = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        is_req = side >= 0
+        sdoc, ssh = doc[~is_req], np.asarray(
+            t.column("shingle").combine_chunks()
+        ).astype(np.int64)[~is_req]
+        rdoc = doc[is_req]
+        rpair = np.asarray(t.column("pair_id").combine_chunks()).astype(np.int64)[is_req]
+        rside = side[is_req]
+        if len(sdoc) == 0 or len(rdoc) == 0:
+            return routed_schema
+        o = np.lexsort((ssh, sdoc))
+        sdoc, ssh = sdoc[o], ssh[o]
+        udoc, ustart = np.unique(sdoc, return_index=True)
+        offs = np.concatenate([ustart, [len(sdoc)]]).astype(np.int64)
+        i = np.clip(np.searchsorted(udoc, rdoc), 0, len(udoc) - 1)
+        hit = udoc[i] == rdoc
+        lens = np.where(hit, offs[i + 1] - offs[i], 0)
+        gather = np.repeat(offs[i], lens) + _segmented_arange_local(lens)
+        return pa.table({
+            "pair_id": pa.array(np.repeat(rpair, lens)),
+            "side": pa.array(np.repeat(rside, lens)),
+            "shingle": pa.array(ssh[gather]),
+            "size": pa.array(np.repeat(lens, lens)),
+        })
+
+    routed = keyed_partition_map(union_ds, ["doc_id"], route_kernel)
+
+    def count_kernel(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("pair_id").combine_chunks()).astype(np.int64)
+        s = np.asarray(t.column("shingle").combine_chunks()).astype(np.int64)
+        side = np.asarray(t.column("side").combine_chunks()).astype(np.int64)
+        size = np.asarray(t.column("size").combine_chunks()).astype(np.int64)
+        if len(p) == 0:
+            return pa.table({"pair_id": pa.array([], type=pa.int64()),
+                             "inter": pa.array([], type=pa.int64()),
+                             "la": pa.array([], type=pa.int64()),
+                             "lb": pa.array([], type=pa.int64())})
+        o = np.lexsort((s, p))
+        p, s, side, size = p[o], s[o], side[o], size[o]
+        up, inv = np.unique(p, return_inverse=True)
+        dup = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
+        inter = np.bincount(inv[1:][dup], minlength=len(up))
+        la = np.zeros(len(up), np.int64)
+        lb = np.zeros(len(up), np.int64)
+        m0, m1 = side == 0, side == 1
+        la[inv[m0]] = size[m0]
+        lb[inv[m1]] = size[m1]
+        return pa.table({"pair_id": pa.array(up), "inter": pa.array(inter.astype(np.int64)),
+                         "la": pa.array(la), "lb": pa.array(lb)})
+
+    res = keyed_partition_map(routed, ["pair_id"], count_kernel).to_pandas()
+    if res.empty or "pair_id" not in res.columns:
+        return cand.iloc[0:0][["doc_a", "doc_b"]]
+    inter = res["inter"].to_numpy(np.float64)
+    union = res["la"].to_numpy(np.int64) + res["lb"].to_numpy(np.int64) - res["inter"].to_numpy(np.int64)
+    # identical float expression to the broadcast path: inter / union >= t
+    ok = (union > 0) & (inter / np.maximum(union, 1) >= threshold)
+    good = res["pair_id"].to_numpy(np.int64)[ok]
+    out = cand.iloc[good][["doc_a", "doc_b"]].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+_LSH_STATE_CACHE: dict[tuple, dict] = {}
+
+
+def _lsh_pair_state(
+    sf_dir: str, *, threshold: float = 0.7, num_perm: int = 128, bands: int = 32,
+    n: int = 5, broadcast_limit: int = _VERIFY_BROADCAST_DOC_LIMIT,
+) -> dict:
+    """Compute-once-per-corpus shared state for the MinHash-LSH near-dup
+    family. ``minhash_lsh_pairs``, ``near_dup_canonical`` and
+    ``clean_corpus`` all consume ONE result instead of re-running
+    LSH + verification from raw text (round-2: the same pipeline executed
+    up to 3× per bench/driver run). Keyed by (path, mtime, params).
+
+    Pipeline (every heavy stage distributed):
+
+    1. per-batch MinHash signatures over docs of ≥ n bytes (shorter docs
+       cannot be in any pair — and empty-signature docs would otherwise
+       collide in EVERY bucket), exploded to (band, bkey, doc_id, thash);
+    2. bucket-keyed shuffle; pair kernel collapses exact-dup texts to
+       their per-bucket min-doc delegate and pairs delegates CAP-FREE —
+       bucket size now counts distinct texts, so the round-2 hot-bucket
+       cap (which silently dropped true pairs in >256-copy clusters) is
+       gone without reintroducing the O(copies²) explosion;
+    3. distinct candidate pairs via grouped count; exact-Jaccard verify
+       (broadcast sets, or the partitioned co-shuffle past
+       ``broadcast_limit`` docs);
+    4. exact-dup class membership (distributed, text-exact) + driver-side
+       output-sized expansion back to the full doc-level pair set.
 
     Default ``bands=32`` (rows/band = 4), the standard ≈0.7-threshold
-    operating point: P(miss | J = 0.7) = (1−0.7⁴)³² ≈ 1.5·10⁻⁴ per pair
-    and falls steeply with J, so on the driver corpus the verified output
-    equals the exact J ≥ threshold pair set (the SQL oracle; verified
-    empirically — every true pair shares many bands). Higher `bands`
-    buys recall at the cost of candidate-set explosion: on corpora with a
-    tiny shingle vocabulary (this testdata: ~2k distinct 5-grams) rows=2
-    banding made nearly every doc pair a candidate, which is why
-    selectivity — not the verify kernel — dominates cost at scale.
-    Reference analog: the k-way merge never materializes either
-    (/root/reference/src/gqf.c:2479-2544 streams the heads).
-    """
+    operating point: P(miss | J = 0.7) = (1−0.7⁴)³² ≈ 1.5e-4 per pair and
+    falls steeply with J, so on the driver corpus the verified output
+    equals the exact J ≥ threshold pair set (the SQL oracle)."""
+    try:
+        st_ = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        stamp = (st_.st_mtime_ns, st_.st_size)
+    except OSError:
+        stamp = None
+    key = (os.path.realpath(sf_dir), stamp, threshold, num_perm, bands, n)
+    if key in _LSH_STATE_CACHE:
+        return _LSH_STATE_CACHE[key]
+
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     hasher = MinHasher(num_perm=num_perm, seed=31)
 
     def stage1(batch: pa.Table) -> pa.Table:
-        hashes, offs = _doc_shingles(batch.column("text"))
+        _, soffs = string_bytes_and_offsets(batch.column("text"))
+        batch = batch.filter(pa.array(np.diff(soffs) >= n))
+        if batch.num_rows == 0:
+            return pa.table({"band": pa.array([], type=pa.int64()),
+                             "bkey": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "thash": pa.array([], type=pa.int64())})
+        hashes, offs = _doc_shingles(batch.column("text"), n=n, seed=29)
         sigs = hasher.signatures(hashes, offs)  # (ndocs, num_perm)
         bkeys = hasher.band_keys(sigs, bands)  # (ndocs, bands) uint64
         ndocs = sigs.shape[0]
         doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        thash = hash_strings(batch.column("text"), seed=11).view(np.int64)
         return pa.table(
             {
                 "band": np.repeat(np.arange(bands, dtype=np.int64), ndocs),
                 "bkey": bkeys.T.reshape(-1).view(np.int64),
                 "doc_id": np.tile(doc_ids, bands),
+                "thash": np.tile(thash, bands),
             }
         )
 
     band_ds = ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
-    pair_ds = keyed_partition_map(band_ds, ["band", "bkey"], _bucket_pair_kernel([]))
+    pair_ds = keyed_partition_map(
+        band_ds, ["band", "bkey"],
+        _bucket_pair_kernel([], collapse_col="thash", max_run=None),
+    )
     cand = _dedup_pairs(pair_ds)
-    if len(cand) == 0:
+    membership = _exact_class_membership(sf_dir, min_len=n)
+    if len(cand):
+        rep_pairs = _verify_pairs_jaccard(
+            sf_dir, cand, n=n, seed=29, threshold=threshold,
+            broadcast_limit=broadcast_limit,
+        )
+    else:
+        rep_pairs = cand.iloc[0:0][["doc_a", "doc_b"]] if len(cand.columns) else \
+            pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64)})
+    pairs = _expand_pairs(rep_pairs, membership)
+    state = {"rep_pairs": rep_pairs, "membership": membership, "pairs": pairs}
+    if len(_LSH_STATE_CACHE) > 8:
+        _LSH_STATE_CACHE.clear()
+    _LSH_STATE_CACHE[key] = state
+    return state
+
+
+def minhash_lsh_pairs(
+    sf_dir: str, *, num_perm: int = 128, bands: int = 32, threshold: float = 0.7
+) -> pa.Table:
+    """MinHash+LSH near-duplicate pairs, verified with exact n-gram
+    Jaccard — see ``_lsh_pair_state`` for the full distributed shape and
+    the recall math. Output equals the exact J ≥ threshold pair set (the
+    SQL oracle). Reference analog: the k-way merge never materializes its
+    inputs either (/root/reference/src/gqf.c:2479-2544 streams the heads)."""
+    st = _lsh_pair_state(sf_dir, threshold=threshold, num_perm=num_perm, bands=bands)
+    out = st["pairs"]
+    if len(out) == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
-    out = _verify_pairs_jaccard(sf_dir, cand, n=5, seed=29, threshold=threshold)
     return pa.Table.from_pandas(out.astype(np.int64), preserve_index=False)
 
 
@@ -413,13 +787,19 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup pairs: 64-bit fingerprints, candidate buckets from
     four 16-bit bands (any pair within Hamming ≤ 3 of 64 bits shares ≥ 1
     exact band by pigeonhole), Hamming-verified INSIDE the distributed
-    pair kernel — only verified pairs leave the partitions."""
+    pair kernel — only verified pairs leave the partitions. Exact-dup
+    texts collapse to per-bucket delegates (cap-free pairing, same design
+    as ``_lsh_pair_state``) and expand back afterwards: members of a text
+    class share the fingerprint, so intra-class Hamming is 0 and
+    cross-class Hamming equals the delegates' — the output is exactly the
+    brute-force Hamming ≤ 3 pair set (asserted by ``simhash_complete``)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def stage1(batch: pa.Table) -> pa.Table:
         h, offs = char_ngram_hashes(batch.column("text"), n=4, seed=37)
         sig = simhash64(h, offs)
         doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        thash = hash_strings(batch.column("text"), seed=11).view(np.int64)
         bands_ = [(sig >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)]
         return pa.table(
             {
@@ -427,6 +807,7 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
                 "bkey": np.concatenate(bands_).view(np.int64),
                 "doc_id": np.tile(doc_ids, 4),
                 "sig": np.tile(sig.view(np.int64), 4),
+                "thash": np.tile(thash, 4),
             }
         )
 
@@ -436,13 +817,16 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
         return hd <= max_hamming
 
     band_ds = ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
-    base = _bucket_pair_kernel(["sig"], verify=verify)
+    base = _bucket_pair_kernel(["sig"], verify=verify, collapse_col="thash",
+                               max_run=None)
 
     def kernel(t: pa.Table) -> pa.Table:
         return base(t).select(["doc_a", "doc_b", "hamming"])
 
     pair_ds = keyed_partition_map(band_ds, ["band", "bkey"], kernel)
-    df = _dedup_pairs(pair_ds, extra_cols=["hamming"])
+    rep_pairs = _dedup_pairs(pair_ds, extra_cols=["hamming"])
+    membership = _exact_class_membership(sf_dir, min_len=0)
+    df = _expand_pairs(rep_pairs, membership, payload="hamming")
     return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
 
 
@@ -523,8 +907,10 @@ def near_dup_canonical(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
     """Training-data dedup decision list: MinHash-LSH candidates → exact
     Jaccard verify → connected components → (doc_id, canonical_id, keep).
     Only docs in a dup group appear; keep=True marks the group minimum.
-    Oracle: recursive-CTE min-label closure over the exact pair set."""
-    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold).to_pandas()
+    Oracle: recursive-CTE min-label closure over the exact pair set.
+    Consumes the cached ``_lsh_pair_state`` — the LSH+verify pipeline runs
+    once per corpus, not once per downstream query."""
+    pairs = _lsh_pair_state(sf_dir, threshold=threshold)["pairs"]
     if len(pairs) == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
                          "canonical_id": pa.array([], type=pa.int64()),

@@ -40,21 +40,28 @@ def token_counts(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def quality_mask(batch: pa.Table) -> np.ndarray:
+    """Per-doc quality predicate, vectorized: byte length in [50, 5000],
+    ≥ 10 tokens, alpha ratio ≥ 0.6 in integers (10·alpha ≥ 6·len) so the
+    Ray and SQL sides agree bit-for-bit. Shared by ``quality_filter`` and
+    ``clean_corpus`` (which pushes it into its batch stages instead of
+    materializing a survivor id set)."""
+    data, offs = string_bytes_and_offsets(batch.column("text"))
+    lens = np.diff(offs)
+    is_alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+    cs = np.concatenate([[0], np.cumsum(is_alpha.astype(np.int64))])
+    alpha = cs[offs[1:]] - cs[offs[:-1]]
+    _, toffs = token_hashes(batch.column("text"), seed=0, lowercase=False)
+    n_tok = np.diff(toffs)
+    return (lens >= 50) & (lens <= 5000) & (n_tok >= 10) & (10 * alpha >= 6 * lens)
+
+
 def quality_filter(sf_dir: str) -> pa.Table:
-    """Quality gate: byte length in [50, 5000], ≥ 10 tokens, and alpha
-    ratio ≥ 0.6 evaluated in integers (10·alpha ≥ 6·len) so the Ray and SQL
-    sides agree bit-for-bit (no float thresholds)."""
+    """Quality gate query: doc_ids passing ``quality_mask``."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def gate(batch: pa.Table) -> pa.Table:
-        data, offs = string_bytes_and_offsets(batch.column("text"))
-        lens = np.diff(offs)
-        is_alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
-        cs = np.concatenate([[0], np.cumsum(is_alpha.astype(np.int64))])
-        alpha = cs[offs[1:]] - cs[offs[:-1]]
-        _, toffs = token_hashes(batch.column("text"), seed=0, lowercase=False)
-        n_tok = np.diff(toffs)
-        keep = (lens >= 50) & (lens <= 5000) & (n_tok >= 10) & (10 * alpha >= 6 * lens)
+        keep = quality_mask(batch)
         return pa.table({"doc_id": pa.array(
             np.asarray(batch.column("doc_id"), dtype=np.int64)[keep])})
 

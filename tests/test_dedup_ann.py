@@ -126,6 +126,78 @@ def test_minhash_jaccard_estimate_close_to_exact(planted_dir):
     assert abs(est - exact) < 0.12  # ±2σ at 256 perms
 
 
+def test_verify_pairs_partitioned_matches_broadcast(ray_session, planted_dir):
+    """The broadcast-free co-shuffle verify path must return bit-for-bit
+    the broadcast path's result (forced via broadcast_limit=1)."""
+    import itertools
+
+    from cqf_ray.pipelines.dedup import _verify_pairs_jaccard
+
+    cand = pd.DataFrame(
+        [(a, b) for a, b in itertools.combinations(range(24), 2)],
+        columns=["doc_a", "doc_b"],
+    )
+    for t in (0.3, 0.6, 0.9):
+        broad = _verify_pairs_jaccard(
+            planted_dir, cand, threshold=t, broadcast_limit=10**9
+        )
+        part = _verify_pairs_jaccard(
+            planted_dir, cand, threshold=t, broadcast_limit=1
+        )
+        pd.testing.assert_frame_equal(broad, part)
+    assert {(0, 1), (0, 2), (1, 2)} <= set(
+        map(tuple, broad[["doc_a", "doc_b"]].to_numpy())
+    )
+
+
+@pytest.fixture(scope="module")
+def giant_cluster_dir(tmp_path_factory):
+    """300 byte-identical copies (beyond the old 256 hot-bucket cap) + one
+    near-dup + unrelated docs — the ADVICE scenario where a silent cap
+    dropped true pairs."""
+    d = tmp_path_factory.mktemp("giant")
+    rng = np.random.default_rng(9)
+    texts = [_BASE] * 300 + [_BASE.replace("quick", "swift")]
+    vocab = np.array(_BASE.split())
+    for i in range(20):
+        texts.append(" ".join(rng.permutation(vocab)[: 25 + i]) + f" tail{i}")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_giant_dup_cluster_pairs_complete(ray_session, giant_cluster_dir):
+    """Cap-free delegate pairing + class expansion: a 300-copy cluster
+    yields ALL intra-class pairs plus every cross pair to its near-dup."""
+    from cqf_ray.pipelines.dedup import minhash_lsh_pairs
+
+    t = minhash_lsh_pairs(giant_cluster_dir, threshold=0.6).to_pandas()
+    pairs = set(map(tuple, t[["doc_a", "doc_b"]].to_numpy()))
+    n_intra = 300 * 299 // 2
+    intra = {(a, b) for a, b in pairs if a < 300 and b < 300}
+    cross = {(a, b) for a, b in pairs if b == 300}
+    assert len(intra) == n_intra
+    assert len(cross) == 300  # every copy pairs with the near-dup
+    assert not any(a > 300 or b > 300 for a, b in pairs)  # unrelated clean
+
+
+def test_simhash_giant_cluster_hamming_zero(ray_session, giant_cluster_dir):
+    from cqf_ray.pipelines.dedup import simhash_near_dups
+
+    t = simhash_near_dups(giant_cluster_dir, max_hamming=3).to_pandas()
+    sub = t[(t.doc_a < 300) & (t.doc_b < 300)]
+    assert len(sub) == 300 * 299 // 2
+    assert (sub.hamming == 0).all()
+
+
 def test_simhash_flags_near_dups(ray_session, planted_dir):
     from cqf_ray.pipelines.dedup import simhash_near_dups
 
