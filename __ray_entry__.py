@@ -61,6 +61,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh": _ann.ann_lsh,
     "ann_ivf": _ann.ann_ivf,
     "media_features": _mm.media_features,
+    # --- new round-3 operators ---
+    "embedding_dup_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
+    "embedding_lsh_recall": _dedup.embedding_lsh_recall,
     # --- newly oracled or rewritten this round ---
     "hll_distinct_users": _sk.hll_distinct_users,
     "transcript_hll_text_per_role": _tr.transcript_hll_text_per_role,

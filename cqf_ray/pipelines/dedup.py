@@ -961,6 +961,99 @@ def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def embedding_dup_pairs_lsh(
+    sf_dir: str, *, threshold: float = 0.95, bits_per_band: int = 16,
+    bands: int = 32, seed: int = 47,
+) -> pa.Table:
+    """Embedding near-dup pairs via banded random-hyperplane LSH — the
+    100 TB path that replaces ``embedding_dup_pairs``' all-pairs broadcast
+    matmul (kept only as the small-scale verify):
+
+    1. per-batch: normalize, project on ``bands × bits_per_band`` seeded
+       hyperplanes, pack each band's sign bits into a bucket key — the
+       shuffle then moves (band, bkey, vec_id) id rows, never vectors;
+    2. bucket-keyed shuffle + the same vectorized run-pair kernel as the
+       text LSH (cap-free); distinct candidate pairs by grouped count;
+    3. exact-cosine verification over a filtered distributed read of the
+       ENDPOINT vectors only (endpoint-sized, like the pair list itself).
+
+    Recall at cosine ≥ 0.95: per-bit agreement p = 1 − arccos(0.95)/π ≈
+    0.899, so P(miss) = (1 − p¹⁶)³² ≈ 1.6e-3 at the threshold and falls
+    fast above it; precision is exactly 1 (every emitted pair is
+    cosine-verified). ``embedding_lsh_recall`` is the driver-checkable
+    companion."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    from ..stages.ann import batch_embeddings
+
+    first = ds.take(1)
+    if not first:
+        return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                         "vec_b": pa.array([], type=pa.int64())})
+    dim = len(first[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bands * bits_per_band))
+    planes_ref = ray.put(planes)
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        emb = batch_embeddings(batch)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        bits = (emb @ pl) > 0  # (n, bands*r)
+        n = bits.shape[0]
+        vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        weights = np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64)
+        keys = (bits.reshape(n, bands, bits_per_band).astype(np.uint64) * weights).sum(axis=2)
+        return pa.table({
+            "band": np.repeat(np.arange(bands, dtype=np.int64), n),
+            "bkey": keys.T.reshape(-1).view(np.int64),
+            "doc_id": np.tile(vid, bands),
+        })
+
+    band_ds = ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
+    pair_ds = keyed_partition_map(band_ds, ["band", "bkey"],
+                                  _bucket_pair_kernel([], max_run=None))
+    cand = _dedup_pairs(pair_ds)
+    if len(cand) == 0:
+        return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                         "vec_b": pa.array([], type=pa.int64())})
+
+    eps = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])).astype(np.int64)
+    eref = ray.put(np.sort(eps))
+
+    def gather(batch: pa.Table) -> dict:
+        vid = np.asarray(batch.column("vec_id").combine_chunks()).astype(np.int64)
+        keep = np.isin(vid, ray.get(eref))
+        return {"vec_id": vid[keep], "embedding": batch_embeddings(batch)[keep]}
+
+    ep = ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    ids = ep["vec_id"].to_numpy(np.int64)
+    mat = np.stack(ep["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    o = np.argsort(ids)
+    ids, mat = ids[o], mat[o]
+    ia = np.searchsorted(ids, cand["doc_a"].to_numpy(np.int64))
+    ib = np.searchsorted(ids, cand["doc_b"].to_numpy(np.int64))
+    cos = (mat[ia] * mat[ib]).sum(axis=1)
+    keep = cos >= threshold
+    out = pd.DataFrame({"vec_a": cand["doc_a"].to_numpy(np.int64)[keep],
+                        "vec_b": cand["doc_b"].to_numpy(np.int64)[keep]})
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embedding_lsh_recall(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
+    """Driver-checkable companion for the LSH embedding-dup variant:
+    (n_pairs = exact all-pairs count — SQL-verified — and recall_ok =
+    approx ⊆ exact AND recall ≥ 0.9, trivially true on pair-free data)."""
+    exact = embedding_dup_pairs(sf_dir, threshold=threshold).to_pandas()
+    approx = embedding_dup_pairs_lsh(sf_dir, threshold=threshold).to_pandas()
+    e = set(map(tuple, exact[["vec_a", "vec_b"]].to_numpy()))
+    a = set(map(tuple, approx[["vec_a", "vec_b"]].to_numpy()))
+    ok = a <= e and (len(e) == 0 or len(a & e) / len(e) >= 0.9)
+    return pa.table({"n_pairs": pa.array([len(e)], type=pa.int64()),
+                     "recall_ok": pa.array([bool(ok)])})
+
+
 def _jaccard_pairs_sql(threshold: float, shingle_seed_note: str = "") -> str:
     """Exact 5-gram-Jaccard pair SQL over ALL documents (ASCII contract)."""
     return (
@@ -1008,5 +1101,13 @@ SQL = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 "
         "ORDER BY vec_a, vec_b"
+    ),
+    # embedding_dup_pairs_lsh itself is rows-only (hyperplane-dependent
+    # recall < 1); its companion checks the exact pair count + a recall
+    # bound, mirroring the ann_*_recall pattern
+    "embedding_lsh_recall": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS recall_ok "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
     ),
 }

@@ -218,6 +218,21 @@ def test_embedding_dup_pairs_planted_clusters(ray_session, planted_dir):
     assert not any(a < 5 <= b < 10 for a, b in pairs)  # A–B not linked
 
 
+def test_embedding_lsh_finds_planted_clusters(ray_session, planted_dir):
+    """The banded-hyperplane scale path must recover the tight planted
+    cluster's pairs (recall ≈ 1 at cos ≈ 0.9998) with exact precision."""
+    from cqf_ray.pipelines.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    exact = embedding_dup_pairs(planted_dir, threshold=0.95).to_pandas()
+    approx = embedding_dup_pairs_lsh(planted_dir, threshold=0.95).to_pandas()
+    e = set(map(tuple, exact[["vec_a", "vec_b"]].to_numpy()))
+    a = set(map(tuple, approx[["vec_a", "vec_b"]].to_numpy()))
+    assert a <= e  # cosine-verified: precision exactly 1
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert (i, j) in a  # cluster A fully recovered
+
+
 def test_ann_brute_force_cluster_neighbors(ray_session, planted_dir):
     from cqf_ray.pipelines.ann import ann_brute_force
 
