@@ -419,6 +419,53 @@ def _segmented_arange_local(seg_lens: np.ndarray) -> np.ndarray:
     return _segmented_arange(seg_lens.astype(np.int64))
 
 
+def _sig_prefilter(
+    sig_ds: "ray.data.Dataset",
+    cand: pd.DataFrame,
+    *,
+    num_perm: int,
+    threshold: float,
+    margin_sigmas: float = 4.0,
+) -> pd.DataFrame:
+    """MinHash-signature agreement prefilter over candidate pairs: est-J =
+    matching-component fraction of the two 128-perm signatures; keep pairs
+    with est-J ≥ t − 4σ (σ = √(t(1−t)/perms) ≈ 0.04 at t=0.7, cutoff ≈
+    0.54). A true J ≥ t pair is rejected with probability ≈ Φ(−4) ≈ 3e-5 —
+    5× below the banding miss rate ≈1.5e-4 this pipeline already
+    documents — while banding-noise candidates (est-J concentrated ±0.04
+    around their true J ≈ 0.3–0.5) are overwhelmingly cut before the
+    expensive exact set verification. Signatures come from the already-
+    materialized per-doc signature Dataset (computed ONCE in stage 1);
+    only the candidate ENDPOINT rows are collected."""
+    eps = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])).astype(np.int64)
+    eref = ray.put(np.sort(eps))
+
+    def sig_gather(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        keep = np.isin(did, ray.get(eref))
+        return batch.select(["doc_id", "sig"]).filter(pa.array(keep))
+
+    gathered = pa.concat_tables(
+        ray.get(
+            sig_ds.map_batches(
+                sig_gather, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    )
+    ids = np.asarray(gathered.column("doc_id").combine_chunks()).astype(np.int64)
+    sig_col = gathered.column("sig").combine_chunks()
+    sigs = np.asarray(sig_col.flatten(), dtype=np.int64).reshape(len(ids), num_perm)
+    o = np.argsort(ids)
+    ids, sigs = ids[o], sigs[o]
+    ia = np.searchsorted(ids, cand["doc_a"].to_numpy(np.int64))
+    ib = np.searchsorted(ids, cand["doc_b"].to_numpy(np.int64))
+    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+    cutoff = threshold - margin_sigmas * np.sqrt(
+        threshold * (1.0 - threshold) / num_perm
+    )
+    return cand[est >= cutoff].reset_index(drop=True)
+
+
 def _verify_pairs_jaccard(
     sf_dir: str,
     cand: pd.DataFrame,
@@ -698,7 +745,10 @@ def _lsh_pair_state(
        bucket size now counts distinct texts, so the round-2 hot-bucket
        cap (which silently dropped true pairs in >256-copy clusters) is
        gone without reintroducing the O(copies²) explosion;
-    3. distinct candidate pairs via grouped count; exact-Jaccard verify
+    3. distinct candidate pairs via grouped count; two prefilters — the
+       EXACT size-ratio bound (J ≥ t ⇒ min/max set size ≥ t, lossless)
+       and the est-J signature agreement cut (``_sig_prefilter``, miss
+       ≈3e-5 ≪ the banding miss) — then exact-Jaccard verification
        (broadcast sets, or the partitioned co-shuffle past
        ``broadcast_limit`` docs);
     4. exact-dup class membership (distributed, text-exact) + driver-side
@@ -720,35 +770,83 @@ def _lsh_pair_state(
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     hasher = MinHasher(num_perm=num_perm, seed=31)
 
-    def stage1(batch: pa.Table) -> pa.Table:
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        """Per-doc signature pass, computed ONCE and materialized: the band
+        rows, the est-J prefilter and (via ssize) the size-ratio prefilter
+        all derive from this Dataset instead of re-shingling the corpus."""
         _, soffs = string_bytes_and_offsets(batch.column("text"))
         batch = batch.filter(pa.array(np.diff(soffs) >= n))
+        empty_sig = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "thash": pa.array([], type=pa.int64()),
+            "ssize": pa.array([], type=pa.int64()),
+            "sig": pa.array([], type=pa.list_(pa.int64(), hasher.num_perm)),
+        })
         if batch.num_rows == 0:
-            return pa.table({"band": pa.array([], type=pa.int64()),
-                             "bkey": pa.array([], type=pa.int64()),
-                             "doc_id": pa.array([], type=pa.int64()),
-                             "thash": pa.array([], type=pa.int64())})
+            return empty_sig
         hashes, offs = _doc_shingles(batch.column("text"), n=n, seed=29)
         sigs = hasher.signatures(hashes, offs)  # (ndocs, num_perm)
-        bkeys = hasher.band_keys(sigs, bands)  # (ndocs, bands) uint64
         ndocs = sigs.shape[0]
         doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         thash = hash_strings(batch.column("text"), seed=11).view(np.int64)
+        # per-doc DISTINCT shingle count (one global lexsort per batch)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), np.diff(offs))
+        so = np.lexsort((hashes, doc_of))
+        ds_, hs_ = doc_of[so], hashes[so]
+        new = np.concatenate([[True], (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])]) \
+            if len(ds_) else np.empty(0, bool)
+        ssize = np.bincount(ds_[new], minlength=ndocs).astype(np.int64)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(sigs.view(np.int64)).reshape(-1)),
+            hasher.num_perm,
+        )
+        return pa.table({"doc_id": pa.array(doc_ids), "thash": pa.array(thash),
+                         "ssize": pa.array(ssize), "sig": sig_col})
+
+    sig_ds = ds.map_batches(
+        sig_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ndocs = batch.num_rows
+        sig_arr = batch.column("sig")
+        if isinstance(sig_arr, pa.ChunkedArray):
+            sig_arr = sig_arr.combine_chunks()
+        sigs = np.asarray(sig_arr.flatten(), dtype=np.int64).reshape(
+            ndocs, hasher.num_perm
+        ).view(np.uint64)
+        bkeys = hasher.band_keys(sigs, bands)  # (ndocs, bands) uint64
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        thash = np.asarray(batch.column("thash"), dtype=np.int64)
+        ssize = np.asarray(batch.column("ssize"), dtype=np.int64)
         return pa.table(
             {
                 "band": np.repeat(np.arange(bands, dtype=np.int64), ndocs),
                 "bkey": bkeys.T.reshape(-1).view(np.int64),
                 "doc_id": np.tile(doc_ids, bands),
                 "thash": np.tile(thash, bands),
+                "ssize": np.tile(ssize, bands),
             }
         )
 
-    band_ds = ds.map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
+    band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
     pair_ds = keyed_partition_map(
         band_ds, ["band", "bkey"],
-        _bucket_pair_kernel([], collapse_col="thash", max_run=None),
+        _bucket_pair_kernel(["ssize"], collapse_col="thash", max_run=None),
     )
-    cand = _dedup_pairs(pair_ds)
+    cand = _dedup_pairs(pair_ds, extra_cols=["ssize_a", "ssize_b"])
+    if len(cand):
+        # EXACT, lossless prefilter: J(A,B) ≥ t ⇒ min(|A|,|B|)/max ≥ t
+        # (|∩| ≤ min, |∪| ≥ max). Cuts the banding noise floor — weakly
+        # similar pairs with mismatched sizes — before the expensive
+        # per-pair set verification; zero effect on the output set.
+        sa = cand["ssize_a"].to_numpy(np.float64)
+        sb = cand["ssize_b"].to_numpy(np.float64)
+        ratio = np.minimum(sa, sb) / np.maximum(np.maximum(sa, sb), 1.0)
+        cand = cand[ratio >= threshold][["doc_a", "doc_b"]].reset_index(drop=True)
+    if len(cand):
+        cand = _sig_prefilter(sig_ds, cand, num_perm=hasher.num_perm,
+                              threshold=threshold)
     membership = _exact_class_membership(sf_dir, min_len=n)
     if len(cand):
         rep_pairs = _verify_pairs_jaccard(
