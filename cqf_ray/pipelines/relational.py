@@ -366,7 +366,7 @@ def revenue_by_region(sf_dir: str) -> pa.Table:
     return _finish(df[["r_name", "revenue", "n_orders"]], ["r_name"])
 
 
-def parts_never_ordered(sf_dir: str) -> pa.Table:
+def parts_never_ordered(sf_dir: str, *, mode: str = "broadcast") -> pa.Table:
     """Anti-join: parts with no lineitem, as a broadcast sketch anti-probe
     (reference's AMQ-as-prefilter role, ``src/bm.c:655-660``) that stays
     EXACT: (1) distributed distinct of ``l_partkey`` (combiner-first
@@ -375,8 +375,17 @@ def parts_never_ordered(sf_dir: str) -> pa.Table:
     (no false negatives); (3) Bloom hits are verified exactly against the
     broadcast sorted key set (searchsorted, vectorized), because Bloom
     false positives would otherwise drop never-ordered parts. Nothing
-    non-aggregated reaches the driver."""
+    non-aggregated reaches the driver.
+
+    ``mode="partitioned"``: the fallback for key universes where even the
+    distinct-key array outgrows a broadcast — part keys and distinct
+    lineitem keys co-shuffle by key (side-tagged union) and one kernel per
+    partition emits the part keys with no lineitem run. Bit-identical
+    output (pytest-enforced)."""
     import ray
+
+    if mode == "partitioned":
+        return _parts_never_ordered_partitioned(sf_dir)
 
     from ..sketches import BloomFilter
     from ..stages.probe import probe_dataset
@@ -415,12 +424,85 @@ def parts_never_ordered(sf_dir: str) -> pa.Table:
     return pa.table({"p_partkey": pa.array(missing)})
 
 
-def latest_event_per_user(sf_dir: str) -> pa.Table:
+def _parts_never_ordered_partitioned(sf_dir: str) -> pa.Table:
+    """Keyed anti-join: union (key, side) rows of part keys and DISTINCT
+    lineitem keys (combiner-first, so the fact side shuffles one row per
+    distinct key per block), partition by key, and emit part keys whose
+    partition-group has no lineitem row. No broadcast of any size."""
+    from ..stages.keyed import keyed_partition_map, run_ids
+
+    li = read(sf_dir, "lineitem", ["l_partkey"])
+    seen_ds = grouped_aggregate(li, ["l_partkey"], [("n", "count", None)])
+
+    def tag_seen(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("l_partkey").combine_chunks()).astype(np.int64)
+        return pa.table({"key": pa.array(k),
+                         "side": pa.array(np.ones(len(k), np.int64))})
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("p_partkey").combine_chunks()).astype(np.int64)
+        return pa.table({"key": pa.array(k),
+                         "side": pa.array(np.zeros(len(k), np.int64))})
+
+    part = read(sf_dir, "part", ["p_partkey"])
+    union = part.map_batches(tag_part, batch_format="pyarrow", zero_copy_batch=True).union(
+        seen_ds.map_batches(tag_seen, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def anti_kernel(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("key").combine_chunks()).astype(np.int64)
+        side = np.asarray(t.column("side").combine_chunks()).astype(np.int64)
+        o = np.lexsort((side, k))
+        k, side = k[o], side[o]
+        rid, starts, lens = run_ids(k)
+        # a key survives iff its run contains only part rows (side max == 0)
+        run_has_li = np.zeros(len(starts), bool)
+        np.logical_or.at(run_has_li, rid, side == 1)
+        keep_run = ~run_has_li
+        return pa.table({"p_partkey": pa.array(k[starts[keep_run]])})
+
+    out = keyed_partition_map(union, ["key"], anti_kernel).to_pandas()
+    if out.empty or "p_partkey" not in out.columns:
+        return pa.table({"p_partkey": pa.array([], type=pa.int64())})
+    return pa.table({"p_partkey": pa.array(
+        np.sort(out["p_partkey"].to_numpy().astype(np.int64)))})
+
+
+def latest_event_per_user(sf_dir: str, *, mode: str = "broadcast") -> pa.Table:
     """Distributed argmax (top-1 per key) WITHOUT shuffling the fact table:
     (1) combiner-aggregate max(ts) per user (tiny); (2) broadcast that back
     and filter the streaming fact side to rows hitting their user's max;
-    (3) tiny min(event_id) aggregate breaks exact-ts ties deterministically."""
+    (3) tiny min(event_id) aggregate breaks exact-ts ties deterministically.
+
+    ``mode="partitioned"``: fallback for key universes where the per-key
+    max table outgrows a broadcast — the fact rows shuffle once by user
+    and one lexsort kernel per partition picks each user's (max ts, min
+    event_id) row. Bit-identical output (pytest-enforced); broadcast mode
+    stays the default because it never moves the fact table."""
     import ray
+
+    if mode == "partitioned":
+        from ..stages.keyed import keyed_partition_map, run_ids
+
+        ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+        def argmax_kernel(t: pa.Table) -> pa.Table:
+            uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+            ts = np.asarray(t.column("ts").combine_chunks()).astype(
+                "datetime64[us]").astype(np.int64)
+            eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+            # per user: max ts, then min event_id — sort ascending by
+            # (user, ts, -event_id) and take each run's LAST row
+            o = np.lexsort((-eid, ts, uid))
+            uid, eid = uid[o], eid[o]
+            _, starts, lens = run_ids(uid)
+            last = starts + lens - 1
+            return pa.table({"user_id": pa.array(uid[last]),
+                             "event_id": pa.array(eid[last])})
+
+        df = keyed_partition_map(ev, ["user_id"], argmax_kernel).to_pandas()
+        df = df.sort_values("user_id").reset_index(drop=True)
+        return pa.Table.from_pandas(df[["user_id", "event_id"]], preserve_index=False)
 
     ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
     maxes = grouped_aggregate(ev, ["user_id"], [("max_ts", "max", "ts")])

@@ -3,6 +3,7 @@
 dict oracle, SURVEY.md §5 — lifted to Ray Data)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -92,6 +93,20 @@ def test_grouped_hll_error_bound(ray_session, duck):
     for g in exp:
         # p=12 ⇒ RSE ≈ 1.6%; allow 5σ plus small-range slack
         assert abs(got[g] - exp[g]) <= max(3, 0.1 * exp[g])
+
+
+def test_partitioned_fallbacks_match_broadcast(ray_session):
+    """The extreme-key-universe fallbacks (keyed co-shuffle, no broadcast)
+    must return bit-identical results to the default broadcast designs."""
+    from cqf_ray.pipelines.relational import latest_event_per_user, parts_never_ordered
+
+    a = latest_event_per_user(SF_DIR).to_pandas()
+    b = latest_event_per_user(SF_DIR, mode="partitioned").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    c = parts_never_ordered(SF_DIR).to_pandas()
+    d = parts_never_ordered(SF_DIR, mode="partitioned").to_pandas()
+    pd.testing.assert_frame_equal(c, d)
 
 
 def test_grouped_sketches_high_cardinality_flat_wall(ray_session):
