@@ -42,11 +42,12 @@ from ..stages.keyed import keyed_partition_map, pairs_within_runs, run_ids_multi
 from ..text import char_ngram_hashes, string_bytes_and_offsets
 from .common import read
 
-_MAX_BUCKET = 256  # optional hot-bucket cap for the generic kernel; the
-# ORACLE-CHECKED near-dup paths run cap-free — they pre-collapse exact-dup
-# texts instead, so a bucket's size is its count of DISTINCT texts and a
-# large bucket is real signal, never exact-copy inflation (round-2 ADVICE:
-# a silent cap made 'output == exact pair set' data-dependent)
+# Every near-dup pair kernel runs CAP-FREE (max_run=None): exact-dup texts
+# pre-collapse to per-bucket delegates, so a bucket's size is its count of
+# DISTINCT texts and a large bucket is real signal, never exact-copy
+# inflation (round-2 ADVICE: a silent hot-bucket cap made 'output == exact
+# pair set' data-dependent). The inverted-index path's `hot_cap` remains an
+# explicit, documented approximation knob.
 
 # candidate-doc count above which pair verification abandons the broadcast
 # shingle-set design for the partitioned co-shuffle (see
@@ -112,7 +113,7 @@ def _doc_shingles(batch_texts, n: int = 5, seed: int = 29, *, check_ascii: bool 
     return char_ngram_hashes(batch_texts, n=n, seed=seed)
 
 
-def _bucket_pair_kernel(payload_cols: list[str], *, max_run: int | None = _MAX_BUCKET,
+def _bucket_pair_kernel(payload_cols: list[str], *, max_run: int | None = None,
                         verify=None, collapse_col: str | None = None):
     """Build a per-partition kernel: sort by (band, bkey, doc_id), detect
     bucket runs, emit all intra-bucket (doc_a < doc_b) pairs with payload
