@@ -64,6 +64,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-3 operators ---
     "embedding_dup_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
     "embedding_lsh_recall": _dedup.embedding_lsh_recall,
+    "contamination_ngram": _txt.contamination_ngram,
     # --- newly oracled or rewritten this round ---
     "hll_distinct_users": _sk.hll_distinct_users,
     "transcript_hll_text_per_role": _tr.transcript_hll_text_per_role,

@@ -446,13 +446,17 @@ def _sig_prefilter(
         keep = np.isin(did, ray.get(eref))
         return batch.select(["doc_id", "sig"]).filter(pa.array(keep))
 
-    gathered = pa.concat_tables(
-        ray.get(
+    blocks = [
+        t for t in ray.get(
             sig_ds.map_batches(
                 sig_gather, batch_format="pyarrow", zero_copy_batch=True
             ).to_arrow_refs()
         )
-    )
+        if t.num_rows  # Ray emits schema-less 0-row blocks; drop before concat
+    ]
+    if not blocks:
+        return cand.iloc[0:0].reset_index(drop=True)
+    gathered = pa.concat_tables(blocks)
     ids = np.asarray(gathered.column("doc_id").combine_chunks()).astype(np.int64)
     sig_col = gathered.column("sig").combine_chunks()
     sigs = np.asarray(sig_col.flatten(), dtype=np.int64).reshape(len(ids), num_perm)

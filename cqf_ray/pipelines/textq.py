@@ -119,6 +119,85 @@ _FP_B = 1000003
 _FP_POW_CACHE: dict[int, np.ndarray] = {}
 
 
+def contamination_ngram(sf_dir: str, *, n: int = 5, seed: int = 61) -> pa.Table:
+    """Train/test DECONTAMINATION: per document, the exact count of its
+    distinct character n-grams that also occur anywhere in the
+    event-stream text corpus (`events.props` — the benchmark/eval side a
+    training corpus must not leak). Output is integer-exact
+    (doc_id, n_shingles, n_hit); a cleaning pipeline thresholds
+    n_hit/n_shingles to drop contaminated docs.
+
+    Distributed shape: (1) the eval side's DISTINCT shingle-hash set via
+    per-batch unique + combiner-first grouped distinct — only 8-byte
+    hashes shuffle; the distinct set (vocabulary-sized) broadcasts once.
+    At corpus scales where even the distinct-shingle set outgrows a
+    broadcast, swap stage 2 for the keyed co-shuffle membership join
+    (pattern: `_verify_pairs_jaccard_partitioned`). (2) one probe stage
+    over documents: per-doc distinct shingles by one lexsort per batch,
+    membership by searchsorted — no per-row loops, no floats. Byte
+    shingles == character shingles is asserted (ASCII contract, as in the
+    dedup oracles)."""
+    import ray
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..text import char_ngram_hashes
+
+    def _ascii_guard(col) -> None:
+        data, _ = string_bytes_and_offsets(col)
+        if len(data) and int(data.max()) >= 128:
+            raise ValueError("non-ASCII text: byte-shingle engine and "
+                             "character-substring SQL oracle diverge")
+
+    ev = read(sf_dir, "events", ["props"])
+
+    def ev_shingles(batch: pa.Table) -> pa.Table:
+        _ascii_guard(batch.column("props"))
+        h, _ = char_ngram_hashes(batch.column("props"), n=n, seed=seed)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    tset = grouped_aggregate(
+        ev.map_batches(ev_shingles, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], [("cnt", "count", None)],
+    ).to_pandas()
+    eval_set = np.sort(tset["h"].to_numpy().astype(np.int64)) if len(tset) else \
+        np.empty(0, np.int64)
+    ref = ray.put(eval_set)
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        _ascii_guard(batch.column("text"))
+        eset = ray.get(ref)
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        h, offs = char_ngram_hashes(batch.column("text"), n=n, seed=seed)
+        ndocs = len(did)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), np.diff(offs))
+        o = np.lexsort((h, doc_of))
+        d_, h_ = doc_of[o], h[o].view(np.int64)
+        uniq = np.concatenate([[True], (d_[1:] != d_[:-1]) | (h_[1:] != h_[:-1])]) \
+            if len(d_) else np.empty(0, bool)
+        du, hu = d_[uniq], h_[uniq]
+        n_sh = np.bincount(du, minlength=ndocs)
+        if len(eset):
+            i = np.clip(np.searchsorted(eset, hu), 0, len(eset) - 1)
+            hit = eset[i] == hu
+        else:
+            hit = np.zeros(len(hu), bool)
+        n_hit = np.bincount(du[hit], minlength=ndocs)
+        keep = n_sh > 0  # docs shorter than n have no shingles (SQL len>=n)
+        return pa.table({"doc_id": pa.array(did[keep]),
+                         "n_shingles": pa.array(n_sh[keep].astype(np.int64)),
+                         "n_hit": pa.array(n_hit[keep].astype(np.int64))})
+
+    df = docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_shingles": pa.array([], type=pa.int64()),
+                         "n_hit": pa.array([], type=pa.int64())})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _fp_powers(maxlen: int) -> np.ndarray:
     """B^k mod P table (cached per process; built once per actor)."""
     cached = _FP_POW_CACHE.get(0)
@@ -271,6 +350,17 @@ _LANG_ID_SQL = (
 )
 
 SQL = {
+    "contamination_ngram": (
+        "WITH ts AS (SELECT DISTINCT substring(props, CAST(r AS BIGINT) + 1, 5) AS g "
+        "            FROM events, LATERAL UNNEST(range(length(props) - 4)) AS t(r) "
+        "            WHERE length(props) >= 5), "
+        "dsh AS (SELECT DISTINCT doc_id, substring(text, CAST(r AS BIGINT) + 1, 5) AS g "
+        "        FROM documents, LATERAL UNNEST(range(length(text) - 4)) AS t(r) "
+        "        WHERE length(text) >= 5) "
+        "SELECT doc_id, COUNT(*) AS n_shingles, "
+        "       CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM ts)) AS BIGINT) AS n_hit "
+        "FROM dsh GROUP BY doc_id ORDER BY doc_id"
+    ),
     "tfidf_top_terms": (
         "WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), "

@@ -1,6 +1,7 @@
 """Zipf generator, actor-pool build parity, canonical dedup groups."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from conftest import SF_DIR
@@ -119,6 +120,39 @@ def test_sketch_quantiles_agree_with_exact(ray_session):
     for fn in (tdigest_value_quantiles, kll_value_quantiles):
         t = fn(SF_DIR).to_pandas()
         assert t["in_bounds"].all(), fn.__name__
+
+
+def test_contamination_finds_planted_leak(ray_session, tmp_path):
+    """A doc that quotes an eval-side string verbatim must show the
+    quoted substring's shingles as hits; clean docs must show zero."""
+    import pyarrow.parquet as pq
+
+    leak = "secret eval answer forty two"
+    docs = [
+        "totally clean training text with no overlap whatsoever here",
+        f"model output copied: {leak} pasted into the training corpus",
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["t", "t"]),
+            "n_chars": pa.array([len(t) for t in docs], type=pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table({"props": pa.array([f'{{"answer": "{leak}"}}', '{"k": 1}'])}),
+        str(tmp_path / "events.parquet"),
+    )
+    from cqf_ray.pipelines.textq import contamination_ngram
+
+    t = contamination_ngram(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert t.loc[0, "n_hit"] == 0
+    # every 5-gram inside the quoted leak string is a hit
+    assert t.loc[1, "n_hit"] >= len(leak) - 4
+    assert t.loc[1, "n_hit"] < t.loc[1, "n_shingles"]
 
 
 def test_every_oracle_key_has_a_query():
