@@ -65,6 +65,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dup_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
     "embedding_lsh_recall": _dedup.embedding_lsh_recall,
     "contamination_ngram": _txt.contamination_ngram,
+    "ann_brute_force": _ann.ann_brute_force,  # filtered query read (r3)
+    "latest_event_per_user": _rel.latest_event_per_user,  # fallback mode (r3)
     # --- newly oracled or rewritten this round ---
     "hll_distinct_users": _sk.hll_distinct_users,
     "transcript_hll_text_per_role": _tr.transcript_hll_text_per_role,
@@ -110,7 +112,6 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "transcript_shingle_per_role": _tr.transcript_shingle_per_role,
     # --- text / embeddings / exact analytics ---
     "embedding_dup_pairs": _dedup.embedding_dup_pairs,
-    "ann_brute_force": _ann.ann_brute_force,
     "q1_pricing_summary": _rel.q1_pricing_summary,
     "value_quantiles_exact": _rel.value_quantiles_exact,
     "quality_filter": _txt.quality_filter,
@@ -125,7 +126,6 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "events_per_type": _rel.events_per_type,
     "hourly_event_windows": _rel.hourly_event_windows,
     "props_key_stats": _rel.props_key_stats,
-    "latest_event_per_user": _rel.latest_event_per_user,
     "top50_events_by_value": _rel.top50_events_by_value,
     "sampled_event_counts": _rel.sampled_event_counts,
     "union_halves_counts": _rel.union_halves_counts,
