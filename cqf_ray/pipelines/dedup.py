@@ -159,7 +159,31 @@ def _bucket_pair_kernel(payload_cols: list[str], *, max_run: int | None = None,
         m = out["doc_a"] != out["doc_b"]
         if verify is not None:
             m &= verify(out)
-        return pa.table({c: pa.array(v[m]) for c, v in out.items()})
+        out = {c: v[m] for c, v in out.items()}
+        # normalize pair order: after a thash collapse the run is sorted by
+        # text hash, not doc id, so (a, b) needs an explicit min/max (with
+        # the _a/_b payloads swapped alongside)
+        if len(out["doc_a"]):
+            w = out["doc_a"] > out["doc_b"]
+            out["doc_a"], out["doc_b"] = (
+                np.where(w, out["doc_b"], out["doc_a"]),
+                np.where(w, out["doc_a"], out["doc_b"]),
+            )
+            for c in payloads:
+                a, bcol = out[f"{c}_a"], out[f"{c}_b"]
+                out[f"{c}_a"] = np.where(w, bcol, a)
+                out[f"{c}_b"] = np.where(w, a, bcol)
+        # in-kernel pair dedup (a pair can surface from many bands of the
+        # same partition): one packed-key unique per partition cuts the
+        # rows entering the grouped distinct-count by the band multiplicity
+        if len(out["doc_a"]):
+            if int(out["doc_b"].max()) >= 1 << 32 or int(out["doc_a"].min()) < 0:
+                raise ValueError("packed pair dedup requires 0 <= doc_id < 2**32")
+            packed = (out["doc_a"].astype(np.uint64) << np.uint64(32)) | \
+                out["doc_b"].astype(np.uint64)
+            _, first = np.unique(packed, return_index=True)
+            out = {c: v[first] for c, v in out.items()}
+        return pa.table({c: pa.array(v) for c, v in out.items()})
 
     return kernel
 
