@@ -863,20 +863,27 @@ def _lsh_pair_state(
         band_ds, ["band", "bkey"],
         _bucket_pair_kernel(["ssize"], collapse_col="thash", max_run=None),
     )
-    cand = _dedup_pairs(pair_ds, extra_cols=["ssize_a", "ssize_b"])
-    if len(cand):
-        # EXACT, lossless prefilter: J(A,B) ≥ t ⇒ min(|A|,|B|)/max ≥ t
-        # (|∩| ≤ min, |∪| ≥ max). Cuts the banding noise floor — weakly
-        # similar pairs with mismatched sizes — before the expensive
-        # per-pair set verification; zero effect on the output set.
-        sa = cand["ssize_a"].to_numpy(np.float64)
-        sb = cand["ssize_b"].to_numpy(np.float64)
-        ratio = np.minimum(sa, sb) / np.maximum(np.maximum(sa, sb), 1.0)
-        cand = cand[ratio >= threshold][["doc_a", "doc_b"]].reset_index(drop=True)
-    if len(cand):
-        cand = _sig_prefilter(sig_ds, cand, num_perm=hasher.num_perm,
-                              threshold=threshold)
-    membership = _exact_class_membership(sf_dir, min_len=n)
+    # the exact-dup class membership pass is independent of candidate
+    # generation — drive its Dataset from a worker thread so both
+    # pipelines stream through the cluster concurrently
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(max_workers=1) as _ex:
+        mem_fut = _ex.submit(_exact_class_membership, sf_dir, min_len=n)
+        cand = _dedup_pairs(pair_ds, extra_cols=["ssize_a", "ssize_b"])
+        if len(cand):
+            # EXACT, lossless prefilter: J(A,B) ≥ t ⇒ min(|A|,|B|)/max ≥ t
+            # (|∩| ≤ min, |∪| ≥ max). Cuts the banding noise floor — weakly
+            # similar pairs with mismatched sizes — before the expensive
+            # per-pair set verification; zero effect on the output set.
+            sa = cand["ssize_a"].to_numpy(np.float64)
+            sb = cand["ssize_b"].to_numpy(np.float64)
+            ratio = np.minimum(sa, sb) / np.maximum(np.maximum(sa, sb), 1.0)
+            cand = cand[ratio >= threshold][["doc_a", "doc_b"]].reset_index(drop=True)
+        if len(cand):
+            cand = _sig_prefilter(sig_ds, cand, num_perm=hasher.num_perm,
+                                  threshold=threshold)
+        membership = mem_fut.result()
     if len(cand):
         rep_pairs = _verify_pairs_jaccard(
             sf_dir, cand, n=n, seed=29, threshold=threshold,
