@@ -224,14 +224,20 @@ def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
              "rev_s": pa.array(np.round(price * (1.0 - disc) * 1e6).astype(np.int64))}
         )
 
-    joined = shuffle_join(
-        orders,
+    # push the partial aggregate BELOW the join: lineitem collapses to one
+    # (orderkey, rev_sum, n_lines) row per order before the all-to-all, so
+    # the exchange moves |orders| rows per side instead of every line row
+    li_agg = grouped_aggregate(
         li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
-        left_on="o_orderkey", right_on="l_orderkey",
+        ["l_orderkey"],
+        [("rev_s", "sum", "rev_s"), ("n_lines", "count", None)],
+    )
+    joined = shuffle_join(
+        orders, li_agg, left_on="o_orderkey", right_on="l_orderkey",
     )
     out = grouped_aggregate(
         joined, ["o_orderpriority"],
-        [("rev_s", "sum", "rev_s"), ("n_lines", "count", None)],
+        [("rev_s", "sum", "rev_s"), ("n_lines", "sum", "n_lines")],
     )
     df = out.to_pandas()
     df["revenue"] = round_scaled(df.pop("rev_s"))
