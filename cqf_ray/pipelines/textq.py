@@ -198,6 +198,35 @@ def contamination_ngram(sf_dir: str, *, n: int = 5, seed: int = 61) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def dataset_split(sf_dir: str, *, val_permille: int = 10, test_permille: int = 10,
+                  seed: int = 17) -> pa.Table:
+    """Deterministic leakage-safe train/val/test assignment per document:
+    bucket = murmur64(doc_id) % 1000, thresholded 980/10/10 by default.
+    Partition-invariant and coordination-free — the same doc lands in the
+    same split on any machine, any run, any shard layout (the property a
+    training-data pipeline needs so re-runs never leak val/test docs into
+    train). One vectorized hash per batch; bit-exact against the
+    MurmurHash64A-in-SQL oracle (HUGEINT modular arithmetic, the same port
+    the bottom-k samplers use)."""
+    from ..hashing import murmur64a_u64
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    train_lim = 1000 - val_permille - test_permille
+    val_lim = 1000 - test_permille
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        bucket = murmur64a_u64(did.view(np.uint64), seed=seed) % np.uint64(1000)
+        code = (bucket >= train_lim).astype(np.int64) + (bucket >= val_lim)
+        return pa.table({"doc_id": pa.array(did),
+                         "split": pa.array(names[code], type=pa.string())})
+
+    df = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _fp_powers(maxlen: int) -> np.ndarray:
     """B^k mod P table (cached per process; built once per actor)."""
     cached = _FP_POW_CACHE.get(0)
@@ -349,6 +378,18 @@ _LANG_ID_SQL = (
     "GROUP BY lang, lang_pred ORDER BY lang, lang_pred"
 )
 
+def _dataset_split_sql() -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id FROM documents), "
+        + _MURMUR_SQL.format(seed=17)
+        + " SELECT doc_id, CASE WHEN priority % 1000 < 980 THEN 'train' "
+        "WHEN priority % 1000 < 990 THEN 'val' ELSE 'test' END AS split "
+        "FROM mmf ORDER BY doc_id"
+    )
+
+
 SQL = {
     "contamination_ngram": (
         "WITH ts AS (SELECT DISTINCT substring(props, CAST(r AS BIGINT) + 1, 5) AS g "
@@ -361,6 +402,7 @@ SQL = {
         "       CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM ts)) AS BIGINT) AS n_hit "
         "FROM dsh GROUP BY doc_id ORDER BY doc_id"
     ),
+    "dataset_split": _dataset_split_sql(),
     "tfidf_top_terms": (
         "WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), "
