@@ -103,6 +103,65 @@ def media_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+class MediaResize:
+    """Actor-pool RESIZE stage (the image-downscale shape). STUB transform
+    per the no-codecs mandate: a deterministic strided byte subsample
+    stands in for pixel resampling, so the Ray plumbing — actor pool,
+    small batches, payload-buffer vectorization, output schema — and the
+    byte-arithmetic oracle are both real. Swap `__call__`'s gather for a
+    PIL `Image.resize` on a real cluster."""
+
+    def __init__(self, stride: int = 4):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buffers = col.buffers()
+        off = np.frombuffer(buffers[1], dtype=np.int32, count=len(col) + 1,
+                            offset=col.offset * 4).astype(np.int64)
+        data = (np.frombuffer(buffers[2], dtype=np.uint8)
+                if buffers[2] is not None else np.empty(0, np.uint8))
+        n_bytes = off[1:] - off[:-1]
+        s = self.stride
+        n_out = (n_bytes + s - 1) // s
+        total = int(n_out.sum())
+        idx = np.ones(total, dtype=np.int64)
+        heads = np.concatenate([[0], np.cumsum(n_out)[:-1]])
+        nz = n_out > 0
+        idx[heads[nz]] = np.concatenate([[0], 1 - n_out[nz][:-1]])
+        within = np.cumsum(idx)  # 0..n_out-1 per media
+        gather = np.repeat(off[:-1], n_out) + within * s
+        vals = data[gather].astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(vals)])
+        bounds = np.concatenate([heads, [total]])
+        byte_sum = cs[bounds[1:]] - cs[bounds[:-1]]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes_out": pa.array(n_out),
+                "byte_sum_out": pa.array(byte_sum),
+            }
+        )
+
+
+def media_resize(sf_dir: str, *, stride: int = 4) -> pa.Table:
+    """Resize every payload through the actor-pool stage (setup once per
+    actor, small batches for large payloads)."""
+    ds = synth_media(sf_dir)
+    out = ds.map_batches(
+        MediaResize, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256, concurrency=(1, 4),
+    )
+    df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 _FRAME = 64  # bytes per synthetic "frame"
 
 
@@ -154,6 +213,15 @@ SQL = {
     # feature arithmetic over the payload bytes is deterministic, so the
     # plumbing IS oracle-checked: byte_sum via ascii()/list_aggregate
     # (ASCII contract — payload bytes == code points on this testdata)
+    "media_resize": (
+        "SELECT doc_id AS media_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+        "CAST(CEIL(octet_length(CAST(text AS BLOB)) / 4.0) AS BIGINT) AS n_bytes_out, "
+        "CAST(COALESCE(list_aggregate(list_transform(range(1, length(text) + 1, 4), "
+        "i -> CAST(ascii(substring(text, CAST(i AS BIGINT), 1)) AS BIGINT)), 'sum'), 0) "
+        "AS BIGINT) AS byte_sum_out "
+        "FROM documents ORDER BY media_id"
+    ),
     "media_features": (
         "SELECT doc_id AS media_id, "
         "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
