@@ -67,6 +67,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "contamination_ngram": _txt.contamination_ngram,
     "dataset_split": _txt.dataset_split,
     "media_resize": _mm.media_resize,
+    "repetition_stats": _txt.repetition_stats,
     "ann_brute_force": _ann.ann_brute_force,  # filtered query read (r3)
     "latest_event_per_user": _rel.latest_event_per_user,  # fallback mode (r3)
     # --- newly oracled or rewritten this round ---

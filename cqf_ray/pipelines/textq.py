@@ -227,6 +227,42 @@ def dataset_split(sf_dir: str, *, val_permille: int = 10, test_permille: int = 1
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def repetition_stats(sf_dir: str, *, n: int = 5, seed: int = 61) -> pa.Table:
+    """Within-document repetition signal (the Gopher-style quality rule
+    "drop docs whose n-grams repeat excessively"): per doc, the total and
+    DISTINCT character n-gram counts — a cleaning pipeline thresholds
+    n_distinct/n_total. Integer-exact, one lexsort per batch, no shuffle
+    at all (the measure is per-doc-local). ASCII contract asserted, as in
+    the other shingle oracles."""
+    from ..text import char_ngram_hashes
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        data, _ = string_bytes_and_offsets(batch.column("text"))
+        if len(data) and int(data.max()) >= 128:
+            raise ValueError("non-ASCII text: byte-shingle engine and "
+                             "character-substring SQL oracle diverge")
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        h, offs = char_ngram_hashes(batch.column("text"), n=n, seed=seed)
+        ndocs = len(did)
+        n_total = np.diff(offs)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), n_total)
+        o = np.lexsort((h, doc_of))
+        d_, h_ = doc_of[o], h[o].view(np.int64)
+        uniq = np.concatenate([[True], (d_[1:] != d_[:-1]) | (h_[1:] != h_[:-1])]) \
+            if len(d_) else np.empty(0, bool)
+        n_dist = np.bincount(d_[uniq], minlength=ndocs)
+        keep = n_total > 0
+        return pa.table({"doc_id": pa.array(did[keep]),
+                         "n_total": pa.array(n_total[keep].astype(np.int64)),
+                         "n_distinct": pa.array(n_dist[keep].astype(np.int64))})
+
+    df = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _fp_powers(maxlen: int) -> np.ndarray:
     """B^k mod P table (cached per process; built once per actor)."""
     cached = _FP_POW_CACHE.get(0)
@@ -403,6 +439,12 @@ SQL = {
         "FROM dsh GROUP BY doc_id ORDER BY doc_id"
     ),
     "dataset_split": _dataset_split_sql(),
+    "repetition_stats": (
+        "SELECT doc_id, CAST(length(text) - 4 AS BIGINT) AS n_total, "
+        "       CAST(COUNT(DISTINCT substring(text, CAST(r AS BIGINT) + 1, 5)) AS BIGINT) AS n_distinct "
+        "FROM documents, LATERAL UNNEST(range(length(text) - 4)) AS t(r) "
+        "WHERE length(text) >= 5 GROUP BY doc_id, length(text) ORDER BY doc_id"
+    ),
     "tfidf_top_terms": (
         "WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
         "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), "
