@@ -144,7 +144,10 @@ def test_grouped_sketches_high_cardinality_flat_wall(ray_session):
     assert len(got) == n_groups
     for gid in range(0, n_groups, 500):  # exact at tiny range (linear counting)
         assert abs(got[gid].estimate() - rows_per) <= 2
-    assert elapsed < 25, f"grouped fold took {elapsed:.1f}s for {n_groups} groups"
+    # generous bound for a noisy co-tenant VM; the map_groups regression
+    # this guards against (~1 ms/group + per-group task overhead) would
+    # take several minutes at 12k groups
+    assert elapsed < 60, f"grouped fold took {elapsed:.1f}s for {n_groups} groups"
 
 
 def test_broadcast_join_matches_sql(ray_session, duck):
