@@ -459,7 +459,10 @@ def _sig_prefilter(
     5× below the banding miss rate ≈1.5e-4 this pipeline already
     documents — while banding-noise candidates (est-J concentrated ±0.04
     around their true J ≈ 0.3–0.5) are overwhelmingly cut before the
-    expensive exact set verification. Signatures come from the already-
+    expensive exact set verification. The gather also carries each doc's
+    distinct-shingle count, so the EXACT size-ratio bound (J ≥ t ⇒
+    min(|A|,|B|)/max ≥ t, lossless) applies in the same pass — the band
+    shuffle never carries sizes. Signatures come from the already-
     materialized per-doc signature Dataset (computed ONCE in stage 1);
     only the candidate ENDPOINT rows are collected."""
     eps = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])).astype(np.int64)
@@ -468,7 +471,7 @@ def _sig_prefilter(
     def sig_gather(batch: pa.Table) -> pa.Table:
         did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
         keep = np.isin(did, ray.get(eref))
-        return batch.select(["doc_id", "sig"]).filter(pa.array(keep))
+        return batch.select(["doc_id", "ssize", "sig"]).filter(pa.array(keep))
 
     blocks = [
         t for t in ray.get(
@@ -482,17 +485,27 @@ def _sig_prefilter(
         return cand.iloc[0:0].reset_index(drop=True)
     gathered = pa.concat_tables(blocks)
     ids = np.asarray(gathered.column("doc_id").combine_chunks()).astype(np.int64)
+    ssize = np.asarray(gathered.column("ssize").combine_chunks()).astype(np.float64)
     sig_col = gathered.column("sig").combine_chunks()
     sigs = np.asarray(sig_col.flatten(), dtype=np.int64).reshape(len(ids), num_perm)
     o = np.argsort(ids)
-    ids, sigs = ids[o], sigs[o]
+    ids, ssize, sigs = ids[o], ssize[o], sigs[o]
     ia = np.searchsorted(ids, cand["doc_a"].to_numpy(np.int64))
     ib = np.searchsorted(ids, cand["doc_b"].to_numpy(np.int64))
-    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+    # exact size-ratio bound first (lossless), then the est-J cut
+    sa, sb = ssize[ia], ssize[ib]
+    ratio_ok = np.minimum(sa, sb) / np.maximum(np.maximum(sa, sb), 1.0) >= threshold
+    # chunked gather+compare: one big fancy-index materializes two
+    # |pairs|×perms arrays (~hundreds of MB) whose cold-page faults cost
+    # 50× more than the compare itself on this VM — chunks stay in cache
+    est = np.empty(len(ia), np.float64)
+    for s in range(0, len(ia), 32768):
+        e = s + 32768
+        est[s:e] = (sigs[ia[s:e]] == sigs[ib[s:e]]).mean(axis=1)
     cutoff = threshold - margin_sigmas * np.sqrt(
         threshold * (1.0 - threshold) / num_perm
     )
-    return cand[est >= cutoff].reset_index(drop=True)
+    return cand[ratio_ok & (est >= cutoff)].reset_index(drop=True)
 
 
 def _verify_pairs_jaccard(
@@ -847,21 +860,19 @@ def _lsh_pair_state(
         bkeys = hasher.band_keys(sigs, bands)  # (ndocs, bands) uint64
         doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         thash = np.asarray(batch.column("thash"), dtype=np.int64)
-        ssize = np.asarray(batch.column("ssize"), dtype=np.int64)
         return pa.table(
             {
                 "band": np.repeat(np.arange(bands, dtype=np.int64), ndocs),
                 "bkey": bkeys.T.reshape(-1).view(np.int64),
                 "doc_id": np.tile(doc_ids, bands),
                 "thash": np.tile(thash, bands),
-                "ssize": np.tile(ssize, bands),
             }
         )
 
     band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
     pair_ds = keyed_partition_map(
         band_ds, ["band", "bkey"],
-        _bucket_pair_kernel(["ssize"], collapse_col="thash", max_run=None),
+        _bucket_pair_kernel([], collapse_col="thash", max_run=None),
     )
     # the exact-dup class membership pass is independent of candidate
     # generation — drive its Dataset from a worker thread so both
@@ -870,16 +881,7 @@ def _lsh_pair_state(
 
     with _cf.ThreadPoolExecutor(max_workers=1) as _ex:
         mem_fut = _ex.submit(_exact_class_membership, sf_dir, min_len=n)
-        cand = _dedup_pairs(pair_ds, extra_cols=["ssize_a", "ssize_b"])
-        if len(cand):
-            # EXACT, lossless prefilter: J(A,B) ≥ t ⇒ min(|A|,|B|)/max ≥ t
-            # (|∩| ≤ min, |∪| ≥ max). Cuts the banding noise floor — weakly
-            # similar pairs with mismatched sizes — before the expensive
-            # per-pair set verification; zero effect on the output set.
-            sa = cand["ssize_a"].to_numpy(np.float64)
-            sb = cand["ssize_b"].to_numpy(np.float64)
-            ratio = np.minimum(sa, sb) / np.maximum(np.maximum(sa, sb), 1.0)
-            cand = cand[ratio >= threshold][["doc_a", "doc_b"]].reset_index(drop=True)
+        cand = _dedup_pairs(pair_ds)
         if len(cand):
             cand = _sig_prefilter(sig_ds, cand, num_perm=hasher.num_perm,
                                   threshold=threshold)
