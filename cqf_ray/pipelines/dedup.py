@@ -1169,7 +1169,10 @@ def embedding_dup_pairs_lsh(
     ids, mat = ids[o], mat[o]
     ia = np.searchsorted(ids, cand["doc_a"].to_numpy(np.int64))
     ib = np.searchsorted(ids, cand["doc_b"].to_numpy(np.int64))
-    cos = (mat[ia] * mat[ib]).sum(axis=1)
+    cos = np.empty(len(ia), np.float64)
+    for s in range(0, len(ia), 65536):  # chunked: avoid |pairs|×dim temporaries
+        e = s + 65536
+        cos[s:e] = (mat[ia[s:e]] * mat[ib[s:e]]).sum(axis=1)
     keep = cos >= threshold
     out = pd.DataFrame({"vec_a": cand["doc_a"].to_numpy(np.int64)[keep],
                         "vec_b": cand["doc_b"].to_numpy(np.int64)[keep]})
