@@ -62,6 +62,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf": _ann.ann_ivf,
     "media_features": _mm.media_features,
     # --- new round-3 operators ---
+    "vocab_top_terms": _txt.vocab_top_terms,
+    "bigram_top_pairs": _txt.bigram_top_pairs,
     "embedding_dup_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
     "embedding_lsh_recall": _dedup.embedding_lsh_recall,
     "contamination_ngram": _txt.contamination_ngram,

@@ -389,6 +389,107 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def vocab_top_terms(sf_dir: str, *, k: int = 50) -> pa.Table:
+    """Corpus vocabulary statistics: the top-k terms by total occurrence
+    count, with document frequency — the global-vocab profile a
+    training-data pipeline uses for tokenizer fitting / stopword
+    discovery / contamination triage.
+
+    Combiner-first shape (the only scale-correct one): each batch
+    pre-aggregates its tokens to per-term ``(tf_part, df_part)`` rows
+    (one vectorized polars group_by per batch), so the all-to-all
+    exchange carries |blocks| × |vocab| partial rows, never the token
+    stream. Per-batch df partials sum exactly because a document never
+    spans batches (same invariant ``tfidf_top_terms`` relies on). The
+    final top-k runs on the vocabulary-sized aggregate only."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df_ = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+                "t": pl.from_arrow(batch.column("text").combine_chunks()).str.to_lowercase(),
+            }
+        )
+        out = (
+            df_.with_columns(pl.col("t").str.extract_all(r"\S+").alias("term"))
+            .select("doc_id", "term")
+            .explode("term")
+            .drop_nulls()
+            .group_by("term")
+            .agg(
+                pl.len().cast(pl.Int64).alias("tf_part"),
+                pl.col("doc_id").n_unique().cast(pl.Int64).alias("df_part"),
+            )
+        )
+        return out.to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        partials, ["term"],
+        [("tf_total", "sum", "tf_part"), ("df", "sum", "df_part")],
+    ).to_pandas()
+    if agg.empty or "term" not in agg.columns:
+        return pa.table({"rank": pa.array([], type=pa.int64()),
+                         "term": pa.array([], type=pa.string()),
+                         "tf_total": pa.array([], type=pa.int64()),
+                         "df": pa.array([], type=pa.int64())})
+    agg = agg.sort_values(["tf_total", "term"], ascending=[False, True]).head(k)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(agg.reset_index(drop=True), preserve_index=False)
+
+
+def bigram_top_pairs(sf_dir: str, *, k: int = 50) -> pa.Table:
+    """Top-k adjacent-token bigrams over the corpus (collocation /
+    boilerplate-phrase discovery). Same combiner-first plan as
+    :func:`vocab_top_terms`: tokens explode inside the batch, the
+    within-document next-token pairing is one vectorized ``shift(-1)
+    over doc_id`` (order-preserving — a document's tokens stay
+    contiguous and in order through explode), and only per-batch
+    ``(bigram, n_part)`` partials enter the exchange."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df_ = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+                "t": pl.from_arrow(batch.column("text").combine_chunks()).str.to_lowercase(),
+            }
+        )
+        ex = (
+            df_.with_columns(pl.col("t").str.extract_all(r"\S+").alias("term"))
+            .select("doc_id", "term")
+            .explode("term")
+            .drop_nulls()
+            .with_columns(pl.col("term").shift(-1).over("doc_id").alias("nxt"))
+            .drop_nulls()
+            .with_columns(
+                pl.concat_str([pl.col("term"), pl.col("nxt")], separator=" ").alias("bigram")
+            )
+        )
+        return ex.group_by("bigram").agg(
+            pl.len().cast(pl.Int64).alias("n_part")
+        ).to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(partials, ["bigram"], [("n", "sum", "n_part")]).to_pandas()
+    if agg.empty or "bigram" not in agg.columns:
+        return pa.table({"rank": pa.array([], type=pa.int64()),
+                         "bigram": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    agg = agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(agg.reset_index(drop=True), preserve_index=False)
+
+
 def _marker_list(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
 
@@ -427,6 +528,23 @@ def _dataset_split_sql() -> str:
 
 
 SQL = {
+    "vocab_top_terms": (
+        "WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
+        "ag AS (SELECT term, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term), "
+        "ranked AS (SELECT term, tf_total, df, "
+        "ROW_NUMBER() OVER (ORDER BY tf_total DESC, term) AS rank FROM ag) "
+        "SELECT CAST(rank AS BIGINT) AS rank, term, CAST(tf_total AS BIGINT) AS tf_total, "
+        "CAST(df AS BIGINT) AS df FROM ranked WHERE rank <= 50 ORDER BY rank"
+    ),
+    "bigram_top_pairs": (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents), "
+        "pairs AS (SELECT w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS bigram "
+        "          FROM toks, LATERAL UNNEST(range(1, length(w))) AS t(i)), "
+        "ag AS (SELECT bigram, COUNT(*) AS n FROM pairs GROUP BY bigram), "
+        "ranked AS (SELECT bigram, n, ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank FROM ag) "
+        "SELECT CAST(rank AS BIGINT) AS rank, bigram, CAST(n AS BIGINT) AS n "
+        "FROM ranked WHERE rank <= 50 ORDER BY rank"
+    ),
     "contamination_ngram": (
         "WITH ts AS (SELECT DISTINCT substring(props, CAST(r AS BIGINT) + 1, 5) AS g "
         "            FROM events, LATERAL UNNEST(range(length(props) - 4)) AS t(r) "
