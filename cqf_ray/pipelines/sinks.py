@@ -28,6 +28,86 @@ def write_dataset_resumable(ds: "ray.data.Dataset", out_dir: str) -> str:
     return out_dir
 
 
+def write_partitioned_resumable(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    key: str,
+    *,
+    num_partitions: int = 64,
+    seed: int = 7,
+) -> str:
+    """Partition-LEVEL resumable Parquet sink: rows hash-partition by
+    ``murmur64(key) % num_partitions`` into hive-style ``part_id=<i>/``
+    directories, each gated by its own marker under ``_done/``. A re-run
+    after a crash (1) drops the un-marked partition directories (they may
+    hold half-written files), (2) filters already-done partitions out of
+    the stream INSIDE the batch transform — finished work is never
+    re-shipped or re-written — and (3) writes only the remainder in one
+    streaming pass. Deterministic routing (same murmur the dataset-split
+    and bottom-k samplers use) means a resumed run reproduces the exact
+    same partition membership on any cluster shape.
+
+    The ``_done/`` marker dir and per-partition markers start with an
+    underscore-path, which parquet dataset discovery ignores — the output
+    root stays directly readable by ``ray.data.read_parquet``.
+    """
+    import shutil
+
+    from ..hashing import murmur64a_u64
+
+    done_dir = os.path.join(out_dir, "_done")
+    os.makedirs(done_dir, exist_ok=True)
+    done = sorted(int(f) for f in os.listdir(done_dir))
+    todo = [p for p in range(num_partitions) if p not in set(done)]
+    if not todo:
+        return out_dir
+    for p in todo:  # a crashed attempt may have left half-written files
+        shutil.rmtree(os.path.join(out_dir, f"part_id={p}"), ignore_errors=True)
+    done_arr = np.asarray(done, dtype=np.int64)
+
+    def route(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key).combine_chunks()).astype(np.int64)
+        pid = (
+            murmur64a_u64(k.view(np.uint64), seed=seed)
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        t = batch.append_column("part_id", pa.array(pid))
+        if len(done_arr):
+            t = t.filter(pa.array(~np.isin(pid, done_arr)))
+        return t
+
+    ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["part_id"]
+    )
+    for p in todo:  # markers only after the whole write pass succeeded
+        with open(os.path.join(done_dir, str(p)), "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def corpus_partitioned_roundtrip(sf_dir: str) -> pa.Table:
+    """Query-surface wrapper for the partitioned resumable sink: write the
+    documents table hash-partitioned by doc_id, read the partitioned
+    output back through Ray Data, and return (doc_id, n_chars) — the
+    oracle is the identity projection, so any routing loss, duplicate
+    write, or resume bug shows up as a row/hash mismatch."""
+    import shutil
+    import tempfile
+
+    from .common import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = os.path.join(
+        tempfile.gettempdir(), f"corpus_part_{abs(hash(sf_dir)) % 10**8}"
+    )
+    # fresh write per invocation (the resume path is exercised in pytest)
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned_resumable(ds, out, "doc_id", num_partitions=8)
+    back = ray.data.read_parquet(out, columns=["doc_id", "n_chars"])
+    df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def dump_sketch_parquet(cqf, out_dir: str, shards: int = 16, invert_keys: bool = True) -> str:
     """Hash-ordered lossless (key, value, count) dump of a CQF to sharded
     Parquet — the distributed analog of qf_iterator + serialize. Shards
@@ -93,6 +173,9 @@ def cqf_dump_roundtrip(sf_dir: str) -> pa.Table:
 
 
 SQL = {
+    "corpus_partitioned_roundtrip": (
+        "SELECT doc_id, n_chars FROM documents ORDER BY doc_id"
+    ),
     "cqf_dump_roundtrip": (
         "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id"
     ),

@@ -72,6 +72,53 @@ def test_dump_unique_index_globally_monotone(ray_session, tmp_path):
         assert (li == np.arange(len(li))).all()
 
 
+def test_partitioned_resumable_skips_done_partitions(ray_session, tmp_path):
+    """Partition-level resume: finished partitions are never rewritten
+    (byte-identical files survive), un-marked partitions — including stale
+    half-written directories from a crashed attempt — are dropped and
+    rewritten exactly once, and the read-back equals the source with no
+    duplicates or losses."""
+    import ray
+
+    from cqf_ray.pipelines.common import read
+    from cqf_ray.pipelines.sinks import write_partitioned_resumable
+
+    src = read(SF_DIR, "documents", ["doc_id", "n_chars"])
+    expect = (
+        src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    out = str(tmp_path / "corpus")
+    write_partitioned_resumable(src, out, "doc_id", num_partitions=8)
+    part_dirs = sorted(d for d in os.listdir(out) if d.startswith("part_id="))
+    assert part_dirs and len(os.listdir(os.path.join(out, "_done"))) == 8
+
+    def snapshot(d):
+        files = {}
+        for root, _, names in os.walk(os.path.join(out, d)):
+            for n in names:
+                p = os.path.join(root, n)
+                files[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return files
+
+    keep = snapshot(part_dirs[0])
+    # simulate a crash: two partitions lose their markers, one of them
+    # also has a half-written garbage file left behind
+    for victim in ("3", "5"):
+        os.remove(os.path.join(out, "_done", victim))
+    stale = os.path.join(out, "part_id=3", "halfwritten.parquet")
+    os.makedirs(os.path.dirname(stale), exist_ok=True)
+    with open(stale, "wb") as f:
+        f.write(b"garbage")
+    write_partitioned_resumable(src, out, "doc_id", num_partitions=8)
+    assert snapshot(part_dirs[0]) == keep  # done partition untouched
+    assert not os.path.exists(stale)  # stale partial dropped, not read
+    back = (
+        ray.data.read_parquet(out, columns=["doc_id", "n_chars"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, expect)
+
+
 def test_write_dataset_resumable_marker(ray_session, tmp_path):
     import ray
 
