@@ -117,7 +117,94 @@ def purchase_view_asof(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
 
 
+_N_WIN = 12
+
+
+def campaign_window_revenue(sf_dir: str) -> pa.Table:
+    """Interval (range) JOIN: overlapping analysis windows × events.
+    Twelve windows tile the event-time span with 2× width (each event
+    falls in ~2 windows — true interval-join multiplicity, which an
+    equi-join or bucketing can't express). Returns per-window
+    (window_id, win_start_us, win_end_us, n_events, sum_value).
+
+    Distributed shape: the window table is the SMALL side — its bounds
+    derive from a streaming min/max partial pass and broadcast in the
+    probe closure; each batch probes every window with one vectorized
+    mask (the loop is over the 12 windows, never over rows), and only
+    per-batch (window_id, count, µ-unit sum) partials enter the
+    exchange. Value sums ride integer micro-units end-to-end, so the
+    result is bit-identical to the DECIMAL(18,6) oracle. At very large
+    window counts the probe would switch to sorted-boundary
+    searchsorted interval partitioning; at 12 the dense mask sweep is
+    strictly faster."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_scaled
+
+    mm_ds = read(sf_dir, "events", ["ts"])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        ts = _col_ts_us(batch, "ts")
+        if len(ts) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([ts.min()]), "hi": pa.array([ts.max()])})
+
+    b = mm_ds.map_batches(mm, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    tmin, tmax = int(b["lo"].min()), int(b["hi"].max())
+    span = tmax - tmin
+    los = np.array([tmin + (i * span) // _N_WIN for i in range(_N_WIN)], dtype=np.int64)
+    his = los + (2 * span) // _N_WIN
+
+    ev = read(sf_dir, "events", ["ts", "value"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ts = _col_ts_us(batch, "ts")
+        v = np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+        v_s = np.round(v * 1e6).astype(np.int64)
+        wid, n_part, v_part = [], [], []
+        for i in range(_N_WIN):
+            m = (ts >= los[i]) & (ts <= his[i])
+            c = int(m.sum())
+            if c:
+                wid.append(i)
+                n_part.append(c)
+                v_part.append(int(v_s[m].sum()))
+        return pa.table({"window_id": pa.array(np.asarray(wid, dtype=np.int64)),
+                         "n_part": pa.array(np.asarray(n_part, dtype=np.int64)),
+                         "v_part": pa.array(np.asarray(v_part, dtype=np.int64))})
+
+    agg = grouped_aggregate(
+        ev.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_id"],
+        [("n_events", "sum", "n_part"), ("v_s", "sum", "v_part")],
+    ).to_pandas()
+    agg = agg.sort_values("window_id").reset_index(drop=True)
+    w = agg["window_id"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "window_id": pa.array(w),
+            "win_start_us": pa.array(los[w]),
+            "win_end_us": pa.array(his[w]),
+            "n_events": pa.array(agg["n_events"].to_numpy().astype(np.int64)),
+            "sum_value": pa.array(round_scaled(agg["v_s"].to_numpy())),
+        }
+    )
+
+
 SQL = {
+    "campaign_window_revenue": (
+        "WITH b AS (SELECT MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax FROM events), "
+        "w AS (SELECT CAST(i AS BIGINT) AS window_id, "
+        "             tmin + (CAST(i AS BIGINT) * (tmax - tmin)) // 12 AS lo, "
+        "             tmin + (CAST(i AS BIGINT) * (tmax - tmin)) // 12 "
+        "               + (2 * (tmax - tmin)) // 12 AS hi "
+        "      FROM b, LATERAL UNNEST(range(12)) AS t(i)) "
+        "SELECT w.window_id, w.lo AS win_start_us, w.hi AS win_end_us, "
+        "COUNT(*) AS n_events, "
+        "CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value "
+        "FROM w JOIN events e ON epoch_us(e.ts) BETWEEN w.lo AND w.hi "
+        "GROUP BY 1, 2, 3 ORDER BY window_id"
+    ),
     "transcript_sessions": (
         f"{_CTE}, d AS ("
         "  SELECT conv_id, ts - LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap "
