@@ -245,6 +245,48 @@ def cms_top_user_estimates(sf_dir: str) -> pa.Table:
     )
 
 
+def mg_heavy_users(sf_dir: str) -> pa.Table:
+    """Misra-Gries heavy-hitter VERDICT query (the deterministic
+    complement to ``cms_top_user_estimates``): build a k=16 MG summary
+    over user_id — small enough that compaction fires at every testdata
+    scale — then check its published guarantees against exact counts:
+    (1) for every tracked key, est ≤ true ≤ est + dec; (2) every user
+    whose true count exceeds the carried decrement ``dec`` is tracked;
+    (3) dec ≤ n/(k+1). The exact-count comparison collects the per-user
+    aggregate driver-side — verdict-only, like the other sketch-bound
+    companions; the SKETCH build itself is the distributed partial +
+    tree-merge path."""
+    from ..sketches import MisraGries
+
+    ds = read(sf_dir, "events", ["user_id"])
+    mg = build_sketch(ds, keys.int_column("user_id"), lambda: MisraGries(k=16))
+    tracked, est, dec = mg.items()
+
+    exact = grouped_aggregate(
+        read(sf_dir, "events", ["user_id"]), ["user_id"], [("n", "count", None)]
+    ).to_pandas()
+    users = exact["user_id"].to_numpy().astype(np.uint64)
+    true = exact["n"].to_numpy().astype(np.int64)
+    n_total = int(true.sum())
+
+    order = np.argsort(users)
+    users_s, true_s = users[order], true[order]
+    pos = np.searchsorted(users_s, tracked)
+    ok_found = (pos < len(users_s)) & (users_s[np.clip(pos, 0, len(users_s) - 1)] == tracked)
+    true_of_tracked = true_s[np.clip(pos, 0, len(users_s) - 1)]
+    bounds_ok = bool(
+        ok_found.all()
+        and (est <= true_of_tracked).all()
+        and (true_of_tracked <= est + dec).all()
+        and dec <= n_total // (16 + 1)
+    )
+    heavy = users_s[true_s > dec]
+    heavy_covered = bool(np.isin(heavy, tracked).all())
+    return pa.table({"n_total": pa.array([n_total], type=pa.int64()),
+                     "bounds_ok": pa.array([bounds_ok]),
+                     "heavy_covered": pa.array([heavy_covered])})
+
+
 def bottomk_sample_users(sf_dir: str) -> pa.Table:
     """Deterministic distributed uniform sample of 25 user_ids via the
     bottom-k (hash-priority) sketch — identical result under any
@@ -494,5 +536,8 @@ SQL = {
     "exact_distinct_users": "SELECT COUNT(DISTINCT user_id) AS n_users FROM events",
     "cms_top_user_estimates": (
         "SELECT user_id, COUNT(*) AS cms_count FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+    "mg_heavy_users": (
+        "SELECT COUNT(*) AS n_total, TRUE AS bounds_ok, TRUE AS heavy_covered FROM events"
     ),
 }

@@ -6,6 +6,7 @@ from .cqf import CQF, CQFNoSpace
 from .hll import HyperLogLog
 from .kll import KLL
 from .minhash import MinHasher, jaccard_exact
+from .misragries import MisraGries
 from .simhash import hamming64, simhash64
 from .tdigest import TDigest
 
@@ -21,6 +22,7 @@ __all__ = [
     "KLL",
     "TDigest",
     "MinHasher",
+    "MisraGries",
     "jaccard_exact",
     "simhash64",
     "hamming64",

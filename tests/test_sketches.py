@@ -259,3 +259,54 @@ def test_bottomk_partition_invariant_and_uniform():
     # serialization round-trip
     rt = BottomKSample.from_bytes(whole.to_bytes())
     assert rt.to_bytes() == whole.to_bytes()
+
+
+def test_misra_gries_bounds_and_merge():
+    """MG guarantees hold under any partitioning/merge order: tracked
+    estimates bracket true counts within the carried decrement, every key
+    with true count > dec is tracked, dec ≤ n/(k+1); serialization
+    round-trips exactly."""
+    from cqf_ray.sketches import MisraGries
+
+    rng = np.random.default_rng(11)
+    # Zipf-ish stream: a few heavy keys over a long uniform tail
+    heavy = np.repeat(np.arange(5, dtype=np.uint64), [4000, 2500, 1500, 900, 600])
+    tail = rng.integers(100, 50_000, size=20_000, dtype=np.uint64)
+    stream = rng.permutation(np.concatenate([heavy, tail]))
+    true_keys, true_counts = np.unique(stream, return_counts=True)
+    n = len(stream)
+    k = 32
+
+    def check(mg):
+        tracked, est, dec = mg.items()
+        assert dec <= n // (k + 1)
+        pos = np.searchsorted(true_keys, tracked)
+        assert (true_keys[pos] == tracked).all()
+        t = true_counts[pos]
+        assert (est <= t).all() and (t <= est + dec).all()
+        must_have = true_keys[true_counts > dec]
+        assert np.isin(must_have, tracked).all()
+        # the 5 planted heavies dominate n/(k+1) ≈ 900 → all tracked
+        assert np.isin(np.arange(4, dtype=np.uint64), tracked).all()
+
+    whole = MisraGries(k=k)
+    whole.update(stream)
+    check(whole)
+
+    parts = np.array_split(stream, 9)
+    rng.shuffle(parts)
+    merged = MisraGries(k=k)
+    for p in parts:
+        piece = MisraGries(k=k)
+        piece.update(p)
+        merged.merge_in_place(piece)
+    check(merged)
+
+    # weighted update path: counts arg ≡ repeating keys
+    w = MisraGries(k=k)
+    w.update(true_keys, true_counts)
+    check(w)
+
+    rt = MisraGries.from_bytes(whole.to_bytes())
+    assert rt.to_bytes() == whole.to_bytes()
+    assert sketch_from_bytes(whole.to_bytes()).to_bytes() == whole.to_bytes()
