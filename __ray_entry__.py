@@ -66,6 +66,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "corpus_partitioned_roundtrip": _si.corpus_partitioned_roundtrip,
     "campaign_window_revenue": _w.campaign_window_revenue,
     "mg_heavy_users": _sk.mg_heavy_users,
+    "hourly_top_users": _rel.hourly_top_users,
+    "length_band_filter": _txt.length_band_filter,
     "bigram_top_pairs": _txt.bigram_top_pairs,
     "embedding_dup_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
     "embedding_lsh_recall": _dedup.embedding_lsh_recall,

@@ -41,6 +41,8 @@ QUERY_SET = [
     "transcript_sessions",  # keyed-partition window kernel
     "near_dup_canonical",  # shares _lsh_pair_state with minhash_lsh_pairs
     "clean_corpus",  # composed pipeline; also consumes the shared state
+    "vocab_top_terms",  # combiner-first corpus vocabulary profile (r3)
+    "campaign_window_revenue",  # broadcast interval/range join (r3)
 ]
 
 

@@ -206,6 +206,55 @@ def hourly_event_windows(sf_dir: str) -> pa.Table:
     return _finish(df[["hour", "event_type", "n", "sum_value"]], ["hour", "event_type"])
 
 
+def hourly_top_users(sf_dir: str, *, k: int = 3) -> pa.Table:
+    """WINDOWED heavy hitters: the exact top-k users per 1-hour tumbling
+    window (the per-window complement of the global Misra-Gries sketch).
+    Two-level shape: combiner-first (hour, user) counts collapse each
+    block before the exchange, then ONE vectorized lexsort + run-boundary
+    top-k kernel per hash partition of hours — no per-window calls, same
+    kernel pattern as ``tfidf_top_terms``. Ties break (n DESC, user ASC),
+    bit-identical to the ROW_NUMBER oracle."""
+    from ..stages.keyed import keyed_partition_map, run_ids
+
+    ev = read(sf_dir, "events", ["ts", "user_id"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({"hour": hour, "user_id": batch.column("user_id")})
+
+    counts = grouped_aggregate(
+        ev.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour", "user_id"],
+        [("n", "count", None)],
+    )
+
+    def topk_kernel(t: pa.Table) -> pa.Table:
+        hr = (
+            np.asarray(t.column("hour").combine_chunks())
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        n = np.asarray(t.column("n").combine_chunks()).astype(np.int64)
+        order = np.lexsort((uid, -n, hr))
+        h, u, c = hr[order], uid[order], n[order]
+        rid, starts, _ = run_ids(h)
+        within = np.arange(len(h), dtype=np.int64) - starts[rid]
+        keep = within < k
+        return pa.table(
+            {
+                "hour": pa.array(h[keep].astype("datetime64[us]")),
+                "rank": pa.array(within[keep] + 1),
+                "user_id": pa.array(u[keep]),
+                "n": pa.array(c[keep]),
+            }
+        )
+
+    out = keyed_partition_map(counts, ["hour"], topk_kernel)
+    df = out.to_pandas().sort_values(["hour", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
     """orders ⋈ lineitem as a big-big SHUFFLE join (neither side broadcast
     — the general join case; `stages/join.py::shuffle_join` co-partitions
@@ -686,6 +735,14 @@ SQL = {
         "SELECT event_type, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value, "
         "ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "hourly_top_users": (
+        "WITH c AS (SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n "
+        "           FROM events GROUP BY 1, 2), "
+        "r AS (SELECT hour, user_id, n, "
+        "      ROW_NUMBER() OVER (PARTITION BY hour ORDER BY n DESC, user_id) AS rank FROM c) "
+        "SELECT hour, CAST(rank AS BIGINT) AS rank, user_id, n "
+        "FROM r WHERE rank <= 3 ORDER BY hour, rank"
     ),
     "hourly_event_windows": (
         "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "

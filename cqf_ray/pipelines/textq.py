@@ -490,6 +490,37 @@ def bigram_top_pairs(sf_dir: str, *, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(agg.reset_index(drop=True), preserve_index=False)
 
 
+def length_band_filter(sf_dir: str, *, lo_q: float = 0.05, hi_q: float = 0.95) -> pa.Table:
+    """Percentile-band outlier filter: keep documents whose length sits
+    within the EXACT [p5, p95] order statistics of the corpus — the
+    two-pass global-statistic-then-filter shape every threshold-from-data
+    cleaning rule uses. Pass 1 finds the two order statistics from the
+    distributed sort with a bounded take (``split_at_indices`` + one-row
+    reads — the same streaming pattern as ``value_quantiles_exact``,
+    never a full materialization); pass 2 is a stateless vectorized
+    gate with the two ints broadcast in the closure. Integer-exact, so
+    the ROW_NUMBER-order-statistic oracle matches bit-for-bit."""
+    ds = read(sf_dir, "documents", ["n_chars"])
+    n = ds.count()
+    lo_i = int(np.floor(lo_q * (n - 1)))
+    hi_i = int(np.floor(hi_q * (n - 1)))
+    splits = ds.sort("n_chars").split_at_indices([lo_i, hi_i])
+    lo = int(splits[1].take(1)[0]["n_chars"])
+    hi = int(splits[2].take(1)[0]["n_chars"])
+
+    docs = read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nc = np.asarray(batch.column("n_chars").combine_chunks()).astype(np.int64)
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        m = (nc >= lo) & (nc <= hi)
+        return pa.table({"doc_id": pa.array(did[m])})
+
+    df = docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _marker_list(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
 
@@ -544,6 +575,14 @@ SQL = {
         "ranked AS (SELECT bigram, n, ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank FROM ag) "
         "SELECT CAST(rank AS BIGINT) AS rank, bigram, CAST(n AS BIGINT) AS n "
         "FROM ranked WHERE rank <= 50 ORDER BY rank"
+    ),
+    "length_band_filter": (
+        "WITH o AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS r FROM documents), "
+        "n AS (SELECT COUNT(*) AS n FROM documents), "
+        "b AS (SELECT MIN(CASE WHEN r = CAST(floor(0.05 * (n - 1)) AS BIGINT) THEN n_chars END) AS lo, "
+        "             MIN(CASE WHEN r = CAST(floor(0.95 * (n - 1)) AS BIGINT) THEN n_chars END) AS hi "
+        "      FROM o, n) "
+        "SELECT doc_id FROM documents, b WHERE n_chars BETWEEN lo AND hi ORDER BY doc_id"
     ),
     "contamination_ngram": (
         "WITH ts AS (SELECT DISTINCT substring(props, CAST(r AS BIGINT) + 1, 5) AS g "
