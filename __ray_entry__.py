@@ -68,6 +68,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "mg_heavy_users": _sk.mg_heavy_users,
     "hourly_top_users": _rel.hourly_top_users,
     "length_band_filter": _txt.length_band_filter,
+    "events_profile": _rel.events_profile,
     "bigram_top_pairs": _txt.bigram_top_pairs,
     "embedding_dup_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
     "embedding_lsh_recall": _dedup.embedding_lsh_recall,

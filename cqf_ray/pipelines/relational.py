@@ -206,6 +206,64 @@ def hourly_event_windows(sf_dir: str) -> pa.Table:
     return _finish(df[["hour", "event_type", "n", "sum_value"]], ["hour", "event_type"])
 
 
+def events_profile(sf_dir: str) -> pa.Table:
+    """Dataset PROFILER: per-column row/null/exact-distinct counts over
+    the events table — the audit step a pipeline runs before training on
+    a new corpus drop. One streaming pass produces per-batch (n, nulls)
+    partials for every column at once; each column's exact distinct count
+    is combiner-first (per-batch ``unique`` so only distinct values enter
+    the exchange, then a grouped distinct whose row count IS the answer —
+    never a global sort). Integer-exact against the UNION ALL oracle."""
+    from ..stages.groupagg import grouped_aggregate
+
+    cols = ["user_id", "event_type", "value", "props"]
+    ds = read(sf_dir, "events", cols)
+
+    def nn(batch: pa.Table) -> pa.Table:
+        names, n_part, null_part = [], [], []
+        for c in cols:
+            col = batch.column(c)
+            names.append(c)
+            n_part.append(len(col))
+            null_part.append(col.null_count)
+        return pa.table(
+            {"column": pa.array(names, type=pa.string()),
+             "n_part": pa.array(np.asarray(n_part, dtype=np.int64)),
+             "null_part": pa.array(np.asarray(null_part, dtype=np.int64))}
+        )
+
+    base = (
+        grouped_aggregate(
+            ds.map_batches(nn, batch_format="pyarrow", zero_copy_batch=True),
+            ["column"],
+            [("n", "sum", "n_part"), ("n_null", "sum", "null_part")],
+        )
+        .to_pandas()
+        .set_index("column")
+    )
+
+    n_distinct = {}
+    for c in cols:
+        cds = read(sf_dir, "events", [c])
+
+        def uq(batch: pa.Table, c=c) -> pa.Table:
+            u = pc.unique(pc.drop_null(batch.column(c).combine_chunks()))
+            return pa.table({c: u})
+
+        uds = cds.map_batches(uq, batch_format="pyarrow", zero_copy_batch=True)
+        n_distinct[c] = grouped_aggregate(uds, [c], [("cnt", "count", None)]).count()
+
+    out = pd.DataFrame(
+        {
+            "column": sorted(cols),
+            "n": [int(base.loc[c, "n"]) for c in sorted(cols)],
+            "n_null": [int(base.loc[c, "n_null"]) for c in sorted(cols)],
+            "n_distinct": [int(n_distinct[c]) for c in sorted(cols)],
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def hourly_top_users(sf_dir: str, *, k: int = 3) -> pa.Table:
     """WINDOWED heavy hitters: the exact top-k users per 1-hour tumbling
     window (the per-window complement of the global Misra-Gries sketch).
@@ -735,6 +793,18 @@ SQL = {
         "SELECT event_type, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value, "
         "ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "events_profile": (
+        "SELECT * FROM ("
+        "SELECT 'event_type' AS \"column\", COUNT(*) AS n, COUNT(*) - COUNT(event_type) AS n_null, "
+        "       COUNT(DISTINCT event_type) AS n_distinct FROM events "
+        "UNION ALL "
+        "SELECT 'props', COUNT(*), COUNT(*) - COUNT(props), COUNT(DISTINCT props) FROM events "
+        "UNION ALL "
+        "SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id) FROM events "
+        "UNION ALL "
+        "SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), COUNT(DISTINCT value) FROM events"
+        ") ORDER BY \"column\""
     ),
     "hourly_top_users": (
         "WITH c AS (SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n "
