@@ -69,6 +69,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "hourly_top_users": _rel.hourly_top_users,
     "length_band_filter": _txt.length_band_filter,
     "events_profile": _rel.events_profile,
+    "mg_heavy_users_by_type": _sk.mg_heavy_users_by_type,
     "bigram_top_pairs": _txt.bigram_top_pairs,
     "embedding_dup_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
     "embedding_lsh_recall": _dedup.embedding_lsh_recall,

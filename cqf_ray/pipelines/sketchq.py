@@ -245,6 +245,69 @@ def cms_top_user_estimates(sf_dir: str) -> pa.Table:
     )
 
 
+def _mg_verdict(mg, users: np.ndarray, true: np.ndarray, k: int):
+    """Check the MG guarantees for one summary against exact counts:
+    returns (n_total, bounds_ok, heavy_covered)."""
+    tracked, est, dec = mg.items()
+    n_total = int(true.sum())
+    order = np.argsort(users)
+    users_s, true_s = users[order], true[order]
+    pos = np.clip(np.searchsorted(users_s, tracked), 0, len(users_s) - 1)
+    found = users_s[pos] == tracked
+    t_of = true_s[pos]
+    bounds_ok = bool(
+        found.all()
+        and (est <= t_of).all()
+        and (t_of <= est + dec).all()
+        and dec <= n_total // (k + 1)
+    )
+    heavy = users_s[true_s > dec]
+    heavy_covered = bool(np.isin(heavy, tracked).all())
+    return n_total, bounds_ok, heavy_covered
+
+
+def mg_heavy_users_by_type(sf_dir: str) -> pa.Table:
+    """GROUPED Misra-Gries: one k=8 heavy-hitters summary per event_type
+    via the two-level grouped-sketch path (per-batch partial MG per group
+    → keyed-partition fold), verdict-checked per group against exact
+    counts — the windowed/keyed form of ``mg_heavy_users``."""
+    from ..sketches import MisraGries
+    from ..stages.agg import grouped_sketches
+
+    ds = read(sf_dir, "events", ["event_type", "user_id"])
+
+    def extract(batch: pa.Table) -> dict:
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        idx = np.asarray(et.indices)
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.uint64)
+        return {name: uid[idx == di]
+                for di, name in enumerate(et.dictionary.to_pylist())}
+
+    sks = grouped_sketches(ds, "event_type", extract, lambda: MisraGries(k=8))
+    exact = grouped_aggregate(
+        read(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type", "user_id"], [("n", "count", None)],
+    ).to_pandas()
+
+    types, totals, bounds, covered = [], [], [], []
+    for etype in sorted(sks):
+        sub = exact[exact["event_type"] == etype]
+        n_total, b, c = _mg_verdict(
+            sks[etype],
+            sub["user_id"].to_numpy().astype(np.uint64),
+            sub["n"].to_numpy().astype(np.int64),
+            8,
+        )
+        types.append(etype)
+        totals.append(n_total)
+        bounds.append(b)
+        covered.append(c)
+    return pa.table({"event_type": pa.array(types, type=pa.string()),
+                     "n_total": pa.array(totals, type=pa.int64()),
+                     "bounds_ok": pa.array(bounds),
+                     "heavy_covered": pa.array(covered)})
+
+
 def mg_heavy_users(sf_dir: str) -> pa.Table:
     """Misra-Gries heavy-hitter VERDICT query (the deterministic
     complement to ``cms_top_user_estimates``): build a k=16 MG summary
@@ -260,28 +323,16 @@ def mg_heavy_users(sf_dir: str) -> pa.Table:
 
     ds = read(sf_dir, "events", ["user_id"])
     mg = build_sketch(ds, keys.int_column("user_id"), lambda: MisraGries(k=16))
-    tracked, est, dec = mg.items()
 
     exact = grouped_aggregate(
         read(sf_dir, "events", ["user_id"]), ["user_id"], [("n", "count", None)]
     ).to_pandas()
-    users = exact["user_id"].to_numpy().astype(np.uint64)
-    true = exact["n"].to_numpy().astype(np.int64)
-    n_total = int(true.sum())
-
-    order = np.argsort(users)
-    users_s, true_s = users[order], true[order]
-    pos = np.searchsorted(users_s, tracked)
-    ok_found = (pos < len(users_s)) & (users_s[np.clip(pos, 0, len(users_s) - 1)] == tracked)
-    true_of_tracked = true_s[np.clip(pos, 0, len(users_s) - 1)]
-    bounds_ok = bool(
-        ok_found.all()
-        and (est <= true_of_tracked).all()
-        and (true_of_tracked <= est + dec).all()
-        and dec <= n_total // (16 + 1)
+    n_total, bounds_ok, heavy_covered = _mg_verdict(
+        mg,
+        exact["user_id"].to_numpy().astype(np.uint64),
+        exact["n"].to_numpy().astype(np.int64),
+        16,
     )
-    heavy = users_s[true_s > dec]
-    heavy_covered = bool(np.isin(heavy, tracked).all())
     return pa.table({"n_total": pa.array([n_total], type=pa.int64()),
                      "bounds_ok": pa.array([bounds_ok]),
                      "heavy_covered": pa.array([heavy_covered])})
@@ -539,5 +590,9 @@ SQL = {
     ),
     "mg_heavy_users": (
         "SELECT COUNT(*) AS n_total, TRUE AS bounds_ok, TRUE AS heavy_covered FROM events"
+    ),
+    "mg_heavy_users_by_type": (
+        "SELECT event_type, COUNT(*) AS n_total, TRUE AS bounds_ok, "
+        "TRUE AS heavy_covered FROM events GROUP BY event_type ORDER BY event_type"
     ),
 }
