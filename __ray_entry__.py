@@ -18,6 +18,7 @@ from typing import Any
 
 from cqf_ray.pipelines import ann as _ann
 from cqf_ray.pipelines import clean as _cl
+from cqf_ray.pipelines import corpusops as _co
 from cqf_ray.pipelines import dedup as _dedup
 from cqf_ray.pipelines import multimodal as _mm
 from cqf_ray.pipelines import relational as _rel
@@ -52,6 +53,10 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
+    # --- newest round-3 operators (corpus preparation) ---
+    "segment_dedup": _co.segment_dedup,
+    "pack_sequences": _co.pack_sequences,
+    "mixture_sample": _co.mixture_sample,
     # --- previously unchecked by the driver (round-1 VERDICT item 2) ---
     "transcript_sessions": _w.transcript_sessions,
     "purchase_view_asof": _w.purchase_view_asof,
@@ -152,6 +157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (_sk, _rel, _tr, _txt, _dedup, _ann, _mm, _w, _si, _cl):
+    for mod in (_sk, _rel, _tr, _txt, _dedup, _ann, _mm, _w, _si, _cl, _co):
         out.update(mod.SQL)
     return out

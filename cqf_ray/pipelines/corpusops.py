@@ -1,0 +1,261 @@
+"""Corpus-preparation operators a large-scale training-data pipeline runs
+after cleaning/dedup: sequence packing (concat-and-chunk token budgeting),
+weighted multi-source mixture sampling, and corpus-wide segment-level
+dedup with document reconstruction (the C4 / RefinedWeb "remove duplicate
+lines across the corpus, keep first occurrence" step, adapted to
+newline-free text as fixed-word-window segments).
+
+All three are driver-mandated "beyond the reference" operators (the
+reference is a sketch library; these are the consumers a 100 TB corpus
+engine needs around it).  Scale shapes:
+
+- ``pack_sequences``: one coarse shuffle on a murmur bucket key, then one
+  vectorized prefix-sum kernel per partition.  The sequential
+  concat-and-chunk order is per-BUCKET, not global, so packing
+  parallelizes to the cluster width instead of serializing on a global
+  running total; bucket count scales with cluster CPUs.
+- ``mixture_sample``: embarrassingly parallel — one vectorized hash +
+  threshold per batch, zero shuffles, coordination-free and
+  partition-invariant (the same doc survives on any shard layout).
+- ``segment_dedup``: two corpus-sized keyed shuffles (segments by content
+  key to elect first-occurrence winners, then back by doc_id to rebuild
+  documents) — the same exchange pattern C4's line-dedup pays.  Winner
+  election compares exact segment text inside the partition, so hash
+  collisions cannot create false dedups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import murmur64a_u64
+from ..stages.keyed import keyed_partition_map, run_starts
+from .common import read
+
+# permille keep-rates per source for the mixture sampler; the SQL oracle's
+# CASE arms are generated from this same dict so both sides share one
+# source of truth.  Unknown sources keep the DEFAULT rate.
+MIXTURE_WEIGHTS = {f"src{i}": 1000 - 45 * i for i in range(20)}
+_MIXTURE_DEFAULT = 500
+_MIXTURE_SEED = 41
+_PACK_SEED = 29
+
+
+def pack_sequences(sf_dir: str, *, budget: int = 200, n_buckets: int = 32) -> pa.Table:
+    """GPT-style concat-and-chunk sequence packing: documents are routed to
+    ``murmur64(doc_id) % n_buckets`` streams; within a bucket (ordered by
+    doc_id) documents are concatenated and cut into packs of ``budget``
+    whitespace tokens.  Emits each doc's pack id and token offset within
+    its pack — the assignment a sequence-packing writer needs, without
+    materializing the packed text.  Deterministic and partition-invariant;
+    docs may straddle a pack boundary (chunking semantics, not first-fit).
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..text import token_hashes
+
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        _, offs = token_hashes(batch.column("text"), seed=0, lowercase=False)
+        bucket = (
+            murmur64a_u64(did.view(np.uint64), seed=_PACK_SEED)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(did), "bucket": pa.array(bucket),
+             "n_tokens": pa.array(np.diff(offs).astype(np.int64))}
+        )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        bucket = np.asarray(t.column("bucket").combine_chunks()).astype(np.int64)
+        ntok = np.asarray(t.column("n_tokens").combine_chunks()).astype(np.int64)
+        order = np.lexsort((did, bucket))
+        did, bucket, ntok = did[order], bucket[order], ntok[order]
+        before = np.cumsum(ntok) - ntok
+        starts = run_starts(bucket)
+        lens = np.diff(np.append(starts, len(bucket)))
+        within = before - np.repeat(before[starts], lens)
+        return pa.table(
+            {"doc_id": pa.array(did), "bucket": pa.array(bucket),
+             "pack_id": pa.array(within // budget),
+             "pack_offset": pa.array(within % budget),
+             "n_tokens": pa.array(ntok)}
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    df = keyed_partition_map(tagged, ["bucket"], kernel).to_pandas()
+    if df.empty:
+        return pa.table({c: pa.array([], type=pa.int64())
+                         for c in ["doc_id", "bucket", "pack_id", "pack_offset", "n_tokens"]})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def mixture_sample(sf_dir: str) -> pa.Table:
+    """Weighted multi-source mixture sampling: doc survives iff
+    ``murmur64(doc_id) % 1000 < MIXTURE_WEIGHTS[source]`` — the
+    deterministic per-source downsampling a training mixture applies to
+    rebalance web/wiki/code shares.  Zero shuffles; bit-exact against the
+    MurmurHash64A-in-SQL oracle (same port as ``dataset_split``)."""
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        enc = batch.column("source").combine_chunks().dictionary_encode()
+        rates = np.array(
+            [MIXTURE_WEIGHTS.get(s, _MIXTURE_DEFAULT)
+             for s in enc.dictionary.to_pylist()],
+            dtype=np.uint64,
+        )
+        permille = rates[np.asarray(enc.indices)]
+        bucket = murmur64a_u64(did.view(np.uint64), seed=_MIXTURE_SEED) % np.uint64(1000)
+        keep = bucket < permille
+        return pa.table({"doc_id": pa.array(did[keep]),
+                         "source": batch.column("source").combine_chunks().filter(pa.array(keep))})
+
+    df = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "source": pa.array([], type=pa.string())})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _segments(batch: pa.Table, seg_words: int) -> pa.Table:
+    """Split each doc's whitespace tokens into consecutive ``seg_words``-word
+    segments (last may be short), joined with single spaces — identical to
+    the SQL oracle's ``array_to_string(ws[a:b], ' ')``.  Vectorized in
+    polars (Rust group-by, no Python row loop)."""
+    import polars as pl
+
+    did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+    s = pl.from_arrow(batch.column("text").combine_chunks()).fill_null("")
+    seg = (
+        pl.DataFrame({"d": np.arange(len(did), dtype=np.int64), "t": s})
+        .with_columns(pl.col("t").str.extract_all(r"\S+").alias("w"))
+        .select("d", "w")
+        .explode("w")
+        .drop_nulls()
+        .with_columns(widx=pl.int_range(pl.len()).over("d"))
+        .with_columns(seg_idx=pl.col("widx") // seg_words)
+        .group_by(["d", "seg_idx"], maintain_order=True)
+        .agg(pl.col("w").str.join(" ").alias("seg"))
+    )
+    d = seg["d"].to_numpy().astype(np.int64)
+    return pa.table(
+        {"doc_id": pa.array(did[d]),
+         "seg_idx": pa.array(seg["seg_idx"].to_numpy().astype(np.int64)),
+         "seg": pa.array(seg["seg"].to_list(), type=pa.string())}
+    )
+
+
+def _winner_kernel(t: pa.Table) -> pa.Table:
+    """Per content-key partition: mark the global first occurrence
+    (min (doc_id, seg_idx)) of each distinct segment text.  Exact string
+    comparison — the shuffle key is a hash but election is on the text."""
+    import polars as pl
+
+    df = pl.from_arrow(t).sort(["seg", "doc_id", "seg_idx"])
+    return df.with_columns(
+        keep=(pl.col("seg") != pl.col("seg").shift(1)).fill_null(True).cast(pl.Int64)
+    ).to_arrow()
+
+
+def _rebuild_kernel(t: pa.Table) -> pa.Table:
+    """Per doc_id partition: reassemble each document from its surviving
+    segments in seg_idx order; a fully-duplicated doc keeps zero segments
+    and rebuilds to the empty string (COALESCE on the SQL side)."""
+    import polars as pl
+
+    df = pl.from_arrow(t).sort(["doc_id", "seg_idx"])
+    return (
+        df.group_by("doc_id", maintain_order=True)
+        .agg(
+            n_segs=pl.len().cast(pl.Int64),
+            n_kept=pl.col("keep").sum().cast(pl.Int64),
+            cleaned_text=pl.col("seg").filter(pl.col("keep") == 1).str.join(" "),
+        )
+        .to_arrow()
+    )
+
+
+def segment_dedup(sf_dir: str, *, seg_words: int = 10) -> pa.Table:
+    """Corpus-wide segment-level exact dedup with reconstruction (C4-style
+    line dedup over newline-free text): every ``seg_words``-word window is
+    kept only at its first occurrence (lowest (doc_id, seg_idx)) across
+    the whole corpus; each document is rebuilt from its surviving
+    segments.  Two keyed shuffles — segments by content to elect winners,
+    winners back by doc_id to rebuild — both partition-count-scaled to the
+    cluster; all kernels are single vectorized polars passes."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    segs = ds.map_batches(
+        lambda b: _segments(b, seg_words), batch_format="pyarrow", zero_copy_batch=True
+    )
+    flagged = keyed_partition_map(segs, ["seg"], _winner_kernel)
+    docs = keyed_partition_map(flagged, ["doc_id"], _rebuild_kernel)
+    df = docs.to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_segs": pa.array([], type=pa.int64()),
+                         "n_kept": pa.array([], type=pa.int64()),
+                         "cleaned_text": pa.array([], type=pa.string())})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _mixture_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"CASE source {arms} ELSE {_MIXTURE_DEFAULT} END"
+
+
+def _pack_sql() -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id, "
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents), "
+        + _MURMUR_SQL.format(seed=_PACK_SEED)
+        + ", b AS (SELECT doc_id, n_tokens, CAST(priority % 32 AS BIGINT) AS bucket FROM mmf), "
+        "c AS (SELECT doc_id, bucket, n_tokens, "
+        "CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cb FROM b) "
+        "SELECT doc_id, bucket, cb // 200 AS pack_id, cb % 200 AS pack_offset, "
+        "n_tokens FROM c ORDER BY doc_id"
+    )
+
+
+def _mixture_sql() -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id, source FROM documents), "
+        + _MURMUR_SQL.format(seed=_MIXTURE_SEED)
+        + f" SELECT doc_id, source FROM mmf WHERE priority % 1000 < ({_mixture_case_sql()}) "
+        "ORDER BY doc_id"
+    )
+
+
+def _segment_dedup_sql() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents), "
+        "segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, "
+        "array_to_string(ws[CAST(i * 10 + 1 AS BIGINT):CAST(i * 10 + 10 AS BIGINT)], ' ') AS seg "
+        "FROM w, LATERAL UNNEST(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)), "
+        "flagged AS (SELECT doc_id, seg_idx, seg, "
+        "ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs, "
+        "CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept, "
+        "COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS cleaned_text "
+        "FROM flagged GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+SQL = {
+    "pack_sequences": _pack_sql(),
+    "mixture_sample": _mixture_sql(),
+    "segment_dedup": _segment_dedup_sql(),
+}

@@ -1,0 +1,71 @@
+"""Targeted invariants for the corpus-preparation operators beyond the
+all-queries oracle gate: packing arithmetic, sampling determinism, and
+segment-dedup behavior on planted duplicate documents/segments."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_DIR
+
+from cqf_ray.hashing import murmur64a_u64
+from cqf_ray.pipelines import corpusops as co
+
+
+def test_pack_sequences_arithmetic(ray_session):
+    t = co.pack_sequences(SF_DIR, budget=200, n_buckets=32).to_pandas()
+    assert len(t) == 500
+    assert (t["pack_offset"] >= 0).all() and (t["pack_offset"] < 200).all()
+    # bucket assignment is the murmur rule
+    b = murmur64a_u64(t["doc_id"].to_numpy().view(np.uint64), seed=29) % np.uint64(32)
+    assert (t["bucket"].to_numpy() == b.astype(np.int64)).all()
+    # within each bucket (ordered by doc_id) the pack coordinates are the
+    # running token total before the doc — chunked concatenation semantics
+    for _, g in t.sort_values("doc_id").groupby("bucket"):
+        before = np.cumsum(g["n_tokens"].to_numpy()) - g["n_tokens"].to_numpy()
+        assert (g["pack_id"].to_numpy() * 200 + g["pack_offset"].to_numpy() == before).all()
+
+
+def test_mixture_sample_rule(ray_session):
+    t = co.mixture_sample(SF_DIR).to_pandas()
+    assert len(t) > 0
+    bucket = murmur64a_u64(t["doc_id"].to_numpy().view(np.uint64), seed=41) % np.uint64(1000)
+    rates = np.array([co.MIXTURE_WEIGHTS.get(s, 500) for s in t["source"]], dtype=np.uint64)
+    assert (bucket < rates).all()
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(tmp_path_factory):
+    """documents table with a full duplicate doc, a within-doc repeated
+    segment, and an unrelated doc."""
+    words = [f"w{i}" for i in range(20)]
+    base = " ".join(words)  # exactly two 10-word segments
+    rep = " ".join(words[:10] + words[:10])  # same segment twice in one doc
+    other = " ".join(f"x{i}" for i in range(15))
+    texts = [base, rep, base, other]
+    d = tmp_path_factory.mktemp("corpus")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())}),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_segment_dedup_planted(ray_session, planted_corpus):
+    t = co.segment_dedup(planted_corpus).to_pandas().set_index("doc_id")
+    # doc0: first occurrence of both segments — everything kept
+    assert t.loc[0, "n_segs"] == 2 and t.loc[0, "n_kept"] == 2
+    assert t.loc[0, "cleaned_text"] == " ".join(f"w{i}" for i in range(20))
+    # doc1: its first segment (w0..w9) already appeared in doc0, and its
+    # second segment is the same text again — nothing survives
+    assert t.loc[1, "n_segs"] == 2 and t.loc[1, "n_kept"] == 0
+    assert t.loc[1, "cleaned_text"] == ""
+    # doc2: exact copy of doc0 — fully deduplicated
+    assert t.loc[2, "n_kept"] == 0 and t.loc[2, "cleaned_text"] == ""
+    # doc3: unique text (one full + one short segment) — untouched
+    assert t.loc[3, "n_segs"] == 2 and t.loc[3, "n_kept"] == 2
+    assert t.loc[3, "cleaned_text"] == " ".join(f"x{i}" for i in range(15))
