@@ -53,10 +53,14 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (corpus preparation) ---
+    # --- newest round-3 operators (corpus prep, funnels, robust stats) ---
     "segment_dedup": _co.segment_dedup,
     "pack_sequences": _co.pack_sequences,
     "mixture_sample": _co.mixture_sample,
+    "funnel_counts": _rel.funnel_counts,
+    "mad_outliers": _rel.mad_outliers,
+    "rollup_revenue": _rel.rollup_revenue,
+    "hourly_distinct_users_hll": _sk.hourly_distinct_users_hll,
     # --- previously unchecked by the driver (round-1 VERDICT item 2) ---
     "transcript_sessions": _w.transcript_sessions,
     "purchase_view_asof": _w.purchase_view_asof,

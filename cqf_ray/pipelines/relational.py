@@ -723,6 +723,128 @@ def union_halves_counts(sf_dir: str) -> pa.Table:
     return _finish(out, ["half", "event_type"])
 
 
+def funnel_counts(sf_dir: str) -> pa.Table:
+    """Ordered 3-step conversion funnel (view → click → purchase, strictly
+    increasing event time within a user): how many users reach each stage.
+    One keyed shuffle on user_id, then a single vectorized kernel per
+    partition — per-user stage times computed with ``minimum.reduceat``
+    over masked timestamps (no per-user Python loop); each partition emits
+    partial stage counts and the driver sums a num_partitions-row table."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    inf = np.iinfo(np.int64).max
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsv, uid))
+        uid, tsv, et = uid[order], tsv[order], et[order]
+        starts = run_starts(uid)
+        lens = np.diff(np.append(starts, len(uid)))
+        t1 = np.minimum.reduceat(np.where(et == "view", tsv, inf), starts) \
+            if len(starts) else np.empty(0, np.int64)
+        t2 = np.minimum.reduceat(
+            np.where((et == "click") & (tsv > np.repeat(t1, lens)), tsv, inf), starts
+        ) if len(starts) else t1
+        t3 = np.minimum.reduceat(
+            np.where((et == "purchase") & (tsv > np.repeat(t2, lens)), tsv, inf), starts
+        ) if len(starts) else t1
+        return pa.table({"n_view": pa.array([int((t1 < inf).sum())]),
+                         "n_view_click": pa.array([int((t2 < inf).sum())]),
+                         "n_full": pa.array([int((t3 < inf).sum())])})
+
+    df = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    return pa.table({c: pa.array([int(df[c].sum()) if not df.empty else 0],
+                                 type=pa.int64())
+                     for c in ["n_view", "n_view_click", "n_full"]})
+
+
+def _value_at_rank(ds, col: str, rank: int) -> float:
+    """Exact order statistic via distributed sort + bounded index read
+    (same split_at_indices pattern as ``value_quantiles_exact``)."""
+    part = ds.sort(col).split_at_indices([rank])[1]
+    return float(part.take(1)[0][col])
+
+
+def mad_outliers(sf_dir: str) -> pa.Table:
+    """Robust outlier filter: events whose |value − median| exceeds
+    3 × MAD (median absolute deviation), both statistics EXACT via
+    distributed sort + rank read (lower-median convention, matching the
+    SQL ``ROW_NUMBER``-rank oracle).  Two sorts of one column — the price
+    of exact MAD; the t-digest family is the approximate alternative."""
+    ev = read(sf_dir, "events", ["event_id", "value"])
+    n = ev.count()
+    r = int(np.floor(0.5 * (n - 1)))
+    med = _value_at_rank(ev, "value", r)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        return pa.table({"av": pc.abs(pc.subtract(batch.column("value"), med))})
+
+    mad = _value_at_rank(
+        ev.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True), "av", r
+    )
+    thresh = 3.0 * mad
+
+    def gate(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        keep = np.abs(v - med) > thresh
+        return pa.table({"event_id": batch.column("event_id").combine_chunks().filter(pa.array(keep)),
+                         "value": pa.array(v[keep])})
+
+    df = ev.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if df.empty:
+        return pa.table({"event_id": pa.array([], type=pa.int64()),
+                         "value": pa.array([], type=pa.float64())})
+    return _finish(df, ["event_id"])
+
+
+def rollup_revenue(sf_dir: str) -> pa.Table:
+    """Region → nation revenue ROLLUP with subtotals and a grand total
+    ('ALL' labels).  The fact stream passes ONE broadcast join (dims
+    pre-composed driver-side, as in ``revenue_by_region``) and ONE
+    grouped aggregate at (region, nation) grain; the subtotal and total
+    rows are derived from that tiny aggregate on the driver — integer
+    micro-unit sums, so subtotals are exactly consistent with leaves."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey", "n_name"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    dim = (
+        cust.join(nation, keys="c_nationkey", right_keys="n_nationkey")
+        .join(region, keys="n_regionkey", right_keys="r_regionkey")
+        .select(["c_custkey", "r_name", "n_name"])
+    )
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "price_s": pa.array(np.round(price * 1e6).astype(np.int64))})
+
+    joined = broadcast_join(
+        orders.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True),
+        dim, keys="o_custkey", right_keys="c_custkey",
+    )
+    leaf = grouped_aggregate(
+        joined, ["r_name", "n_name"],
+        [("price_s", "sum", "price_s"), ("n_orders", "count", None)]
+    ).to_pandas()
+    sub = leaf.groupby("r_name", as_index=False)[["price_s", "n_orders"]].sum()
+    sub["n_name"] = "ALL"
+    total = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                          "price_s": [leaf["price_s"].sum()],
+                          "n_orders": [leaf["n_orders"].sum()]})
+    df = pd.concat([leaf, sub, total], ignore_index=True)
+    df["revenue"] = round_scaled(df.pop("price_s"))
+    df["n_orders"] = df["n_orders"].astype(np.int64)
+    return _finish(df[["r_name", "n_name", "revenue", "n_orders"]],
+                   ["r_name", "n_name"])
+
+
 SQL = {
     "revenue_by_region": (
         "SELECT r_name, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
@@ -813,6 +935,35 @@ SQL = {
         "      ROW_NUMBER() OVER (PARTITION BY hour ORDER BY n DESC, user_id) AS rank FROM c) "
         "SELECT hour, CAST(rank AS BIGINT) AS rank, user_id, n "
         "FROM r WHERE rank <= 3 ORDER BY hour, rank"
+    ),
+    "funnel_counts": (
+        "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), "
+        "t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN t1 USING (user_id) "
+        "       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id), "
+        "t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN t2 USING (user_id) "
+        "       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id) "
+        "SELECT (SELECT COUNT(*) FROM t1) AS n_view, "
+        "(SELECT COUNT(*) FROM t2) AS n_view_click, "
+        "(SELECT COUNT(*) FROM t3) AS n_full"
+    ),
+    "mad_outliers": (
+        "WITH n AS (SELECT COUNT(*) AS n FROM events), "
+        "o AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS r FROM events), "
+        "med AS (SELECT MIN(CASE WHEN r = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN value END) AS m FROM o, n), "
+        "d AS (SELECT ABS(value - m) AS av FROM events, med), "
+        "o2 AS (SELECT av, ROW_NUMBER() OVER (ORDER BY av) - 1 AS r FROM d), "
+        "mad AS (SELECT MIN(CASE WHEN r = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN av END) AS mad FROM o2, n) "
+        "SELECT event_id, value FROM events, med, mad "
+        "WHERE ABS(value - m) > 3 * mad ORDER BY event_id"
+    ),
+    "rollup_revenue": (
+        "SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_orders "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name"
     ),
     "hourly_event_windows": (
         "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "

@@ -513,12 +513,69 @@ _MURMUR_SQL = (
     "mmf AS (SELECT *, xor(h4, h4 >> 47) AS priority FROM mm7)"
 )
 
+def hourly_distinct_users_hll(sf_dir: str) -> pa.Table:
+    """WINDOWED sketching: one HLL distinct-user estimate per tumbling
+    1-hour event-time window (the streaming-window × mergeable-sketch
+    composition a monitoring pipeline runs).  Two-level grouped-sketch
+    aggregation on the derived hour key — per-batch per-hour partial HLLs,
+    tiny blob shuffle, per-hour fold — plus a distributed exact grouped
+    distinct to make each row driver-checkable as (hour, n_exact,
+    est_in_3sigma), like the per-role HLL query."""
+    from ..hashing import murmur64a_u64
+    from ..stages.agg import grouped_sketches
+
+    ds = read(sf_dir, "events", ["ts", "user_id"])
+    hour_us = np.int64(3_600_000_000)
+
+    def with_hour(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts").combine_chunks()).view(np.int64)
+        return pa.table({"hour": pa.array(ts // hour_us * hour_us),
+                         "user_id": batch.column("user_id")})
+
+    hourly = ds.map_batches(with_hour, batch_format="pyarrow", zero_copy_batch=True)
+
+    def by_group(batch: pa.Table) -> dict:
+        h = np.asarray(batch.column("hour").combine_chunks()).astype(np.int64)
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        uh = murmur64a_u64(uid.view(np.uint64), seed=7)
+        return {g: uh[h == g] for g in np.unique(h)}
+
+    sketches = grouped_sketches(hourly, "hour", by_group, lambda: HyperLogLog(p=14))
+    per_user = grouped_aggregate(hourly, ["hour", "user_id"], [("n", "count", None)])
+    exact = (
+        grouped_aggregate(per_user, ["hour"], [("n_exact", "count", None)])
+        .to_pandas().set_index("hour")["n_exact"]
+    )
+    m = float(2**14)
+    sigma = 1.04 / np.sqrt(m)
+    hours = sorted(sketches)
+    n_ex, ok = [], []
+    for h in hours:
+        ne = int(exact[h])
+        est = sketches[h].estimate()
+        n_ex.append(ne)
+        # Small-range windows sit in HLL's linear-counting regime, where
+        # the error is register COLLISIONS (mean n²/2m, ±1 per collision),
+        # not the 1.04/√m relative bound — the verdict allows both terms.
+        slack = 3 * sigma * ne + 1.0 + 3.0 * np.sqrt(ne * ne / (2.0 * m))
+        ok.append(bool(abs(est - ne) <= slack))
+    return pa.table(
+        {"hour": pa.array(np.array(hours, dtype="datetime64[us]")),
+         "n_exact": pa.array(n_ex, type=pa.int64()),
+         "est_in_3sigma": pa.array(ok)}
+    )
+
+
 _RANK_BOUND_SQL = (
     "SELECT 0.5 AS q, TRUE AS in_bounds UNION ALL "
     "SELECT 0.9, TRUE UNION ALL SELECT 0.99, TRUE ORDER BY q"
 )
 
 SQL = {
+    "hourly_distinct_users_hll": (
+        "SELECT date_trunc('hour', ts) AS hour, COUNT(DISTINCT user_id) AS n_exact, "
+        "TRUE AS est_in_3sigma FROM events GROUP BY 1 ORDER BY hour"
+    ),
     "hll_distinct_users": (
         "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_in_3sigma FROM events"
     ),
