@@ -61,6 +61,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "mad_outliers": _rel.mad_outliers,
     "rollup_revenue": _rel.rollup_revenue,
     "hourly_distinct_users_hll": _sk.hourly_distinct_users_hll,
+    "theta_user_sets": _sk.theta_user_sets,
+    "bpe_token_counts": _txt.bpe_token_counts,
     # --- previously unchecked by the driver (round-1 VERDICT item 2) ---
     "transcript_sessions": _w.transcript_sessions,
     "purchase_view_asof": _w.purchase_view_asof,

@@ -513,6 +513,55 @@ _MURMUR_SQL = (
     "mmf AS (SELECT *, xor(h4, h4 >> 47) AS priority FROM mm7)"
 )
 
+def theta_user_sets(sf_dir: str, *, k: int = 1024) -> pa.Table:
+    """Theta/KMV set ALGEBRA over the even/odd event_id halves' user sets —
+    the approximate counterpart of ``cqf_intersect_halves`` (reference
+    ``src/gqf.c:2583-2613``), for cardinalities where exact intersection
+    no longer fits.  Two distributed sketch builds (masked extractors, the
+    same partial+tree-merge path as every sketch) plus ONE exact grouped
+    presence pass that makes each estimate driver-checkable: the row
+    carries exact |A∪B|, |A∩B|, |A∖B| and an in-3σ verdict per estimate
+    (RSE ≈ 1/√(k−1) relative to the union; when both halves fit below k
+    the estimates are exact by construction)."""
+    from ..sketches import ThetaSketch
+
+    def half_extract(parity: int):
+        def extract(batch: pa.Table) -> np.ndarray:
+            eid = np.asarray(batch.column("event_id").combine_chunks()).astype(np.int64)
+            uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+            return uid[eid % 2 == parity].astype(np.uint64)
+
+        return extract
+
+    ds = read(sf_dir, "events", ["event_id", "user_id"])
+    a = build_sketch(ds, half_extract(0), lambda: ThetaSketch(k=k, seed=11))
+    b = build_sketch(ds, half_extract(1), lambda: ThetaSketch(k=k, seed=11))
+    est = a.set_op_estimates(b)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch.column("event_id").combine_chunks()).astype(np.int64)
+        par = (eid % 2).astype(np.int64)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "in_a": pa.array(1 - par), "in_b": pa.array(par)})
+
+    presence = grouped_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("in_a", "max", "in_a"), ("in_b", "max", "in_b")],
+    ).to_pandas()
+    n_union = len(presence)
+    n_inter = int((presence["in_a"] & presence["in_b"]).sum())
+    n_diff = int((presence["in_a"] & ~presence["in_b"]).sum())
+    slack = 3.0 * n_union / np.sqrt(k - 1)
+    return pa.table(
+        {"n_union_exact": pa.array([n_union], type=pa.int64()),
+         "n_intersect_exact": pa.array([n_inter], type=pa.int64()),
+         "n_diff_exact": pa.array([n_diff], type=pa.int64()),
+         "union_in_3sigma": pa.array([bool(abs(est["union"] - n_union) <= slack)]),
+         "intersect_in_3sigma": pa.array([bool(abs(est["intersect"] - n_inter) <= slack)]),
+         "diff_in_3sigma": pa.array([bool(abs(est["a_not_b"] - n_diff) <= slack)])}
+    )
+
+
 def hourly_distinct_users_hll(sf_dir: str) -> pa.Table:
     """WINDOWED sketching: one HLL distinct-user estimate per tumbling
     1-hour event-time window (the streaming-window × mergeable-sketch
@@ -572,6 +621,14 @@ _RANK_BOUND_SQL = (
 )
 
 SQL = {
+    "theta_user_sets": (
+        "WITH p AS (SELECT user_id, MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a, "
+        "MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b FROM events GROUP BY user_id) "
+        "SELECT COUNT(*) AS n_union_exact, "
+        "CAST(COUNT(*) FILTER (WHERE in_a = 1 AND in_b = 1) AS BIGINT) AS n_intersect_exact, "
+        "CAST(COUNT(*) FILTER (WHERE in_a = 1 AND in_b = 0) AS BIGINT) AS n_diff_exact, "
+        "TRUE AS union_in_3sigma, TRUE AS intersect_in_3sigma, TRUE AS diff_in_3sigma FROM p"
+    ),
     "hourly_distinct_users_hll": (
         "SELECT date_trunc('hour', ts) AS hour, COUNT(DISTINCT user_id) AS n_exact, "
         "TRUE AS est_in_3sigma FROM events GROUP BY 1 ORDER BY hour"

@@ -40,6 +40,33 @@ def token_counts(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(sf_dir: str) -> pa.Table:
+    """BPE-style pre-tokenizer counts per document (driver brief: 'token
+    counting — whitespace + a BPE-ish regex'): runs of letters, runs of
+    digits, and runs of other non-space symbols, GPT-2-pretokenizer-shaped.
+    One vectorized regex pass per batch (polars/Rust), byte-identical
+    semantics to the RE2 pattern the SQL oracle runs."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(batch.column("text").combine_chunks()).fill_null("")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_bpe": pa.array(s.str.count_matches(_BPE_PAT).cast(pl.Int64).to_numpy()),
+             "n_alpha_runs": pa.array(s.str.count_matches("[A-Za-z]+").cast(pl.Int64).to_numpy()),
+             "n_digit_runs": pa.array(s.str.count_matches("[0-9]+").cast(pl.Int64).to_numpy())}
+        )
+
+    df = ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def quality_mask(batch: pa.Table) -> np.ndarray:
     """Per-doc quality predicate, vectorized: byte length in [50, 5000],
     ≥ 10 tokens, alpha ratio ≥ 0.6 in integers (10·alpha ≥ 6·len) so the
@@ -594,6 +621,13 @@ SQL = {
         "SELECT doc_id, COUNT(*) AS n_shingles, "
         "       CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM ts)) AS BIGINT) AS n_hit "
         "FROM dsh GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "bpe_token_counts": (
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs, "
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs "
+        "FROM documents ORDER BY doc_id"
     ),
     "dataset_split": _dataset_split_sql(),
     "repetition_stats": (

@@ -9,6 +9,7 @@ from .minhash import MinHasher, jaccard_exact
 from .misragries import MisraGries
 from .simhash import hamming64, simhash64
 from .tdigest import TDigest
+from .theta import ThetaSketch
 
 __all__ = [
     "CQF",
@@ -17,6 +18,7 @@ __all__ = [
     "sketch_from_bytes",
     "BloomFilter",
     "BottomKSample",
+    "ThetaSketch",
     "CountMinSketch",
     "HyperLogLog",
     "KLL",

@@ -310,3 +310,44 @@ def test_misra_gries_bounds_and_merge():
     rt = MisraGries.from_bytes(whole.to_bytes())
     assert rt.to_bytes() == whole.to_bytes()
     assert sketch_from_bytes(whole.to_bytes()).to_bytes() == whole.to_bytes()
+
+
+def test_theta_merge_invariant_and_set_ops():
+    """Theta sketch state is bitwise identical under any partitioning /
+    merge order; distinct and set-op estimates sit inside the 3/sqrt(k-1)
+    band; roundtrip preserves state; small sets are exact."""
+    from cqf_ray.sketches import ThetaSketch, sketch_from_bytes
+
+    rng = np.random.default_rng(5)
+    a_keys = rng.permutation(np.arange(60_000, dtype=np.uint64))
+    b_keys = np.arange(40_000, 110_000, dtype=np.uint64)  # 20k overlap
+
+    whole = ThetaSketch(k=512, seed=3)
+    whole.update(a_keys)
+    parts = np.array_split(a_keys, 9)
+    rng.shuffle(parts)
+    merged = ThetaSketch(k=512, seed=3)
+    for p in parts:
+        piece = ThetaSketch(k=512, seed=3)
+        piece.update(p)
+        merged.merge_in_place(piece)
+    assert merged.to_bytes() == whole.to_bytes()
+    rt = sketch_from_bytes(whole.to_bytes())
+    assert np.array_equal(rt.retained, whole.retained)
+
+    b = ThetaSketch(k=512, seed=3)
+    b.update(b_keys)
+    est = whole.set_op_estimates(b)
+    union, inter, diff = 110_000, 20_000, 40_000
+    slack = 3 * union / np.sqrt(512 - 1)
+    assert abs(whole.estimate() - 60_000) <= 3 * 60_000 / np.sqrt(511)
+    assert abs(est["union"] - union) <= slack
+    assert abs(est["intersect"] - inter) <= slack
+    assert abs(est["a_not_b"] - diff) <= slack
+
+    # below-k sets: estimates are exact
+    sa, sb = ThetaSketch(k=512, seed=3), ThetaSketch(k=512, seed=3)
+    sa.update(np.arange(100, dtype=np.uint64))
+    sb.update(np.arange(50, 130, dtype=np.uint64))
+    e = sa.set_op_estimates(sb)
+    assert (e["union"], e["intersect"], e["a_not_b"]) == (130.0, 50.0, 50.0)
