@@ -63,6 +63,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "hourly_distinct_users_hll": _sk.hourly_distinct_users_hll,
     "theta_user_sets": _sk.theta_user_sets,
     "bpe_token_counts": _txt.bpe_token_counts,
+    "event_transition_counts": _rel.event_transition_counts,
+    "retention_cohorts": _rel.retention_cohorts,
     # --- previously unchecked by the driver (round-1 VERDICT item 2) ---
     "transcript_sessions": _w.transcript_sessions,
     "purchase_view_asof": _w.purchase_view_asof,

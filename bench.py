@@ -43,6 +43,8 @@ QUERY_SET = [
     "clean_corpus",  # composed pipeline; also consumes the shared state
     "vocab_top_terms",  # combiner-first corpus vocabulary profile (r3)
     "campaign_window_revenue",  # broadcast interval/range join (r3)
+    "segment_dedup",  # C4-style corpus segment dedup, two keyed shuffles (r3)
+    "pack_sequences",  # bucketed concat-and-chunk packing (r3)
 ]
 
 

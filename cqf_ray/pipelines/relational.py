@@ -761,6 +761,71 @@ def funnel_counts(sf_dir: str) -> pa.Table:
                      for c in ["n_view", "n_view_click", "n_full"]})
 
 
+def event_transition_counts(sf_dir: str) -> pa.Table:
+    """Markov transition counts over per-user event sequences: for every
+    consecutive pair of events of one user (ordered by (ts, event_id)),
+    count (prev_type → next_type).  One keyed shuffle on user_id; the
+    kernel is a single lexsort + shifted compare per partition (run
+    boundaries mask cross-user pairs), with in-kernel partial counts so
+    only (pair, n) rows leave — the grouped sum over ≤|types|² keys is
+    the only other exchange."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsv, uid))
+        uid, et = uid[order], et[order]
+        same_user = uid[1:] == uid[:-1]
+        df = pl.DataFrame({"prev_type": et[:-1][same_user],
+                           "next_type": et[1:][same_user]})
+        out = df.group_by(["prev_type", "next_type"]).agg(n=pl.len().cast(pl.Int64))
+        return out.to_arrow()
+
+    partial = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(partial, ["prev_type", "next_type"], [("n", "sum", "n")])
+    return _finish(out, ["prev_type", "next_type"])
+
+
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    on each later active day offset — (cohort_day, day_offset, n_users).
+    One keyed shuffle on user_id; the kernel computes each user's min day
+    and distinct (cohort, offset) pairs vectorized, emits per-partition
+    partial distinct-user counts, and a tiny grouped sum finishes."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        day = np.asarray(t.column("ts").combine_chunks()).view(np.int64) // day_us
+        df = pl.DataFrame({"u": uid, "day": day})
+        per = (
+            df.group_by(["u", "day"]).agg()
+            .with_columns(cohort=pl.col("day").min().over("u"))
+            .with_columns(day_offset=pl.col("day") - pl.col("cohort"))
+            .group_by(["cohort", "day_offset"]).agg(n_users=pl.len().cast(pl.Int64))
+        )
+        return per.to_arrow()
+
+    partial = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(partial, ["cohort", "day_offset"],
+                            [("n_users", "sum", "n_users")]).to_pandas()
+    out["cohort_day"] = (out.pop("cohort") * day_us).astype("datetime64[us]")
+    return _finish(out[["cohort_day", "day_offset", "n_users"]],
+                   ["cohort_day", "day_offset"])
+
+
 def _value_at_rank(ds, col: str, rank: int) -> float:
     """Exact order statistic via distributed sort + bounded index read
     (same split_at_indices pattern as ``value_quantiles_exact``)."""
@@ -935,6 +1000,19 @@ SQL = {
         "      ROW_NUMBER() OVER (PARTITION BY hour ORDER BY n DESC, user_id) AS rank FROM c) "
         "SELECT hour, CAST(rank AS BIGINT) AS rank, user_id, n "
         "FROM r WHERE rank <= 3 ORDER BY hour, rank"
+    ),
+    "event_transition_counts": (
+        "WITH s AS (SELECT event_type AS next_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+        "FROM events) "
+        "SELECT prev_type, next_type, COUNT(*) AS n FROM s "
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY prev_type, next_type"
+    ),
+    "retention_cohorts": (
+        "WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), "
+        "c AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud) "
+        "SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset, "
+        "COUNT(*) AS n_users FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset"
     ),
     "funnel_counts": (
         "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), "
