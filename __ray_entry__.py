@@ -65,6 +65,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_token_counts": _txt.bpe_token_counts,
     "event_transition_counts": _rel.event_transition_counts,
     "retention_cohorts": _rel.retention_cohorts,
+    "epoch_shuffle": _txt.epoch_shuffle,
+    "value_histogram": _rel.value_histogram,
     # --- previously unchecked by the driver (round-1 VERDICT item 2) ---
     "transcript_sessions": _w.transcript_sessions,
     "purchase_view_asof": _w.purchase_view_asof,

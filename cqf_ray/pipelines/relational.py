@@ -826,6 +826,28 @@ def retention_cohorts(sf_dir: str) -> pa.Table:
                    ["cohort_day", "day_offset"])
 
 
+def value_histogram(sf_dir: str, *, bins: int = 20) -> pa.Table:
+    """Fixed-width histogram of ``events.value``: one streaming min/max
+    pass fixes the bin edges, one combiner-first grouped count fills them
+    (both single scans; bin arithmetic is the same IEEE expression the SQL
+    oracle evaluates, so assignment is bit-identical)."""
+    ev = read(sf_dir, "events", ["value"])
+    lo = ev.min("value")
+    hi = ev.max("value")
+    width = (hi - lo) / float(bins)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        b = np.minimum(np.floor((v - lo) / width), bins - 1).astype(np.int64)
+        return pa.table({"bin": pa.array(b)})
+
+    out = grouped_aggregate(
+        ev.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["bin"], [("n", "count", None)],
+    )
+    return _finish(out, ["bin"])
+
+
 def _value_at_rank(ds, col: str, rank: int) -> float:
     """Exact order statistic via distributed sort + bounded index read
     (same split_at_indices pattern as ``value_quantiles_exact``)."""
@@ -1013,6 +1035,11 @@ SQL = {
         "c AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud) "
         "SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset, "
         "COUNT(*) AS n_users FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset"
+    ),
+    "value_histogram": (
+        "WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events) "
+        "SELECT CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin, "
+        "COUNT(*) AS n FROM events, b GROUP BY 1 ORDER BY 1"
     ),
     "funnel_counts": (
         "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), "

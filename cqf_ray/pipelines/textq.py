@@ -225,6 +225,63 @@ def contamination_ngram(sf_dir: str, *, n: int = 5, seed: int = 61) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def epoch_shuffle(sf_dir: str, *, n_epochs: int = 2, n_buckets: int = 16,
+                  seed: int = 73) -> pa.Table:
+    """Deterministic multi-epoch shard-local shuffle — the order a training
+    loader replays data in: each epoch, every doc gets a fresh position
+    ``(bucket, pos_in_bucket)`` where bucket routing is epoch-independent
+    (shard residency is stable) and the within-bucket order is
+    ``argsort(murmur64(doc_id ⊕ epoch_salt))`` (a new permutation each
+    epoch).  Coordination-free and resume-safe: position depends only on
+    (doc_id, epoch), never on partition order or visit sequence.  One
+    keyed shuffle per corpus; the per-epoch argsorts run inside one kernel
+    pass.  Global order = bucket-major — the standard shard-local shuffle
+    a distributed loader uses instead of an all-to-all global sort."""
+    from ..hashing import murmur64a_u64
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        bucket = (murmur64a_u64(did.view(np.uint64), seed=seed)
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(did), "bucket": pa.array(bucket)})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        bucket = np.asarray(t.column("bucket").combine_chunks()).astype(np.int64)
+        order = np.lexsort((did, bucket))
+        did, bucket = did[order], bucket[order]
+        starts = run_starts(bucket)
+        bounds = np.append(starts, len(bucket))
+        out_d, out_b, out_e, out_p = [], [], [], []
+        for ep in range(n_epochs):
+            pri = murmur64a_u64(did.view(np.uint64) ^ np.uint64(seed + 1000 * (ep + 1)),
+                                seed=0)
+            pos = np.empty(len(did), dtype=np.int64)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                # per-bucket permutation, tie-broken by doc_id exactly like
+                # the oracle's ROW_NUMBER(ORDER BY priority, doc_id)
+                perm = np.lexsort((did[s:e], pri[s:e]))
+                pos[s:e][perm] = np.arange(e - s, dtype=np.int64)
+            out_d.append(did)
+            out_b.append(bucket)
+            out_e.append(np.full(len(did), ep, dtype=np.int64))
+            out_p.append(pos)
+        return pa.table({"doc_id": pa.array(np.concatenate(out_d)),
+                         "epoch": pa.array(np.concatenate(out_e)),
+                         "bucket": pa.array(np.concatenate(out_b)),
+                         "pos_in_bucket": pa.array(np.concatenate(out_p))})
+
+    df = keyed_partition_map(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"], kernel,
+    ).to_pandas()
+    df = df.sort_values(["epoch", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def dataset_split(sf_dir: str, *, val_permille: int = 10, test_permille: int = 10,
                   seed: int = 17) -> pa.Table:
     """Deterministic leakage-safe train/val/test assignment per document:
@@ -573,6 +630,45 @@ _LANG_ID_SQL = (
     "GROUP BY lang, lang_pred ORDER BY lang, lang_pred"
 )
 
+def _murmur_block(seed: int, prefix: str, src: str) -> str:
+    """The murmur-in-SQL CTE chain with PREFIXED cte names and a custom
+    source table, so one WITH clause can hold several independent murmur
+    computations (epoch_shuffle needs bucket + one priority per epoch)."""
+    from .sketchq import _MURMUR_SQL
+
+    s = _MURMUR_SQL.format(seed=seed)
+    for name in ("consts", "mmf", "mm0", "mm1", "mm2", "mm3", "mm4", "mm5", "mm6", "mm7"):
+        s = s.replace(name, prefix + name)
+    return s.replace("FROM u, ", f"FROM {src}, ").replace("u.*", f"{src}.*") \
+            .replace("u.k64", f"{src}.k64")
+
+
+def _epoch_shuffle_sql(n_epochs: int = 2, n_buckets: int = 16, seed: int = 73) -> str:
+    parts = [
+        "WITH bsrc AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id FROM documents), ",
+        _murmur_block(seed, "b", "bsrc"),
+        f", bk AS (SELECT doc_id, CAST(priority % {n_buckets} AS BIGINT) AS bucket FROM bmmf)",
+    ]
+    unions = []
+    for ep in range(n_epochs):
+        salt = seed + 1000 * (ep + 1)
+        p = f"e{ep}"
+        parts.append(
+            f", {p}src AS (SELECT xor(CAST(doc_id AS HUGEINT), {salt}) AS k64, doc_id FROM documents), "
+            + _murmur_block(0, p, f"{p}src")
+            + f", {p} AS (SELECT doc_id, CAST({ep} AS BIGINT) AS epoch, priority FROM {p}mmf)"
+        )
+        unions.append(f"SELECT * FROM {p}")
+    parts.append(
+        ", pos AS (SELECT e.doc_id, e.epoch, b.bucket, "
+        "ROW_NUMBER() OVER (PARTITION BY e.epoch, b.bucket ORDER BY e.priority, e.doc_id) - 1 "
+        "AS pos_in_bucket FROM (" + " UNION ALL ".join(unions) + ") e JOIN bk b USING (doc_id)) "
+        "SELECT doc_id, epoch, bucket, CAST(pos_in_bucket AS BIGINT) AS pos_in_bucket "
+        "FROM pos ORDER BY epoch, doc_id"
+    )
+    return "".join(parts)
+
+
 def _dataset_split_sql() -> str:
     from .sketchq import _MURMUR_SQL
 
@@ -630,6 +726,7 @@ SQL = {
         "FROM documents ORDER BY doc_id"
     ),
     "dataset_split": _dataset_split_sql(),
+    "epoch_shuffle": _epoch_shuffle_sql(),
     "repetition_stats": (
         "SELECT doc_id, CAST(length(text) - 4 AS BIGINT) AS n_total, "
         "       CAST(COUNT(DISTINCT substring(text, CAST(r AS BIGINT) + 1, 5)) AS BIGINT) AS n_distinct "
