@@ -53,7 +53,9 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (corpus prep, funnels, robust stats) ---
+    # --- newest round-3 operators (windows, outer join, corpus prep) ---
+    "user_running_value": _rel.user_running_value,
+    "customer_order_stats": _rel.customer_order_stats,
     "segment_dedup": _co.segment_dedup,
     "pack_sequences": _co.pack_sequences,
     "mixture_sample": _co.mixture_sample,

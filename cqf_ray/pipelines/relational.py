@@ -932,7 +932,111 @@ def rollup_revenue(sf_dir: str) -> pa.Table:
                    ["r_name", "n_name"])
 
 
+def user_running_value(sf_dir: str, *, user_mod: int = 7) -> pa.Table:
+    """Per-user RUNNING cumulative sum of ``value`` ordered by (ts,
+    event_id) — the window-function surface (``SUM() OVER (PARTITION BY
+    … ORDER BY …)``).  One keyed shuffle on user_id; the kernel is a
+    single lexsort + segmented cumulative sum per partition (micro-unit
+    int64, so partial order within ties and float association can't
+    diverge from the DECIMAL oracle).  ``user_mod`` keeps the driver
+    result bounded (users with ``user_id % user_mod == 0``); the operator
+    itself is corpus-wide — the filter is a pushed-down predicate, not a
+    collect."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        keep = pa.array(uid % user_mod == 0)
+        return batch.filter(keep)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        v = np.asarray(t.column("value"), dtype=np.float64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, tsv, eid = uid[order], tsv[order], eid[order]
+        v_s = np.round(v[order] * 1e6).astype(np.int64)
+        cs = np.cumsum(v_s)
+        starts = run_starts(uid)
+        lens = np.diff(np.append(starts, len(uid)))
+        seg_base = np.concatenate(([0], cs[starts[1:] - 1])) if len(starts) else np.array([], dtype=np.int64)
+        base = np.repeat(seg_base, lens)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "ts": pa.array(tsv).cast(pa.timestamp("us")),
+            "running_value": pa.array((cs - base) / 1e6),
+        })
+
+    out = keyed_partition_map(
+        ev.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], kernel,
+    )
+    return _finish(out, ["event_id"])
+
+
+def customer_order_stats(sf_dir: str) -> pa.Table:
+    """Per-customer order stats INCLUDING customers with no orders — the
+    LEFT OUTER join surface, big-big shaped: orders pre-aggregate
+    combiner-first to one row per custkey (the shuffle carries (key,
+    n, micro-sum) partials, never fact rows), then ONE co-partitioned
+    shuffle join against the customer table with null-fill to zero.
+    Neither side is broadcast — at 10^9 customers both legs stay
+    partitioned."""
+    from ..stages.join import shuffle_join
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "spend_s": pa.array(np.round(price * 1e6).astype(np.int64))})
+
+    agg = grouped_aggregate(
+        orders.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], [("n_orders", "count", None), ("spend_s", "sum", "spend_s")],
+    )
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cast_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch.column("c_custkey").cast(pa.int64()),
+                         "c_mktsegment": batch.column("c_mktsegment")})
+
+    joined = shuffle_join(
+        cust.map_batches(cast_key, batch_format="pyarrow", zero_copy_batch=True),
+        agg, left_on="c_custkey", right_on="o_custkey", join_type="left outer",
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch.column("n_orders"), 0)
+        s = pc.fill_null(batch.column("spend_s"), 0)
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "c_mktsegment": batch.column("c_mktsegment"),
+                         "n_orders": n.cast(pa.int64()),
+                         "total_spend": pa.array(round_scaled(np.asarray(s)))})
+
+    out = joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(out, ["c_custkey"])
+
+
 SQL = {
+    "user_running_value": (
+        "SELECT event_id, user_id, ts, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value "
+        "FROM events WHERE user_id % 7 = 0 ORDER BY event_id"
+    ),
+    "customer_order_stats": (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, "
+        "COUNT(o_orderkey) AS n_orders, "
+        "CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS total_spend "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY 1, 2 ORDER BY c_custkey"
+    ),
     "revenue_by_region": (
         "SELECT r_name, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
         "COUNT(*) AS n_orders "
