@@ -55,6 +55,9 @@ def entry() -> Any:
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- newest round-3 operators (windows, outer join, corpus prep) ---
     "user_running_value": _rel.user_running_value,
+    "conv_reconstruct": _tr.conv_reconstruct,
+    "redact_terms": _txt.redact_terms,
+    "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,
     "segment_dedup": _co.segment_dedup,
     "pack_sequences": _co.pack_sequences,

@@ -681,7 +681,85 @@ def _dataset_split_sql() -> str:
     )
 
 
+_REDACT_RE = r"\b(customer|spark|vector)\b"
+
+
+def redact_terms(sf_dir: str) -> pa.Table:
+    """Deny-list redaction (the PII-scrub shape: a dictionary of terms —
+    names, identifiers — replaced corpus-wide before training): per doc,
+    the number of redactions and the scrubbed length after each match
+    becomes ``[X]``.  Pure row-wise map — zero shuffle, streams at any
+    scale; the regex is compiled once per polars kernel, the engine and
+    the RE2 oracle evaluate the identical word-boundary pattern."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = df.select(
+            pl.col("doc_id"),
+            n_redacted=pl.col("text").str.count_matches(_REDACT_RE).cast(pl.Int64),
+            scrubbed_len=pl.col("text").str.replace_all(_REDACT_RE, "[X]")
+            .str.len_chars().cast(pl.Int64),
+        )
+        return out.to_arrow()
+
+    df = ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def lexical_diversity(sf_dir: str) -> pa.Table:
+    """Per-document type/token lexical-diversity profile (a standard
+    corpus quality signal next to ``quality_filter``'s length gates):
+    token count, distinct-token count, the modal token's frequency, and
+    an integer type-token ratio in milli-units — all integer-exact, so
+    the SQL oracle matches bit-for-bit.  Row-wise per doc (documents
+    never straddle batches): one vectorized polars explode + two-level
+    group_by per batch, zero shuffle."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def profile(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        toks = (
+            df.select("doc_id", tok=pl.col("text").str.split(" "))
+            .explode("tok")
+            .group_by("doc_id", "tok").agg(n=pl.len().cast(pl.Int64))
+        )
+        out = toks.group_by("doc_id").agg(
+            n_tokens=pl.col("n").sum(),
+            n_types=pl.len().cast(pl.Int64),
+            top_token_n=pl.col("n").max(),
+        ).with_columns(
+            ttr_milli=(pl.col("n_types") * 1000) // pl.col("n_tokens"),
+        )
+        return out.to_arrow()
+
+    df = ds.map_batches(profile, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 SQL = {
+    "redact_terms": (
+        "SELECT doc_id, "
+        "CAST(length(regexp_extract_all(text, '\\b(customer|spark|vector)\\b')) AS BIGINT) AS n_redacted, "
+        "CAST(length(regexp_replace(text, '\\b(customer|spark|vector)\\b', '[X]', 'g')) AS BIGINT) AS scrubbed_len "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "lexical_diversity": (
+        "WITH toks AS (SELECT doc_id, tok, COUNT(*) AS n "
+        "FROM documents, LATERAL UNNEST(string_split(text, ' ')) AS t(tok) "
+        "GROUP BY doc_id, tok) "
+        "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_types, MAX(n) AS top_token_n, "
+        "CAST((COUNT(*) * 1000) // SUM(n) AS BIGINT) AS ttr_milli "
+        "FROM toks GROUP BY doc_id ORDER BY doc_id"
+    ),
     "vocab_top_terms": (
         "WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
         "ag AS (SELECT term, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term), "

@@ -259,7 +259,67 @@ def users_with_view_then_purchase(sf_dir: str) -> pa.Table:
     return pa.table({"n_users": pa.array([n], type=pa.int64())})
 
 
+def conv_reconstruct(sf_dir: str) -> pa.Table:
+    """Sequence reconstruction: rebuild each conversation's full ordered
+    dialog ('role: text' lines joined by newline in (ts, event_id) turn
+    order) and emit its length + MD5 — the document-assembly step a
+    training pipeline runs before packing/tokenizing.  ONE keyed shuffle
+    on the conversation key; the kernel lexsorts its partition once and
+    concatenates per-conversation in a vectorized polars aggregation (the
+    only per-group Python work is one MD5 per conversation, O(groups) not
+    O(rows))."""
+    import hashlib
+    import os as _os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.transcripts import _role_of_types
+    from ..stages.keyed import keyed_partition_map
+
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        idx = pa.array(order)
+        role = _role_of_types(t.column("event_type")).take(idx)
+        text = t.column("props").combine_chunks().take(idx)
+        line = pc.binary_join_element_wise(role, text, ": ")
+        df = pl.from_arrow(pa.table({"conv": pa.array(uid[order]), "line": line}))
+        agg = df.group_by("conv").agg(
+            n_turns=pl.len().cast(pl.Int64),
+            dialog=pl.col("line").str.join("\n"),
+        )
+        md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in agg["dialog"]]
+        return pa.table({
+            "conv_id": pc.binary_join_element_wise(
+                "c", pc.cast(agg["conv"].to_arrow(), pa.string()), ""
+            ),
+            "n_turns": agg["n_turns"].to_arrow(),
+            "dialog_len": agg["dialog"].str.len_chars().cast(pl.Int64).to_arrow(),
+            "dialog_md5": pa.array(md5s),
+        })
+
+    df = keyed_partition_map(ds, ["user_id"], kernel).to_pandas()
+    df = df.sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 SQL = {
+    "conv_reconstruct": (
+        f"{_CTE} SELECT conv_id, COUNT(*) AS n_turns, "
+        "LENGTH(STRING_AGG(role || ': ' || text, CHR(10) ORDER BY turn_idx)) AS dialog_len, "
+        "MD5(STRING_AGG(role || ': ' || text, CHR(10) ORDER BY turn_idx)) AS dialog_md5 "
+        "FROM transcripts GROUP BY conv_id ORDER BY conv_id"
+    ),
     "transcript_shingle_summary": (
         f"{_CTE}, sh AS ("
         "  SELECT role, tool, CASE WHEN length(text) >= 5 "
