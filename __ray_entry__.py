@@ -57,6 +57,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "user_running_value": _rel.user_running_value,
     "conv_reconstruct": _tr.conv_reconstruct,
     "redact_terms": _txt.redact_terms,
+    "q3_shipping_priority": _rel.q3_shipping_priority,
+    "range_partition_stats": _rel.range_partition_stats,
     "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,
     "segment_dedup": _co.segment_dedup,

@@ -1022,7 +1022,127 @@ def customer_order_stats(sf_dir: str) -> pa.Table:
     return _finish(out, ["c_custkey"])
 
 
+def q3_shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-30", k: int = 10) -> pa.Table:
+    """TPC-H Q3-shaped composition — the multi-join showcase: segment
+    customers (dim-scale → broadcast LEFT SEMI onto orders), date-pruned
+    orders ⋈ lineitem as a BIG-BIG co-partitioned shuffle join on the
+    order key, per-order revenue aggregated combiner-first (micro-unit
+    int64), and a distributed top-k (per-block argpartition, driver
+    reduces |blocks|×k candidates — no global sort).  Every filter is
+    pushed below the join, so the exchange only carries surviving
+    (orderkey, revenue) pairs."""
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys_tbl = (cust.filter(pc.equal(cust.column("c_mktsegment"), segment))
+                .select(["c_custkey"]))
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("o_orderdate"), cut))
+
+    semi = broadcast_join(
+        orders.map_batches(ofilt, batch_format="pyarrow", zero_copy_batch=True),
+        keys_tbl, keys="o_custkey", right_keys="c_custkey", join_type="left semi",
+    )
+
+    def oprune(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def lrev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cut))
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        rev = np.round(price * (1.0 - disc) * 1e6).astype(np.int64)
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "revenue_s": pa.array(rev)})
+
+    from ..stages.join import shuffle_join
+
+    joined = shuffle_join(
+        li.map_batches(lrev, batch_format="pyarrow", zero_copy_batch=True),
+        semi.map_batches(oprune, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    per_order = grouped_aggregate(
+        joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [("revenue_s", "sum", "revenue_s")],
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("revenue_s").combine_chunks())
+        if len(v) > k:
+            batch = batch.take(pa.array(np.argpartition(-v, kth=k - 1)[:k]))
+        return batch
+
+    cand = per_order.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand["revenue"] = round_scaled(cand.pop("revenue_s"))
+    cand = cand.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return pa.Table.from_pandas(
+        cand[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+        .reset_index(drop=True), preserve_index=False,
+    )
+
+
+def range_partition_stats(sf_dir: str, *, k: int = 8) -> pa.Table:
+    """Exact equal-count RANGE partitioner over (value, event_id) — the
+    building block behind total-order sort output and range-bucketed
+    writes.  ONE distributed sort fixes the k−1 boundary rows (read back
+    via split heads, k−1 single-row takes), then one streaming pass
+    assigns each row its partition by lexicographic boundary compare
+    (k−1 vectorized comparisons, no second shuffle) and a tiny grouped
+    aggregate reports per-partition count/min/max.  Equals SQL
+    ``NTILE(k)`` exactly because the sort key is unique."""
+    ev = read(sf_dir, "events", ["event_id", "value"])
+    n = ev.count()
+    base, rem = divmod(n, k)
+    bounds_idx = [j * base + min(j, rem) for j in range(1, k)]
+    parts = ev.sort(["value", "event_id"]).split_at_indices(bounds_idx)
+    heads = [p.take(1)[0] for p in parts[1:]]
+    bv = np.array([h["value"] for h in heads], dtype=np.float64)
+    be = np.array([h["event_id"] for h in heads], dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        eid = np.asarray(batch.column("event_id").combine_chunks()).astype(np.int64)
+        part = np.zeros(len(v), dtype=np.int64)
+        for j in range(k - 1):
+            part += (v > bv[j]) | ((v == bv[j]) & (eid >= be[j]))
+        return pa.table({"part": pa.array(part), "value": batch.column("value")})
+
+    out = grouped_aggregate(
+        ev.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["part"],
+        [("n", "count", None), ("min_v", "min", "value"), ("max_v", "max", "value")],
+    )
+    return _finish(out, ["part"])
+
+
 SQL = {
+    "q3_shipping_priority": (
+        "SELECT l_orderkey, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-30' "
+        "AND l_shipdate > TIMESTAMP '1998-06-30' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "range_partition_stats": (
+        "WITH r AS (SELECT value, NTILE(8) OVER (ORDER BY value, event_id) AS p FROM events) "
+        "SELECT CAST(p - 1 AS BIGINT) AS part, COUNT(*) AS n, "
+        "MIN(value) AS min_v, MAX(value) AS max_v "
+        "FROM r GROUP BY p ORDER BY part"
+    ),
     "user_running_value": (
         "SELECT event_id, user_id, ts, "
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER "
