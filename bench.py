@@ -45,6 +45,8 @@ QUERY_SET = [
     "campaign_window_revenue",  # broadcast interval/range join (r3)
     "segment_dedup",  # C4-style corpus segment dedup, two keyed shuffles (r3)
     "pack_sequences",  # bucketed concat-and-chunk packing (r3)
+    "q3_shipping_priority",  # 3-table composition: semi + big-big join + top-k (r3)
+    "conv_reconstruct",  # ordered per-conversation dialog assembly (r3)
 ]
 
 
