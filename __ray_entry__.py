@@ -59,6 +59,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "redact_terms": _txt.redact_terms,
     "q3_shipping_priority": _rel.q3_shipping_priority,
     "range_partition_stats": _rel.range_partition_stats,
+    "f2_moment_users": _sk.f2_moment_users,
+    "jsonl_roundtrip": _si.jsonl_roundtrip,
     "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,
     "segment_dedup": _co.segment_dedup,

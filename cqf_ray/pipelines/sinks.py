@@ -108,6 +108,32 @@ def corpus_partitioned_roundtrip(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def jsonl_roundtrip(sf_dir: str) -> pa.Table:
+    """Corpus-interchange format breadth: stream the documents table out
+    as sharded JSONL (the lingua franca of web-corpus pipelines) via
+    ``Dataset.write_json`` and read it back with ``ray.data.read_json``
+    — per-row text equality against the identity oracle proves the
+    encode/decode (quoting, unicode escapes, shard boundaries) is
+    lossless.  Both legs stream block-parallel; nothing materializes but
+    the driver-contract result."""
+    import shutil
+    import tempfile
+
+    from .common import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = os.path.join(
+        tempfile.gettempdir(), f"corpus_jsonl_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ds.write_json(out)
+    back = ray.data.read_json(out)
+    df = back.to_pandas()[["doc_id", "text", "lang"]]
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def dump_sketch_parquet(cqf, out_dir: str, shards: int = 16, invert_keys: bool = True) -> str:
     """Hash-ordered lossless (key, value, count) dump of a CQF to sharded
     Parquet — the distributed analog of qf_iterator + serialize. Shards
@@ -173,6 +199,9 @@ def cqf_dump_roundtrip(sf_dir: str) -> pa.Table:
 
 
 SQL = {
+    "jsonl_roundtrip": (
+        "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
+    ),
     "corpus_partitioned_roundtrip": (
         "SELECT doc_id, n_chars FROM documents ORDER BY doc_id"
     ),

@@ -620,7 +620,41 @@ _RANK_BOUND_SQL = (
     "SELECT 0.9, TRUE UNION ALL SELECT 0.99, TRUE ORDER BY q"
 )
 
+def f2_moment_users(sf_dir: str) -> pa.Table:
+    """AMS second-frequency-moment (F₂ = Σ n_user² — self-join size /
+    skew) of the user_id stream, driver-checkable the standard verdict
+    way: the query ALSO computes EXACT F₂ (combiner-first per-user
+    counts, then a streaming sum of squares) and emits
+    (f2_exact, est_in_3sigma) — the mean-of-m AMS estimator carries
+    σ ≤ F₂·√(2/m) (m = 256), the oracle reproduces f2_exact and asserts
+    the 3σ bound held (the estimate itself is hash-dependent)."""
+    from ..sketches import AmsSketch
+
+    ds = read(sf_dir, "events", ["user_id"])
+    ams = build_sketch(ds, keys.int_column("user_id"), lambda: AmsSketch(seed=3))
+    est = ams.estimate_f2()
+
+    per_user = grouped_aggregate(
+        read(sf_dir, "events", ["user_id"]), ["user_id"], [("n", "count", None)]
+    )
+
+    def sq(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n").combine_chunks()).astype(np.int64)
+        return pa.table({"n2": pa.array(n * n)})
+
+    f2 = int(per_user.map_batches(sq, batch_format="pyarrow",
+                                  zero_copy_batch=True).sum("n2"))
+    sigma = f2 * np.sqrt(2.0 / ams.m)
+    ok = abs(est - f2) <= 3 * sigma
+    return pa.table({"f2_exact": pa.array([f2], type=pa.int64()),
+                     "est_in_3sigma": pa.array([bool(ok)])})
+
+
 SQL = {
+    "f2_moment_users": (
+        "SELECT CAST(SUM(n * n) AS BIGINT) AS f2_exact, TRUE AS est_in_3sigma "
+        "FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id)"
+    ),
     "theta_user_sets": (
         "WITH p AS (SELECT user_id, MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a, "
         "MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b FROM events GROUP BY user_id) "

@@ -1,4 +1,5 @@
 from .base import Sketch, sketch_from_bytes
+from .ams import AmsSketch
 from .bloom import BloomFilter
 from .bottomk import BottomKSample
 from .cms import CountMinSketch
@@ -16,6 +17,7 @@ __all__ = [
     "CQFNoSpace",
     "Sketch",
     "sketch_from_bytes",
+    "AmsSketch",
     "BloomFilter",
     "BottomKSample",
     "ThetaSketch",

@@ -351,3 +351,40 @@ def test_theta_merge_invariant_and_set_ops():
     sb.update(np.arange(50, 130, dtype=np.uint64))
     e = sa.set_op_estimates(sb)
     assert (e["union"], e["intersect"], e["a_not_b"]) == (130.0, 50.0, 50.0)
+
+
+def test_ams_merge_bitwise_and_error_bound():
+    """AMS counters merge bitwise order-invariantly; the mean-of-m F2
+    estimate lands within its 3σ ≤ 3·F2·√(2/m) bound on a skewed stream;
+    serialization round-trips exactly."""
+    import collections
+
+    from cqf_ray.sketches import AmsSketch, sketch_from_bytes
+
+    rng = np.random.default_rng(7)
+    keys = rng.zipf(1.5, size=100_000).clip(max=5000).astype(np.uint64)
+
+    whole = AmsSketch(seed=11)
+    whole.update(keys)
+
+    pieces = []
+    for chunk in np.array_split(keys, 7):
+        p = AmsSketch(seed=11)
+        p.update(chunk)
+        pieces.append(sketch_from_bytes(p.to_bytes()))
+    rng.shuffle(pieces)
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged.merge_in_place(p)
+    assert (merged.counters == whole.counters).all()
+
+    cnt = collections.Counter(keys.tolist())
+    f2 = sum(n * n for n in cnt.values())
+    est = merged.estimate_f2()
+    assert abs(est - f2) <= 3 * f2 * np.sqrt(2.0 / merged.m)
+    assert merged.estimate_f2_medians() > 0
+
+    back = sketch_from_bytes(merged.to_bytes())
+    assert (back.counters == merged.counters).all()
+    assert (back.n_hashes, back.bits_per, back.seed) == (
+        merged.n_hashes, merged.bits_per, merged.seed)
