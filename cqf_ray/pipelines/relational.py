@@ -1023,7 +1023,8 @@ def customer_order_stats(sf_dir: str) -> pa.Table:
 
 
 def q3_shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
-                         cutoff: str = "1998-06-30", k: int = 10) -> pa.Table:
+                         cutoff: str = "1998-06-30", k: int = 10,
+                         bloom_prefilter: bool = False) -> pa.Table:
     """TPC-H Q3-shaped composition — the multi-join showcase: segment
     customers (dim-scale → broadcast LEFT SEMI onto orders), date-pruned
     orders ⋈ lineitem as a BIG-BIG co-partitioned shuffle join on the
@@ -1069,6 +1070,13 @@ def q3_shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
         li.map_batches(lrev, batch_format="pyarrow", zero_copy_batch=True),
         semi.map_batches(oprune, batch_format="pyarrow", zero_copy_batch=True),
         left_on="l_orderkey", right_on="o_orderkey",
+        # scale path: a broadcast Bloom of the surviving-order keys prunes
+        # most lineitem rows BEFORE the all-to-all (result-invariant,
+        # pytest-equal).  Off by default: at bench scale the exchange is
+        # cheap and the Bloom's extra right-leg pass costs more than it
+        # saves (measured +1.5-3.5 s at sf0.1); it wins when the shipped
+        # big side, not the extra scan, is the bottleneck.
+        bloom_prefilter_log2=20 if bloom_prefilter else None,
     )
     per_order = grouped_aggregate(
         joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],

@@ -40,6 +40,31 @@ class _BroadcastJoiner:
         )
 
 
+class _BloomPrefilter:
+    """Actor-pool callable: drop left-side batch rows whose join key
+    cannot exist on the right (broadcast Bloom, deserialized once per
+    actor).  False positives only pass extra rows the partition-local
+    inner join drops — the result is unchanged; false negatives are
+    impossible, so this is purely an exchange-volume optimization."""
+
+    def __init__(self, blob_ref, key: str):
+        import numpy as np
+
+        from ..sketches import BloomFilter
+
+        self.np = np
+        self.bloom = BloomFilter.from_bytes(
+            ray.get(blob_ref) if isinstance(blob_ref, ray.ObjectRef) else blob_ref
+        )
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.np.asarray(
+            batch.column(self.key).combine_chunks(), dtype=self.np.int64
+        ).astype(self.np.uint64)
+        return batch.filter(pa.array(self.bloom.contains(k)))
+
+
 def shuffle_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -48,6 +73,7 @@ def shuffle_join(
     right_on: str,
     join_type: str = "inner",
     num_partitions: int = 32,
+    bloom_prefilter_log2: int | None = None,
 ) -> "ray.data.Dataset":
     """Big-big SHUFFLE hash join — the general case ``broadcast_join``
     can't serve (neither side fits a broadcast). Shape: both sides are
@@ -60,10 +86,41 @@ def shuffle_join(
     hash join expressed in Ray Data operators (one all-to-all exchange,
     no driver involvement). Column names must be disjoint apart from the
     join keys; skewed keys split at the partition level (the skew unit is
-    one key)."""
+    one key).
+
+    ``bloom_prefilter_log2`` (inner joins only): build a Bloom filter of
+    that many log2 bits over the RIGHT side's keys (one extra streaming
+    pass over the smaller side) and broadcast it to prune LEFT rows
+    BEFORE the exchange — when the right side is selective (a filtered
+    dim, a semi-joined order set), most big-side rows never enter the
+    all-to-all.  No-false-negatives makes it result-invariant; note the
+    right Dataset's lineage executes twice (Bloom pass + join feed)."""
     import numpy as np
 
     from .keyed import keyed_partition_map
+
+    if bloom_prefilter_log2:
+        if join_type != "inner":
+            raise ValueError("bloom_prefilter requires an inner join")
+        from ..sketches import BloomFilter
+        from .agg import build_sketch
+
+        def rkeys(batch: pa.Table) -> np.ndarray:
+            return np.asarray(
+                batch.column(right_on).combine_chunks(), dtype=np.int64
+            ).astype(np.uint64)
+
+        bloom = build_sketch(
+            right.select_columns([right_on]), rkeys,
+            lambda: BloomFilter(log2_bits=bloom_prefilter_log2, num_hashes=7, seed=5),
+        )
+        left = left.map_batches(
+            _BloomPrefilter,
+            fn_constructor_args=(ray.put(bloom.to_bytes()), left_on),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
 
     lcols = left.schema().names
     rcols = right.schema().names

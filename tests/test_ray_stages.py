@@ -201,6 +201,45 @@ def test_shuffle_join_matches_sql(ray_session, duck):
         shuffle_join(orders, orders, left_on="o_orderkey", right_on="o_orderkey")
 
 
+def test_shuffle_join_bloom_prefilter_result_invariant(ray_session, duck):
+    """The broadcast-Bloom exchange prefilter (no false negatives) must
+    leave the inner-join result bit-identical, even with a tiny filter
+    (high FP rate — extra passed rows are dropped by the local join);
+    non-inner joins reject it."""
+    ray = ray_session
+    import pytest
+
+    from cqf_ray.stages.join import shuffle_join
+
+    li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    # selective right side: every 7th order
+    orders = ray.data.read_parquet(f"{SF_DIR}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    def every7th(batch):
+        k = np.asarray(batch.column("o_orderkey").combine_chunks())
+        return batch.filter(pa.array(k % 7 == 0))
+
+    sel = orders.map_batches(every7th, batch_format="pyarrow")
+
+    def collect(ds):
+        return (ds.to_pandas()
+                .sort_values(["l_orderkey", "l_quantity", "o_orderpriority"])
+                .reset_index(drop=True))
+
+    plain = collect(shuffle_join(li, sel, left_on="l_orderkey",
+                                 right_on="o_orderkey", num_partitions=8))
+    pref = collect(shuffle_join(li, sel, left_on="l_orderkey",
+                                right_on="o_orderkey", num_partitions=8,
+                                bloom_prefilter_log2=10))
+    assert plain.equals(pref)
+    assert len(plain) > 0
+
+    with pytest.raises(ValueError, match="inner"):
+        shuffle_join(li, sel, left_on="l_orderkey", right_on="o_orderkey",
+                     join_type="left outer", bloom_prefilter_log2=10)
+
+
 def test_grouped_aggregate_matches_sql(ray_session, duck):
     ray = ray_session
     ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
