@@ -1057,12 +1057,19 @@ def q3_shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def lrev(batch: pa.Table) -> pa.Table:
+        # partial aggregate BELOW the join (combiner-first): the exchange
+        # carries ≤ distinct-orderkeys-per-block (orderkey, partial-sum)
+        # rows, never raw line items; integer micro-units keep the partial
+        # order-independent
+        import polars as pl
+
         batch = batch.filter(pc.greater(batch.column("l_shipdate"), cut))
         price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
         disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
         rev = np.round(price * (1.0 - disc) * 1e6).astype(np.int64)
-        return pa.table({"l_orderkey": batch.column("l_orderkey"),
-                         "revenue_s": pa.array(rev)})
+        key = np.asarray(batch.column("l_orderkey").combine_chunks()).astype(np.int64)
+        df = pl.DataFrame({"l_orderkey": key, "revenue_s": rev})
+        return df.group_by("l_orderkey").agg(pl.col("revenue_s").sum()).to_arrow()
 
     from ..stages.join import shuffle_join
 
