@@ -61,6 +61,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "range_partition_stats": _rel.range_partition_stats,
     "f2_moment_users": _sk.f2_moment_users,
     "jsonl_roundtrip": _si.jsonl_roundtrip,
+    "csv_roundtrip": _si.csv_roundtrip,
     "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,
     "segment_dedup": _co.segment_dedup,

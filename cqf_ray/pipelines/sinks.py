@@ -134,6 +134,31 @@ def jsonl_roundtrip(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def csv_roundtrip(sf_dir: str) -> pa.Table:
+    """CSV interchange breadth (the other ubiquitous corpus format):
+    stream the customer table out as sharded CSV via ``Dataset.write_csv``
+    and read it back with ``ray.data.read_csv`` — identity oracle over
+    every column type the table carries (ints, strings, floats) proves
+    quoting/typing round-trips.  Both legs stream block-parallel."""
+    import shutil
+    import tempfile
+
+    from .common import read
+
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    out = os.path.join(
+        tempfile.gettempdir(), f"customer_csv_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ds.write_csv(out)
+    back = ray.data.read_csv(out)
+    df = back.to_pandas()[["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]]
+    df["c_custkey"] = df["c_custkey"].astype(np.int64)
+    df = df.sort_values("c_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def dump_sketch_parquet(cqf, out_dir: str, shards: int = 16, invert_keys: bool = True) -> str:
     """Hash-ordered lossless (key, value, count) dump of a CQF to sharded
     Parquet — the distributed analog of qf_iterator + serialize. Shards
@@ -199,6 +224,10 @@ def cqf_dump_roundtrip(sf_dir: str) -> pa.Table:
 
 
 SQL = {
+    "csv_roundtrip": (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment, "
+        "c_acctbal FROM customer ORDER BY c_custkey"
+    ),
     "jsonl_roundtrip": (
         "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
     ),
