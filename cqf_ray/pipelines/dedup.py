@@ -1039,21 +1039,43 @@ def _union_find(pairs_a: np.ndarray, pairs_b: np.ndarray) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def near_dup_canonical(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
+def near_dup_canonical(sf_dir: str, *, threshold: float = 0.7,
+                       mode: str = "driver") -> pa.Table:
     """Training-data dedup decision list: MinHash-LSH candidates → exact
     Jaccard verify → connected components → (doc_id, canonical_id, keep).
     Only docs in a dup group appear; keep=True marks the group minimum.
     Oracle: recursive-CTE min-label closure over the exact pair set.
     Consumes the cached ``_lsh_pair_state`` — the LSH+verify pipeline runs
-    once per corpus, not once per downstream query."""
+    once per corpus, not once per downstream query.
+
+    ``mode='driver'`` (default): union-find over the pair list — right
+    while the VERIFIED pair set is pair-endpoint-sized.  ``mode=
+    'distributed'``: hash-to-min label propagation with edges and labels
+    as Datasets end to end (``stages/cc.py``) — the scale path when the
+    dup graph itself outgrows the driver (billions of edges); pytest
+    asserts both modes produce identical components."""
     pairs = _lsh_pair_state(sf_dir, threshold=threshold)["pairs"]
     if len(pairs) == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
                          "canonical_id": pa.array([], type=pa.int64()),
                          "keep": pa.array([], type=pa.bool_())})
-    comp = _union_find(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
-    docs = np.array(sorted(comp), dtype=np.int64)
-    canon = np.array([comp[d] for d in docs], dtype=np.int64)
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    if mode == "distributed":
+        from ..stages.cc import connected_components
+
+        edges = ray.data.from_arrow(
+            pa.table({"src": pa.array(a.astype(np.int64)),
+                      "dst": pa.array(b.astype(np.int64))})
+        )
+        lab = connected_components(edges).to_pandas()
+        lab = lab.sort_values("node").reset_index(drop=True)
+        docs = lab["node"].to_numpy().astype(np.int64)
+        canon = lab["comp"].to_numpy().astype(np.int64)
+    else:
+        comp = _union_find(a, b)
+        docs = np.array(sorted(comp), dtype=np.int64)
+        canon = np.array([comp[d] for d in docs], dtype=np.int64)
     return pa.table(
         {"doc_id": pa.array(docs), "canonical_id": pa.array(canon),
          "keep": pa.array(docs == canon)}

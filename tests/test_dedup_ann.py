@@ -274,3 +274,35 @@ def test_ann_ivf_recall(ray_session, planted_dir):
     e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_connected_components_distributed_matches_union_find(ray_session):
+    """Hash-to-min label propagation (Dataset edges+labels end to end)
+    produces the same components as the driver union-find on a graph
+    with a long chain (propagation over many rounds), a dense cluster,
+    and singleton-free pairs; and near_dup_canonical's distributed mode
+    equals its driver mode on the real corpus."""
+    ray = ray_session
+    import pyarrow as pa
+
+    from cqf_ray.pipelines.dedup import _union_find, near_dup_canonical
+    from cqf_ray.stages.cc import connected_components
+
+    # chain 0-1-2-...-9, cluster {100..104} complete, pair (200, 201)
+    chain = [(i, i + 1) for i in range(9)]
+    cluster = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    extra = [(201, 200)]
+    edges = chain + cluster + extra
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+
+    lab = connected_components(
+        ray.data.from_arrow(pa.table({"src": pa.array(a), "dst": pa.array(b)}))
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    uf = _union_find(a, b)
+    assert list(lab["node"]) == sorted(uf)
+    assert [uf[n] for n in lab["node"]] == list(lab["comp"])
+
+    drv = near_dup_canonical(SF_DIR, mode="driver").to_pandas()
+    dist = near_dup_canonical(SF_DIR, mode="distributed").to_pandas()
+    assert drv.equals(dist)
