@@ -62,6 +62,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "f2_moment_users": _sk.f2_moment_users,
     "jsonl_roundtrip": _si.jsonl_roundtrip,
     "csv_roundtrip": _si.csv_roundtrip,
+    "ann_pq": _ann.ann_pq,
+    "ann_pq_recall": _ann.ann_pq_recall,
     "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,
     "segment_dedup": _co.segment_dedup,

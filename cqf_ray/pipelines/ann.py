@@ -165,6 +165,85 @@ def ann_ivf(sf_dir: str, *, n_cells: int = 16, nprobe: int = 6) -> pa.Table:
     )
 
 
+def ann_pq(sf_dir: str, *, m: int = 8, ks: int = 16, shortlist: int = 48) -> pa.Table:
+    """Product-quantization ANN (the memory-compression scale path: codes
+    are m·log2(ks) bits per vector — 4 bytes here vs 256 for the raw
+    float64 row).  Codebooks fit on the distributed hash sample; each
+    batch encodes itself, scans codes via the broadcast ADC lookup table,
+    keeps a per-query SHORTLIST by approximate inner product, and
+    re-ranks the shortlist against the real vectors (exact sims) before
+    the driver's final top-k — the classic ADC + re-rank pipeline.
+    Quantizer-dependent output ⇒ rows-only; `ann_pq_recall` is the
+    oracle-checked companion."""
+    import ray
+
+    from ..stages.ann import ProductQuantizer, sample_embeddings
+
+    qids, qmat = load_query_matrix(sf_dir, _N_QUERIES)
+    sample = sample_embeddings(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]), rate_inv=3, seed=17
+    )
+    pq_ = ProductQuantizer(sample, m=m, ks=ks, seed=47)
+    ref = ray.put((qids, qmat, pq_.lut(qmat), pq_.codebooks))
+
+    class PQTopK:
+        def __init__(self, r, shortlist):
+            self.qids, self.qmat, self.lut, codebooks = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            )
+            self.shortlist = shortlist
+            self.pq = ProductQuantizer.__new__(ProductQuantizer)
+            self.pq.codebooks = codebooks
+            self.pq.m, self.pq.ks, self.pq.dsub = (
+                codebooks.shape[0], codebooks.shape[1], codebooks.shape[2]
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            codes = self.pq.encode(emb)
+            approx = self.lut[:, 0, codes[:, 0]].copy()
+            for j in range(1, self.pq.m):
+                approx += self.lut[:, j, codes[:, j]]
+            approx[self.qids[:, None] == vid[None, :]] = -np.inf
+            s = min(self.shortlist, approx.shape[1])
+            short = np.argpartition(-approx, kth=s - 1, axis=1)[:, :s]
+            # exact re-rank of the shortlist only
+            rows, cols, vals = [], [], []
+            for qi in range(len(self.qids)):
+                cand = short[qi]
+                sims = self.qmat[qi] @ emb[cand].T
+                sims[self.qids[qi] == vid[cand]] = -np.inf
+                rows.append(np.full(len(cand), self.qids[qi], dtype=np.int64))
+                cols.append(vid[cand])
+                vals.append(sims)
+            return pa.table({"query_id": pa.array(np.concatenate(rows)),
+                             "vec_id": pa.array(np.concatenate(cols)),
+                             "sim": pa.array(np.concatenate(vals))})
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cand = ds.map_batches(
+        PQTopK, fn_constructor_args=(ref, shortlist),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()
+    cand = cand[np.isfinite(cand["sim"])]
+    cand["sim_r"] = np.round(cand["sim"].to_numpy(), 9)
+    cand = cand.sort_values(["query_id", "sim_r", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    top = cand.groupby("query_id", as_index=False).head(_K).copy()
+    top["rank"] = (top.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return pa.Table.from_pandas(
+        top[["query_id", "rank", "vec_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def ann_pq_recall(sf_dir: str) -> pa.Table:
+    """Driver-checkable recall bound for the PQ ANN variant: mean recall
+    ≥ 0.5 over the query set vs the in-query exact brute-force top-k."""
+    return _recall_vs_exact(sf_dir, ann_pq(sf_dir).to_pandas(), 0.5)
+
+
 def _recall_vs_exact(sf_dir: str, approx: pd.DataFrame, min_mean: float) -> pa.Table:
     """Mean recall of an approximate top-k result against the in-query
     exact brute-force top-k, emitted as (n_queries, mean_recall_ok) — the
@@ -231,6 +310,10 @@ SQL = {
         "FROM embeddings WHERE vec_id < 10"
     ),
     "ann_ivf_recall": (
+        "SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok "
+        "FROM embeddings WHERE vec_id < 10"
+    ),
+    "ann_pq_recall": (
         "SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok "
         "FROM embeddings WHERE vec_id < 10"
     ),

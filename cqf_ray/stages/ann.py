@@ -184,3 +184,53 @@ class LshBucketer:
         emb = batch_embeddings(batch)
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         return batch.append_column("bucket", pa.array(self.bucket(emb).view(np.int64)))
+
+
+class ProductQuantizer:
+    """Product quantization (Jégou et al., PAMI'11) — the memory-
+    compression ANN scale path next to LSH (hash buckets) and IVF (coarse
+    cells): vectors are stored as m × log2(ks) bits, queries scan codes
+    with an ADC lookup table, and only a short per-batch candidate list is
+    re-ranked against the real vectors.  Fit is per-subspace Lloyd L2
+    k-means on a (distributed-hash-sampled) driver-side sample; encode and
+    search are vectorized per batch."""
+
+    def __init__(self, sample: np.ndarray, m: int = 8, ks: int = 16,
+                 iters: int = 10, seed: int = 47):
+        sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        n, dim = sample.shape
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        self.m, self.dsub = m, dim // m
+        self.ks = min(ks, n)
+        rng = np.random.default_rng(seed)
+        self.codebooks = np.empty((m, self.ks, self.dsub))
+        for j in range(m):
+            sub = sample[:, j * self.dsub:(j + 1) * self.dsub]
+            cent = sub[rng.choice(n, size=self.ks, replace=False)]
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(self.ks):
+                    msk = assign == c
+                    if msk.any():
+                        cent[c] = sub[msk].mean(axis=0)
+            self.codebooks[j] = cent
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        """(n, m) uint8 codes for NORMALIZED input rows (nearest centroid
+        per subspace, L2 — argmax of 2x·c − |c|²)."""
+        n = mat.shape[0]
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            sub = mat[:, j * self.dsub:(j + 1) * self.dsub]
+            cent = self.codebooks[j]
+            score = 2.0 * (sub @ cent.T) - (cent * cent).sum(axis=1)[None, :]
+            codes[:, j] = np.argmax(score, axis=1)
+        return codes
+
+    def lut(self, qmat: np.ndarray) -> np.ndarray:
+        """(n_queries, m, ks) ADC table of query-subvector · centroid —
+        summing one entry per subspace approximates the inner product."""
+        q = qmat.reshape(qmat.shape[0], self.m, self.dsub)
+        return np.einsum("qmd,mkd->qmk", q, self.codebooks)
