@@ -63,6 +63,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "jsonl_roundtrip": _si.jsonl_roundtrip,
     "csv_roundtrip": _si.csv_roundtrip,
     "ann_pq": _ann.ann_pq,
+    "kmeans_embeddings": _ann.kmeans_embeddings,
+    "table_checksum": _txt.table_checksum,
     "ann_pq_recall": _ann.ann_pq_recall,
     "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,

@@ -273,6 +273,72 @@ def ann_ivf_recall(sf_dir: str) -> pa.Table:
     return _recall_vs_exact(sf_dir, ann_ivf(sf_dir).to_pandas(), 0.5)
 
 
+def kmeans_embeddings(sf_dir: str, *, k: int = 8, iters: int = 5,
+                      seed: int = 29) -> pa.Table:
+    """Distributed FULL-DATA Lloyd k-means over the embeddings table —
+    the iterative-training pattern (contrast: the IVF/PQ quantizers fit
+    on a sample).  Per iteration ONE streaming pass: each batch assigns
+    its rows to the broadcast centroids and emits k partial
+    (cell, sum-vector, count) rows; the driver folds |blocks|×k partials
+    (sorted by a deterministic batch key, so float addition order — and
+    hence every assignment — is reproducible) into new centroids.  The
+    only driver state is k×d floats + the tiny partial rows.  Output is
+    the verdict row (n_cells, n_vecs, inertia_monotone_ok): exact Lloyd
+    never increases inertia, and the oracle reproduces the exact row
+    count."""
+    import ray
+
+    from ..stages.ann import sample_embeddings
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vecs = ds.count()
+    sample = sample_embeddings(ds, rate_inv=3, seed=17)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(sample.shape[0], size=k, replace=False)]
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    inertias = []
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            sims = emb @ c.T
+            assign = np.argmax(sims, axis=1)
+            # cosine inertia: sum of (1 - best sim)
+            inert = float((1.0 - sims[np.arange(len(vid)), assign]).sum())
+            sums = np.zeros((c.shape[0], emb.shape[1]))
+            np.add.at(sums, assign, emb)
+            counts = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
+            return pa.table({
+                "bkey": pa.array(np.full(c.shape[0], vid.min(), dtype=np.int64)),
+                "cell": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                "vsum": pa.array(list(sums)),
+                "n": pa.array(counts),
+                "inert": pa.array(np.full(c.shape[0], inert)),
+            })
+
+        part = ds.map_batches(partials, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+        part = part.sort_values(["bkey", "cell"], kind="mergesort")
+        inertias.append(float(part.drop_duplicates("bkey")["inert"].sum()))
+        new = cent.copy()
+        for c_id, g in part.groupby("cell"):
+            if g["n"].sum() > 0:
+                v = np.add.reduce(np.stack(g["vsum"].to_numpy()), axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 1e-12:
+                    new[c_id] = v / nrm
+        cent = new
+    ok = all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
+    return pa.table({"n_cells": pa.array([k], type=pa.int64()),
+                     "n_vecs": pa.array([n_vecs], type=pa.int64()),
+                     "inertia_monotone_ok": pa.array([bool(ok)])})
+
+
 def embedding_centroids(sf_dir: str) -> pa.Table:
     """Per-label centroid norms (vectorized grouped mean over the embedding
     matrix — a feature-extraction-shaped aggregate). Oracle-checkable via
@@ -312,6 +378,10 @@ SQL = {
     "ann_ivf_recall": (
         "SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok "
         "FROM embeddings WHERE vec_id < 10"
+    ),
+    "kmeans_embeddings": (
+        "SELECT CAST(8 AS BIGINT) AS n_cells, COUNT(*) AS n_vecs, "
+        "TRUE AS inertia_monotone_ok FROM embeddings"
     ),
     "ann_pq_recall": (
         "SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok "

@@ -681,6 +681,33 @@ def _dataset_split_sql() -> str:
     )
 
 
+def table_checksum(sf_dir: str) -> pa.Table:
+    """Order-invariant corpus checksum — the integrity primitive for
+    verifying a migration / replication / rewrite of a 100 TB table
+    without sorting it: per row, murmur64 of a (doc_id, n_chars) key; the
+    table digest is the XOR of all row hashes (commutative + associative
+    ⇒ partition- and order-invariant, any single-row change flips the
+    digest).  Per-batch XOR partials stream; the driver folds |blocks|
+    scalars.  Bit-exact against the murmur-in-SQL oracle."""
+    from ..hashing import murmur64a_u64
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        nch = np.asarray(batch.column("n_chars").combine_chunks()).astype(np.int64)
+        key = (did * 1000003 + nch).astype(np.uint64)
+        h = murmur64a_u64(key, 23)
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"x": pa.array([np.int64(x.astype(np.int64))]),
+                         "n": pa.array([len(h)], type=pa.int64())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    digest = np.bitwise_xor.reduce(parts["x"].to_numpy().astype(np.int64)) if len(parts) else np.int64(0)
+    return pa.table({"checksum": pa.array([int(digest)], type=pa.int64()),
+                     "n_rows": pa.array([int(parts["n"].sum())], type=pa.int64())})
+
+
 _REDACT_RE = r"\b(customer|spark|vector)\b"
 
 
@@ -745,7 +772,21 @@ def lexical_diversity(sf_dir: str) -> pa.Table:
     )
 
 
+def _table_checksum_sql() -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT CAST(doc_id AS HUGEINT) * 1000003 + n_chars AS k64 "
+        "FROM documents), "
+        + _MURMUR_SQL.format(seed=23)
+        + " SELECT bit_xor(CAST(priority - CASE WHEN priority >= CAST('9223372036854775808' AS HUGEINT) "
+        "THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT)) AS checksum, "
+        "COUNT(*) AS n_rows FROM mmf"
+    )
+
+
 SQL = {
+    "table_checksum": _table_checksum_sql(),
     "redact_terms": (
         "SELECT doc_id, "
         "CAST(length(regexp_extract_all(text, '\\b(customer|spark|vector)\\b')) AS BIGINT) AS n_redacted, "
