@@ -1140,7 +1140,49 @@ def range_partition_stats(sf_dir: str, *, k: int = 8) -> pa.Table:
     return _finish(out, ["part"])
 
 
+def orders_monthly_growth(sf_dir: str) -> pa.Table:
+    """Month-over-month revenue growth — the time-series LAG surface:
+    ONE combiner-first grouped aggregate to (month, micro-unit revenue)
+    — the shuffle carries |blocks|×|months| partial rows — then the LAG
+    diff runs on the tiny month table driver-side (months are
+    inherently driver-scale).  Growth in basis points as an integer
+    ratio of exact micro sums, so the oracle matches bit-for-bit."""
+    orders = read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        price = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        return pa.table({"month": month,
+                         "rev_s": pa.array(np.round(price * 1e6).astype(np.int64))})
+
+    out = grouped_aggregate(
+        orders.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["month"], [("rev_s", "sum", "rev_s"), ("n_orders", "count", None)],
+    )
+    df = out.to_pandas().sort_values("month").reset_index(drop=True)
+    rev = df["rev_s"].to_numpy()
+    prev = np.concatenate(([0], rev[:-1]))
+    growth = np.full(len(rev), np.nan)
+    nz = prev != 0
+    num = (rev[nz] - prev[nz]) * 10000
+    den = prev[nz]
+    # DuckDB's integer // truncates toward zero; numpy's floors — match SQL
+    growth[nz] = np.where(num >= 0, num // den, -((-num) // den)).astype(np.float64)
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    df["growth_bps"] = growth
+    return _finish(df[["month", "revenue", "n_orders", "growth_bps"]], ["month"])
+
+
 SQL = {
+    "orders_monthly_growth": (
+        "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev, COUNT(*) AS n_orders "
+        "FROM orders GROUP BY 1) "
+        "SELECT month, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue, n_orders, "
+        "CAST((CAST(rev * 1000000 AS HUGEINT) - CAST(LAG(rev * 1000000) OVER (ORDER BY month) AS HUGEINT)) * 10000 "
+        "// CAST(LAG(rev * 1000000) OVER (ORDER BY month) AS HUGEINT) AS DOUBLE) AS growth_bps "
+        "FROM m ORDER BY month"
+    ),
     "q3_shipping_priority": (
         "SELECT l_orderkey, "
         "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
