@@ -66,6 +66,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans_embeddings": _ann.kmeans_embeddings,
     "table_checksum": _txt.table_checksum,
     "orders_monthly_growth": _rel.orders_monthly_growth,
+    "user_value_rank": _rel.user_value_rank,
     "ann_pq_recall": _ann.ann_pq_recall,
     "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,

@@ -978,6 +978,51 @@ def user_running_value(sf_dir: str, *, user_mod: int = 7) -> pa.Table:
     return _finish(out, ["event_id"])
 
 
+def user_value_rank(sf_dir: str, *, user_mod: int = 7) -> pa.Table:
+    """Per-user RANK of each event by value (ties share rank, gaps after
+    — SQL ``RANK()`` semantics), completing the window family next to
+    the running sum (frame), LAG (offset) and NTILE (bucketing).  One
+    keyed shuffle on user_id; the kernel is a lexsort + two run-boundary
+    passes (user runs, then (user, value) tie runs) — rank = the tie
+    run's offset inside its user run + 1, fully vectorized."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        return batch.filter(pa.array(uid % user_mod == 0))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        v = np.asarray(t.column("value"), dtype=np.float64)
+        order = np.lexsort((-v, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        n = len(uid)
+        ustarts = run_starts(uid)
+        # start index of each (user, value) tie run
+        tie_new = np.ones(n, dtype=bool)
+        if n > 1:
+            tie_new[1:] = (uid[1:] != uid[:-1]) | (v[1:] != v[:-1])
+        tie_start = np.flatnonzero(tie_new)
+        tie_of_row = np.cumsum(tie_new) - 1
+        # offset of the row's tie-run start inside its user run
+        ulen = np.diff(np.append(ustarts, n))
+        ubase = np.repeat(ustarts, ulen)
+        rank = tie_start[tie_of_row] - ubase + 1
+        return pa.table({"event_id": pa.array(eid),
+                         "user_id": pa.array(uid),
+                         "value": pa.array(v),
+                         "rank": pa.array(rank.astype(np.int64))})
+
+    out = keyed_partition_map(
+        ev.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], kernel,
+    )
+    return _finish(out, ["event_id"])
+
+
 def customer_order_stats(sf_dir: str) -> pa.Table:
     """Per-customer order stats INCLUDING customers with no orders — the
     LEFT OUTER join surface, big-big shaped: orders pre-aggregate
@@ -1199,6 +1244,11 @@ SQL = {
         "SELECT CAST(p - 1 AS BIGINT) AS part, COUNT(*) AS n, "
         "MIN(value) AS min_v, MAX(value) AS max_v "
         "FROM r GROUP BY p ORDER BY part"
+    ),
+    "user_value_rank": (
+        "SELECT event_id, user_id, value, "
+        "CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS rank "
+        "FROM events WHERE user_id % 7 = 0 ORDER BY event_id"
     ),
     "user_running_value": (
         "SELECT event_id, user_id, ts, "

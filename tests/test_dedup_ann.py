@@ -306,3 +306,33 @@ def test_connected_components_distributed_matches_union_find(ray_session):
     drv = near_dup_canonical(SF_DIR, mode="driver").to_pandas()
     dist = near_dup_canonical(SF_DIR, mode="distributed").to_pandas()
     assert drv.equals(dist)
+
+
+def test_product_quantizer_encode_and_adc():
+    """PQ codebooks are deterministic given the seed; identical vectors
+    share codes; the ADC approximation correlates with exact inner
+    products; and a planted duplicate ranks at the top of the ADC scan."""
+    from cqf_ray.stages.ann import ProductQuantizer
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((300, 64))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    pq1 = ProductQuantizer(x, seed=47)
+    pq2 = ProductQuantizer(x, seed=47)
+    assert (pq1.codebooks == pq2.codebooks).all()
+
+    codes = pq1.encode(xn)
+    assert codes.shape == (300, 8)
+    dup = np.vstack([xn[0], xn[0]])
+    cdup = pq1.encode(dup)
+    assert (cdup[0] == cdup[1]).all()
+
+    q = xn[:4]
+    lut = pq1.lut(q)
+    assert lut.shape == (4, 8, pq1.ks)
+    approx = sum(lut[:, j, codes[:, j]] for j in range(8))
+    exact = q @ xn.T
+    corr = np.corrcoef(approx.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.5
+    # the query itself (a planted exact duplicate) must top its ADC scan
+    assert (np.argsort(-approx, axis=1)[:, 0] == np.arange(4)).all()
