@@ -67,6 +67,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "table_checksum": _txt.table_checksum,
     "orders_monthly_growth": _rel.orders_monthly_growth,
     "user_value_rank": _rel.user_value_rank,
+    "compact_shards_roundtrip": _si.compact_shards_roundtrip,
     "ann_pq_recall": _ann.ann_pq_recall,
     "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,

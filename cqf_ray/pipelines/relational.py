@@ -1162,6 +1162,7 @@ def range_partition_stats(sf_dir: str, *, k: int = 8) -> pa.Table:
     ``NTILE(k)`` exactly because the sort key is unique."""
     ev = read(sf_dir, "events", ["event_id", "value"])
     n = ev.count()
+    k = max(1, min(k, n))  # never more partitions than rows
     base, rem = divmod(n, k)
     bounds_idx = [j * base + min(j, rem) for j in range(1, k)]
     parts = ev.sort(["value", "event_id"]).split_at_indices(bounds_idx)

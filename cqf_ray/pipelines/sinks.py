@@ -134,6 +134,37 @@ def jsonl_roundtrip(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def compact_shards_roundtrip(sf_dir: str) -> pa.Table:
+    """Small-file COMPACTION — the table-maintenance pass every long-
+    lived lake table needs (many tiny writer shards → few target-size
+    files): fragment the documents table into 64 shards, re-read and
+    rewrite at 4 blocks via ``repartition`` (Ray's block-count
+    compaction), read the compacted table back.  The identity oracle
+    proves row preservation; ``compacted_ok`` asserts the file count
+    actually dropped to the target."""
+    import glob
+    import shutil
+    import tempfile
+
+    from .common import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    base = os.path.join(tempfile.gettempdir(),
+                        f"compact_{abs(hash(sf_dir)) % 10**8}")
+    frag, comp = base + "_frag", base + "_comp"
+    for d in (frag, comp):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    ds.repartition(64).write_parquet(frag)
+    ray.data.read_parquet(frag).repartition(4).write_parquet(comp)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
+    df = ray.data.read_parquet(comp).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    df["compacted_ok"] = bool(n_comp <= 4 < n_frag)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def csv_roundtrip(sf_dir: str) -> pa.Table:
     """CSV interchange breadth (the other ubiquitous corpus format):
     stream the customer table out as sharded CSV via ``Dataset.write_csv``
@@ -224,6 +255,9 @@ def cqf_dump_roundtrip(sf_dir: str) -> pa.Table:
 
 
 SQL = {
+    "compact_shards_roundtrip": (
+        "SELECT doc_id, n_chars, TRUE AS compacted_ok FROM documents ORDER BY doc_id"
+    ),
     "csv_roundtrip": (
         "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment, "
         "c_acctbal FROM customer ORDER BY c_custkey"
