@@ -68,6 +68,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_monthly_growth": _rel.orders_monthly_growth,
     "user_value_rank": _rel.user_value_rank,
     "compact_shards_roundtrip": _si.compact_shards_roundtrip,
+    "streaming_hourly_windows": _w.streaming_hourly_windows,
     "ann_pq_recall": _ann.ann_pq_recall,
     "lexical_diversity": _txt.lexical_diversity,
     "customer_order_stats": _rel.customer_order_stats,

@@ -12,6 +12,8 @@ unit = one conversation).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -191,7 +193,46 @@ def campaign_window_revenue(sf_dir: str) -> pa.Table:
     )
 
 
+def streaming_hourly_windows(sf_dir: str) -> pa.Table:
+    """The STREAMING counterpart of ``hourly_event_windows``: the events
+    table consumed as an event-time-ordered micro-batch stream through
+    ``state/streaming.py::StreamingWindowAggregator`` (watermark-
+    finalized tumbling windows, exactly-once emission, checkpoint/resume
+    — crash-injection pytest).  The finalized + flushed emission log
+    must equal the batch aggregate EXACTLY, so the query shares the
+    batch oracle — the strongest driver-checkable claim a streaming
+    operator can make."""
+    import shutil
+    import tempfile
+
+    from ..state.streaming import StreamingWindowAggregator
+
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"]).sort("ts")
+    ck = os.path.join(tempfile.gettempdir(),
+                      f"streamwin_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(ck, ignore_errors=True)
+    agg = StreamingWindowAggregator(ck, lateness_us=0, checkpoint_every=5)
+    agg.run(ds)
+    rows = agg.flush()
+    win = np.array([r[0] for r in rows], dtype=np.int64)
+    from .common import round_scaled
+
+    df = pd.DataFrame({
+        "hour": win.astype("datetime64[us]"),
+        "event_type": [r[1] for r in rows],
+        "n": np.array([r[2] for r in rows], dtype=np.int64),
+        "sum_value": round_scaled(np.array([r[3] for r in rows], dtype=np.int64)),
+    })
+    df = df.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 SQL = {
+    "streaming_hourly_windows": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+    ),
     "campaign_window_revenue": (
         "WITH b AS (SELECT MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax FROM events), "
         "w AS (SELECT CAST(i AS BIGINT) AS window_id, "

@@ -110,3 +110,139 @@ class StreamingSketchBuilder:
         finally:
             ctx.execution_options.preserve_order = prev
         return self.sketch
+
+
+class StreamingWindowAggregator:
+    """Event-time TUMBLING-WINDOW streaming aggregate with watermark,
+    allowed lateness, and checkpoint/resume — §2.10 beyond sketch
+    maintenance: the stream analog of ``hourly_event_windows``.
+
+    Consumes an event-time-mostly-ordered stream in micro-batches.  Per
+    batch, a vectorized polars partial collapses rows to (window, key)
+    accumulator deltas (Python touches windows, never rows); the
+    watermark advances to max-event-time − allowed lateness; windows
+    whose end ≤ watermark FINALIZE — emitted exactly once, in (window,
+    key) order — and events arriving behind the watermark are counted in
+    ``late_dropped`` rather than silently lost.  With lateness ≥ the
+    stream's true disorder the finalized+flushed output equals the batch
+    aggregate EXACTLY (micro-unit integer sums), which is the
+    oracle-checked contract of ``streaming_hourly_windows``.
+
+    Checkpoints follow the module's atomic-rename convention and carry
+    the open-window accumulators, the emission log (the output sink's
+    stand-in), the input position, the watermark clock, and the late
+    counter — a resumed stream replays to bitwise-identical emissions
+    (crash-injection pytest)."""
+
+    def __init__(self, ckpt_dir: str, *, window_us: int = 3_600_000_000,
+                 lateness_us: int = 0, checkpoint_every: int = 5):
+        self.ckpt_dir = ckpt_dir
+        self.window_us = int(window_us)
+        self.lateness_us = int(lateness_us)
+        self.checkpoint_every = checkpoint_every
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self.open: dict[tuple[int, str], list[int]] = {}
+        self.emitted: list[tuple[int, str, int, int]] = []
+        self.batches_done = 0
+        self.max_ts = -(1 << 62)
+        self.late_dropped = 0
+        self._load()
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.ckpt_dir, "windows.json")
+
+    def _load(self) -> None:
+        p = self._meta_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                m = json.load(f)
+            self.open = {(int(w), k): [int(n), int(s)]
+                         for w, k, n, s in m["open"]}
+            self.emitted = [(int(w), k, int(n), int(s)) for w, k, n, s in m["emitted"]]
+            self.batches_done = m["batches_done"]
+            self.max_ts = m["max_ts"]
+            self.late_dropped = m["late_dropped"]
+
+    def checkpoint(self) -> None:
+        p = self._meta_path()
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "open": [[w, k, n, s] for (w, k), (n, s) in self.open.items()],
+                "emitted": [list(r) for r in self.emitted],
+                "batches_done": self.batches_done,
+                "max_ts": self.max_ts,
+                "late_dropped": self.late_dropped,
+            }, f)
+        os.replace(tmp, p)
+
+    def _finalize_ripe(self) -> None:
+        wm = self.max_ts - self.lateness_us
+        ripe = sorted(
+            (wk for wk in self.open if wk[0] + self.window_us <= wm),
+        )
+        for wk in ripe:
+            n, s = self.open.pop(wk)
+            self.emitted.append((wk[0], wk[1], n, s))
+
+    def run(self, ds: "ray.data.Dataset", *, key_col: str = "event_type",
+            ts_col: str = "ts", value_col: str = "value",
+            batch_size: int = 4096, fail_after: int | None = None):
+        """Consume from the last checkpoint; ``fail_after`` injects a
+        crash after that many NEW batches (tests)."""
+        import polars as pl
+
+        ctx = ray.data.DataContext.get_current()
+        prev = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
+        try:
+            processed = 0
+            for i, batch in enumerate(
+                ds.iter_batches(batch_format="pyarrow", batch_size=batch_size)
+            ):
+                if i < self.batches_done:
+                    continue
+                ts = np.asarray(batch.column(ts_col).combine_chunks()).view(np.int64)
+                keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+                v = np.asarray(batch.column(value_col), dtype=np.float64)
+                v_s = np.round(v * 1e6).astype(np.int64)
+                wm = self.max_ts - self.lateness_us
+                win = (ts // self.window_us) * self.window_us
+                late = win + self.window_us <= wm
+                self.late_dropped += int(late.sum())
+                live = ~late
+                if live.any():
+                    part = (
+                        pl.DataFrame({"w": win[live], "k": keys[live],
+                                      "n": np.ones(int(live.sum()), dtype=np.int64),
+                                      "s": v_s[live]})
+                        .group_by(["w", "k"])
+                        .agg(pl.col("n").sum(), pl.col("s").sum())
+                    )
+                    for w, k, n, s in part.rows():
+                        acc = self.open.setdefault((int(w), k), [0, 0])
+                        acc[0] += int(n)
+                        acc[1] += int(s)
+                if len(ts):
+                    self.max_ts = max(self.max_ts, int(ts.max()))
+                self._finalize_ripe()
+                self.batches_done += 1
+                processed += 1
+                if self.batches_done % self.checkpoint_every == 0:
+                    self.checkpoint()
+                if fail_after is not None and processed >= fail_after:
+                    raise RuntimeError(
+                        f"injected stream failure after {processed} batches")
+            self.checkpoint()
+        finally:
+            ctx.execution_options.preserve_order = prev
+        return self
+
+    def flush(self):
+        """End-of-stream: finalize every still-open window (in order) and
+        return the full emission log as arrays."""
+        for wk in sorted(self.open):
+            n, s = self.open.pop(wk)
+            self.emitted.append((wk[0], wk[1], n, s))
+        self.checkpoint()
+        return self.emitted

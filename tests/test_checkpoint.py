@@ -157,3 +157,62 @@ def test_streaming_incremental_with_crash_resume(ray_session, tmp_path):
     assert mid_count >= 0  # queryable between updates
     final = b2.run(ds, batch_size=128)
     assert final.to_bytes() == ref_sketch.to_bytes()
+
+
+def test_streaming_windows_crash_resume_and_lateness(ray_session, tmp_path):
+    """Watermark-finalized streaming windows: crash mid-stream + resume
+    reproduces the single-shot emission log exactly; disordered input
+    within the allowed lateness still equals the batch aggregate; events
+    behind the watermark are counted in late_dropped, not lost silently."""
+    import ray
+
+    from cqf_ray.state.streaming import StreamingWindowAggregator
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["ts", "event_type", "value"]
+    ).sort("ts")
+
+    one = StreamingWindowAggregator(str(tmp_path / "a"), checkpoint_every=3)
+    single = one.run(ds, batch_size=512).flush()
+
+    crash = StreamingWindowAggregator(str(tmp_path / "b"), checkpoint_every=3)
+    try:
+        crash.run(ds, batch_size=128, fail_after=4)
+        raise AssertionError("injected failure did not raise")
+    except RuntimeError:
+        pass
+    resumed = StreamingWindowAggregator(str(tmp_path / "b"), checkpoint_every=3)
+    assert resumed.batches_done > 0  # picked up the checkpoint
+    res = resumed.run(ds, batch_size=128).flush()
+    assert res == single
+    assert resumed.late_dropped == 0  # sorted stream, nothing late
+
+    # batch equivalence of the emission log
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, COUNT(*) AS n "
+        f"FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1,2 ORDER BY h, event_type"
+    ).fetchall()
+    got = sorted((r[0], r[1], r[2]) for r in single)
+    assert [(int(e[0].timestamp() * 1e6), e[1], e[2]) for e in exp] == got
+
+    # disorder beyond lateness 0 is detected, with lateness 2h it is absorbed
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet",
+                      columns=["ts", "event_type", "value"])
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(t.num_rows)
+    shuffled = ray.data.from_arrow(t.take(perm))
+    strict = StreamingWindowAggregator(str(tmp_path / "c"), lateness_us=0)
+    strict.run(shuffled, batch_size=256).flush()
+    assert strict.late_dropped > 0
+
+    span_us = int(t.column("ts").cast("int64")[-1].as_py())  # generous bound
+    lax = StreamingWindowAggregator(str(tmp_path / "d"), lateness_us=span_us)
+    lax_rows = lax.run(shuffled, batch_size=256).flush()
+    assert lax.late_dropped == 0
+    assert sorted((w, k, n) for w, k, n, _ in lax_rows) == got
+    assert sorted(lax_rows) == sorted(single)  # incl. micro-unit sums
