@@ -1219,7 +1219,158 @@ def orders_monthly_growth(sf_dir: str) -> pa.Table:
     return _finish(df[["month", "revenue", "n_orders", "growth_bps"]], ["month"])
 
 
+def daily_type_pivot(sf_dir: str) -> pa.Table:
+    """PIVOT/reshape: events → one row per day, one count column per
+    event_type (the wide feature matrix a training pipeline wants).
+    Scale shape: the heavy side is ONE combiner-first grouped aggregate
+    on (day, event_type) — the shuffle carries |blocks| × |days×types|
+    partial rows regardless of input size; the reshape runs on that
+    aggregate, which is output-sized by definition.  Pivot column names
+    are data-derived on both sides (the oracle uses DuckDB's dynamic
+    ``PIVOT``), so no vocabulary is hardcoded."""
+    ev = read(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "event_type": batch.column("event_type"),
+        })
+
+    agg = grouped_aggregate(
+        ev.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["day", "event_type"], [("n", "count", None)],
+    )
+    df = agg.to_pandas()
+    wide = (
+        df.pivot_table(index="day", columns="event_type", values="n",
+                       fill_value=0, aggfunc="sum")
+        .sort_index()
+    )
+    wide = wide[sorted(str(c) for c in wide.columns)].astype(np.int64)
+    wide.columns.name = None
+    return pa.Table.from_pandas(wide.reset_index(), preserve_index=False)
+
+
+def user_customer_outer(sf_dir: str) -> pa.Table:
+    """FULL OUTER join of two aggregates over a shared key space — the
+    join type broadcast/semi/anti can't serve, because BOTH sides'
+    unmatched rows must survive: per-user purchase-event counts (users ⊂
+    key space) vs per-customer order counts restricted to the BUILDING
+    segment (a different, overlapping subset — non-BUILDING users are
+    left-only, BUILDING customers beyond the user range right-only, so
+    all three row classes are genuinely exercised).  Both sides are
+    O(keys) at corpus scale, so this is the big-big ``shuffle_join``:
+    each side a combiner-first grouped aggregate, then ONE all-to-all
+    co-partition with a pyarrow full-outer join per partition —
+    partition-local outer joins ARE the global outer join because every
+    key's rows co-locate.  The BUILDING filter is a broadcast semi-join
+    against the customer dim.  Unmatched sides surface as 0 (COALESCE on
+    both engines), keeping the driver hash free of null encoding."""
+    from ..stages.join import broadcast_join, shuffle_join
+
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("event_type"), pa.scalar("purchase"))
+        return batch.filter(m).select(["user_id"])
+
+    left = grouped_aggregate(
+        ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("n_purchases", "count", None)],
+    )
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    building = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), pa.scalar("BUILDING"))
+    ).select(["c_custkey"])
+    right = grouped_aggregate(
+        broadcast_join(
+            read(sf_dir, "orders", ["o_custkey"]), building,
+            keys="o_custkey", right_keys="c_custkey", join_type="left semi",
+        ),
+        ["o_custkey"], [("n_orders", "count", None)],
+    )
+
+    out = shuffle_join(left, right, left_on="user_id", right_on="o_custkey",
+                       join_type="full outer")
+    df = out.to_pandas()
+    for c in ("n_purchases", "n_orders"):
+        df[c] = df[c].fillna(0).astype(np.int64)
+    df = df.rename(columns={"user_id": "key_id"})
+    return _finish(df[["key_id", "n_purchases", "n_orders"]], ["key_id"])
+
+
+def user_trailing_value(sf_dir: str, *, user_mod: int = 7, k: int = 3) -> pa.Table:
+    """Bounded window FRAME — per-user trailing-``k``-row sum of
+    ``value`` ordered by (ts, event_id), i.e. ``SUM() OVER (PARTITION BY
+    user_id ORDER BY … ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)`` —
+    completing the frame family next to the UNBOUNDED-PRECEDING
+    ``user_running_value``.  One keyed shuffle on user_id; the kernel is
+    a single lexsort + padded cumulative sum, with the frame's lower
+    edge computed as ``max(segment_start, i-k+1)`` vectorized — no
+    per-row or per-group Python.  Micro-unit int64 sums keep the result
+    independent of partitioning and float association."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        return batch.filter(pa.array(uid % user_mod == 0))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        v = np.asarray(t.column("value"), dtype=np.float64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, tsv, eid = uid[order], tsv[order], eid[order]
+        v_s = np.round(v[order] * 1e6).astype(np.int64)
+        cs0 = np.concatenate(([0], np.cumsum(v_s)))
+        n = len(uid)
+        starts = run_starts(uid)
+        lens = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, lens)
+        low = np.maximum(seg_start, np.arange(n) - (k - 1))
+        trail = cs0[np.arange(1, n + 1)] - cs0[low]
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "ts": pa.array(tsv).cast(pa.timestamp("us")),
+            "trailing_value": pa.array(trail / 1e6),
+        })
+
+    out = keyed_partition_map(
+        ev.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], kernel,
+    )
+    return _finish(out, ["event_id"])
+
+
 SQL = {
+    "daily_type_pivot": (
+        "WITH m AS (SELECT date_trunc('day', ts) AS day, event_type FROM events) "
+        "PIVOT m ON event_type USING count(*) GROUP BY day ORDER BY day"
+    ),
+    "user_customer_outer": (
+        "WITH u AS (SELECT user_id AS k, COUNT(*) AS n_purchases FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1), "
+        "c AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING' "
+        "GROUP BY 1) "
+        "SELECT COALESCE(u.k, c.k) AS key_id, COALESCE(n_purchases, 0) AS n_purchases, "
+        "COALESCE(n_orders, 0) AS n_orders "
+        "FROM u FULL OUTER JOIN c ON u.k = c.k ORDER BY key_id"
+    ),
+    "user_trailing_value": (
+        "SELECT event_id, user_id, ts, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_value "
+        "FROM events WHERE user_id % 7 = 0 ORDER BY event_id"
+    ),
     "orders_monthly_growth": (
         "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
         "SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev, COUNT(*) AS n_orders "
