@@ -54,6 +54,7 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- newest round-3 operators (windows, outer join, corpus prep) ---
+    "edit_distance_pairs": _dedup.edit_distance_pairs,
     "daily_type_pivot": _rel.daily_type_pivot,
     "user_customer_outer": _rel.user_customer_outer,
     "user_trailing_value": _rel.user_trailing_value,

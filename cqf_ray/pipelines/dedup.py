@@ -1215,6 +1215,139 @@ def embedding_lsh_recall(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
                      "recall_ok": pa.array([bool(ok)])})
 
 
+def _levenshtein_leq(a: np.ndarray, b: np.ndarray, d: int) -> int:
+    """Exact Levenshtein over byte arrays with Ukkonen early abandon:
+    returns the distance, or ``d + 1`` as soon as it provably exceeds
+    ``d``.  Row DP vectorized in numpy; the left-to-right deletion chain
+    ``cur[j] = min(cur[j], cur[j-1]+1)`` is a slope-1 prefix min, i.e.
+    ``arange + minimum.accumulate(cur - arange)`` — no inner Python loop."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return d + 1
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i in range(1, la + 1):
+        cur = np.empty(lb + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i - 1]))
+        cur = idx + np.minimum.accumulate(cur - idx)
+        if cur.min() > d:
+            return d + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_distance_pairs(sf_dir: str, *, max_dist: int = 8) -> pa.Table:
+    """Exact Levenshtein near-dup pairs (edit distance ≤ ``max_dist``) —
+    the CHARACTER-level complement of the token/shingle dedup family
+    (catches typo-level edits that shift every shingle).
+
+    PassJoin-style exact blocking: ``|len(a) − len(b)| ≤ d`` forces the
+    pair to co-locate in at least one length band of width ``d+1``
+    (each doc routes to its own band and, ghost-tagged, to the next —
+    a same-band pair meets own↔own, a cross-band pair ghost↔own, both-
+    ghost meetings are skipped, so every candidate appears EXACTLY
+    once).  ONE keyed shuffle on the band id; the per-partition kernel
+    is vectorized end-to-end: triu candidate pairs, the exact length
+    bound, then a no-false-negative char-bag lower bound
+    (``lev ≥ max(Σ max(0,Δc), Σ max(0,−Δc))`` over per-byte counts,
+    computed via one bincount per band and blocked pair differencing).
+    Only survivors run the O(L) row-DP with early abandon — a per-pair
+    cost that is output-sized after the prefilters (the Python loop is
+    over *verified-candidate pairs*, not corpus rows).
+
+    Scale note: at corpus scale a length band alone under-blocks (most
+    ~300-char docs share a band); compose with the MinHash-LSH
+    candidate generator — ``lev ≤ d`` implies every q-gram multiset
+    differs by ≤ q·d, so q-gram Jaccard ≥ (|Q|−q·d)/(|Q|+q·d) (≈0.85
+    here), and the banding recall math of ``minhash_lsh_pairs``
+    applies.  Byte DP == character DP only for ASCII (asserted, same
+    contract as the shingle kernels)."""
+    d = int(max_dist)
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        data, offs = string_bytes_and_offsets(batch.column("text"))
+        if data.size and int(data.max()) >= 128:
+            raise AssertionError("edit_distance_pairs requires ASCII text "
+                                 "(byte DP == char DP contract)")
+        lens = np.diff(offs)
+        band = lens // (d + 1)
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        two = pa.table({
+            "band": pa.array(np.concatenate([band, band + 1])),
+            "ghost": pa.array(np.concatenate([
+                np.zeros(len(did), dtype=np.int8), np.ones(len(did), dtype=np.int8)])),
+            "doc_id": pa.array(np.concatenate([did, did])),
+            "L": pa.array(np.concatenate([lens, lens])),
+            "text": pa.concat_arrays([batch.column("text").combine_chunks()] * 2),
+        })
+        return two
+
+    def kernel(t: pa.Table) -> pa.Table:
+        band = np.asarray(t.column("band").combine_chunks()).astype(np.int64)
+        ghost = np.asarray(t.column("ghost").combine_chunks()).astype(np.int8)
+        did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        lens = np.asarray(t.column("L").combine_chunks()).astype(np.int64)
+        order = np.lexsort((did, band))
+        band, ghost, did, lens = band[order], ghost[order], did[order], lens[order]
+        texts = t.column("text").combine_chunks().take(pa.array(order))
+        data, offs = string_bytes_and_offsets(texts)
+
+        from ..stages.keyed import run_starts
+
+        out_a, out_b, out_d = [], [], []
+        starts = run_starts(band)
+        ends = np.append(starts[1:], len(band))
+        for s, e in zip(starts, ends):  # few bands per partition; each vectorized
+            n = e - s
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, 1)
+            g, l_, = ghost[s:e], lens[s:e]
+            keep = (np.abs(l_[ii] - l_[jj]) <= d) & ~((g[ii] == 1) & (g[jj] == 1))
+            ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+            # char-bag lower bound (exact: every edit moves ≤1 count each way)
+            loc = np.repeat(np.arange(n), np.diff(offs[s:e + 1]))
+            bags = np.bincount(loc * 128 + data[offs[s]:offs[e]].astype(np.int64),
+                               minlength=n * 128).reshape(n, 128)
+            surv_a, surv_b = [], []
+            for blk in range(0, len(ii), 65536):  # bound the (pairs,128) temp
+                bi, bj = ii[blk:blk + 65536], jj[blk:blk + 65536]
+                diff = bags[bi] - bags[bj]
+                bound = np.maximum(np.clip(diff, 0, None).sum(1),
+                                   np.clip(-diff, 0, None).sum(1))
+                ok = bound <= d
+                surv_a.append(bi[ok])
+                surv_b.append(bj[ok])
+            for i, j in zip(np.concatenate(surv_a), np.concatenate(surv_b)):
+                dist = _levenshtein_leq(data[offs[s + i]:offs[s + i + 1]],
+                                        data[offs[s + j]:offs[s + j + 1]], d)
+                if dist <= d:
+                    a, b = int(did[s + i]), int(did[s + j])
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+                    out_d.append(dist)
+        return pa.table({
+            "doc_a": pa.array(np.array(out_a, dtype=np.int64)),
+            "doc_b": pa.array(np.array(out_b, dtype=np.int64)),
+            "dist": pa.array(np.array(out_d, dtype=np.int64)),
+        })
+
+    pairs = keyed_partition_map(
+        docs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True),
+        ["band"], kernel,
+    )
+    df = pairs.to_pandas()  # output-sized: verified pairs only
+    if df.empty or "doc_a" not in df.columns:
+        df = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                           for c in ("doc_a", "doc_b", "dist")})
+    df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _jaccard_pairs_sql(threshold: float, shingle_seed_note: str = "") -> str:
     """Exact 5-gram-Jaccard pair SQL over ALL documents (ASCII contract)."""
     return (
@@ -1236,6 +1369,13 @@ def _jaccard_pairs_sql(threshold: float, shingle_seed_note: str = "") -> str:
 
 SQL = {
     "simhash_complete": "SELECT TRUE AS complete",
+    "edit_distance_pairs": (
+        "WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents), "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "levenshtein(a.text, b.text) AS dist "
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= 8) "
+        "SELECT * FROM p WHERE dist <= 8 ORDER BY doc_a, doc_b"
+    ),
     "ngram_jaccard_pairs": _jaccard_pairs_sql(0.5),
     # LSH with 64 bands × 2 rows has recall ≈ 1 − 2·10⁻¹⁹ at J ≥ 0.7, and
     # every candidate is verified with exact Jaccard, so the output equals

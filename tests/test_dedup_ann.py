@@ -336,3 +336,59 @@ def test_product_quantizer_encode_and_adc():
     assert corr > 0.5
     # the query itself (a planted exact duplicate) must top its ADC scan
     assert (np.argsort(-approx, axis=1)[:, 0] == np.arange(4)).all()
+
+
+def test_levenshtein_dp_matches_reference():
+    """_levenshtein_leq vs a textbook O(n·m) reference, including the
+    early-abandon contract (any return > d whenever the true distance
+    exceeds d, the exact value otherwise — never a wrong small value)."""
+    import numpy as np
+
+    from cqf_ray.pipelines.dedup import _levenshtein_leq
+
+    def ref(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(11)
+    alphabet = b"abcde"
+    for _ in range(200):
+        la, lb = rng.integers(0, 30, size=2)
+        a = bytes(rng.choice(list(alphabet), size=la).tolist())
+        b = bytes(rng.choice(list(alphabet), size=lb).tolist())
+        true = ref(a, b)
+        for d in (0, 2, 5, 40):
+            got = _levenshtein_leq(np.frombuffer(a, np.uint8),
+                                   np.frombuffer(b, np.uint8), d)
+            if true <= d:
+                assert got == true, (a, b, d, true, got)
+            else:  # may early-abandon (d+1) or finish with the true value
+                assert got > d, (a, b, d, true, got)
+
+
+def test_edit_distance_pairs_blocking_unique_and_exact(ray_session):
+    """The length-band + ghost routing yields every qualifying pair
+    exactly once: engine pair set == brute-force pair set over the full
+    sf0.001 corpus (no cap), with identical distances."""
+    import duckdb
+
+    from cqf_ray.pipelines.dedup import edit_distance_pairs
+
+    got = edit_distance_pairs(SF_DIR).to_pandas()
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+    exp = duckdb.sql(
+        "WITH d AS (SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')), "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "levenshtein(a.text, b.text) AS dist "
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+        "AND abs(length(a.text) - length(b.text)) <= 8) "  # exact: lev >= |dL|
+        "SELECT * FROM p WHERE dist <= 8 ORDER BY 1, 2"
+    ).df()
+    assert got.values.tolist() == exp.values.tolist()
