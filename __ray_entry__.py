@@ -55,6 +55,8 @@ def entry() -> Any:
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- newest round-3 operators (windows, outer join, corpus prep) ---
     "edit_distance_pairs": _dedup.edit_distance_pairs,
+    "minmax_normalize": _rel.minmax_normalize,
+    "user_count_skew": _rel.user_count_skew,
     "daily_type_pivot": _rel.daily_type_pivot,
     "user_customer_outer": _rel.user_customer_outer,
     "user_trailing_value": _rel.user_trailing_value,

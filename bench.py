@@ -47,6 +47,10 @@ QUERY_SET = [
     "pack_sequences",  # bucketed concat-and-chunk packing (r3)
     "q3_shipping_priority",  # 3-table composition: semi + big-big join + top-k (r3)
     "conv_reconstruct",  # ordered per-conversation dialog assembly (r3)
+    "edit_distance_pairs",  # PassJoin length-band blocking + banded DP (r3)
+    "user_customer_outer",  # big-big FULL OUTER shuffle join (r3)
+    "user_trailing_value",  # bounded window frame, keyed cumsum kernel (r3)
+    "streaming_hourly_windows",  # watermark streaming windows + checkpoint (r3)
 ]
 
 

@@ -1349,7 +1349,114 @@ def user_trailing_value(sf_dir: str, *, user_mod: int = 7, k: int = 3) -> pa.Tab
     return _finish(out, ["event_id"])
 
 
+def minmax_normalize(sf_dir: str, *, user_mod: int = 7) -> pa.Table:
+    """Per-group MIN-MAX feature normalization — the two-phase
+    broadcast-stats transform every feature pipeline needs: phase 1
+    computes per-event_type min/max of ``value`` over the FULL corpus
+    via ONE combiner-first grouped aggregate (the shuffle carries
+    |blocks| × |types| partial rows), phase 2 broadcasts the tiny stats
+    table and rescales rows inside ``map_batches`` — no second shuffle,
+    no driver pass over data.  Arithmetic stays in exact micro-unit
+    int64 until ONE double division of exact ints per row, so the oracle
+    matches bit-for-bit (degenerate max==min groups scale to 0 on both
+    engines).  Emission is filtered to ``user_id % user_mod == 0`` to
+    bound the driver result — a pushed-down predicate; the statistics
+    are corpus-wide."""
+    ev = read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "v_s": pa.array(np.round(v * 1e6).astype(np.int64)),
+        })
+
+    stats = grouped_aggregate(
+        ev.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], [("mn", "min", "v_s"), ("mx", "max", "v_s")],
+    ).to_pandas()  # |event types| rows
+    mn = dict(zip(stats["event_type"], stats["mn"].astype(np.int64)))
+    rng = {t: int(x) - mn[t]
+           for t, x in zip(stats["event_type"], stats["mx"].astype(np.int64))}
+
+    def norm(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        batch = batch.filter(pa.array(uid % user_mod == 0))
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        # dictionary-level lookup: unique types per batch are tiny
+        uniq, inv = np.unique(et, return_inverse=True)
+        lo = np.array([mn[t] for t in uniq], dtype=np.int64)[inv]
+        span = np.array([rng[t] for t in uniq], dtype=np.int64)[inv]
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        v_s = np.round(v * 1e6).astype(np.int64)
+        out = np.where(span > 0, (v_s - lo) / np.maximum(span, 1), 0.0)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+            "norm_value": pa.array(round_col(out, 6)),
+        })
+
+    df = ev.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return _finish(df, ["event_id"])
+
+
+def user_count_skew(sf_dir: str) -> pa.Table:
+    """Key-skew profile of a grouping key (user_id) — the diagnostic a
+    shuffle planner reads before choosing partitioning (north-rule:
+    'partitioning / shuffle / skew handled explicitly').  Per-key counts
+    come from ONE combiner-first grouped aggregate; the p50/p90/p99/max
+    order statistics of the count distribution are then computed
+    DISTRIBUTED (sort + bounded index read, same ``split_at_indices``
+    pattern as ``value_quantiles_exact``) because the counts table is
+    O(keys) — driver-unsafe at corpus scale."""
+    ev = read(sf_dir, "events", ["user_id"])
+    counts = grouped_aggregate(ev, ["user_id"], [("n", "count", None)])
+    totals = grouped_aggregate(
+        counts, [], [("n_keys", "count", None), ("total", "sum", "n"),
+                     ("max_n", "max", "n")],
+    ).to_pandas()
+    n_keys = int(totals["n_keys"][0])
+    qs = [0.5, 0.9, 0.99]
+    idx = [int(np.floor(q * (n_keys - 1))) for q in qs]
+    sorted_counts = counts.sort("n")
+    vals = []
+    for part in sorted_counts.split_at_indices(idx)[1:]:
+        vals.append(int(part.take(1)[0]["n"]))
+    return pa.table({
+        "n_keys": pa.array([n_keys]),
+        "total": pa.array([int(totals["total"][0])]),
+        "p50_n": pa.array([vals[0]]),
+        "p90_n": pa.array([vals[1]]),
+        "p99_n": pa.array([vals[2]]),
+        "max_n": pa.array([int(totals["max_n"][0])]),
+    })
+
+
 SQL = {
+    "minmax_normalize": (
+        "WITH s AS (SELECT event_type, "
+        "CAST(MIN(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mn, "
+        "CAST(MAX(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mx "
+        "FROM events GROUP BY 1) "
+        "SELECT event_id, e.event_type, value, "
+        "CASE WHEN mx = mn THEN 0.0 ELSE "
+        "ROUND((CAST(value AS DECIMAL(18,6)) * 1000000 - mn) / (mx - mn), 6) "
+        "END AS norm_value "
+        "FROM events e JOIN s ON e.event_type = s.event_type "
+        "WHERE user_id % 7 = 0 ORDER BY event_id"
+    ),
+    "user_count_skew": (
+        "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1), "
+        "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) - 1 AS rk, "
+        "COUNT(*) OVER () AS k FROM c) "
+        "SELECT (SELECT COUNT(*) FROM c) AS n_keys, "
+        "(SELECT SUM(n) FROM c) AS total, "
+        "(SELECT n FROM r WHERE rk = CAST(FLOOR(0.5 * (k - 1)) AS BIGINT)) AS p50_n, "
+        "(SELECT n FROM r WHERE rk = CAST(FLOOR(0.9 * (k - 1)) AS BIGINT)) AS p90_n, "
+        "(SELECT n FROM r WHERE rk = CAST(FLOOR(0.99 * (k - 1)) AS BIGINT)) AS p99_n, "
+        "(SELECT MAX(n) FROM c) AS max_n"
+    ),
     "daily_type_pivot": (
         "WITH m AS (SELECT date_trunc('day', ts) AS day, event_type FROM events) "
         "PIVOT m ON event_type USING count(*) GROUP BY day ORDER BY day"
