@@ -53,7 +53,15 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (windows, outer join, corpus prep) ---
+    # --- newest round-3 operators (TPC-H-shaped relational suite) ---
+    "q5_local_supplier_volume": _rel.q5_local_supplier_volume,
+    "q6_revenue_forecast": _rel.q6_revenue_forecast,
+    "q9_promo_profit": _rel.q9_promo_profit,
+    "q10_returned_revenue": _rel.q10_returned_revenue,
+    "q13_order_count_distribution": _rel.q13_order_count_distribution,
+    "q18_large_volume_customers": _rel.q18_large_volume_customers,
+    "q22_idle_rich_customers": _rel.q22_idle_rich_customers,
+    # --- round-3 operators (windows, outer join, corpus prep) ---
     "edit_distance_pairs": _dedup.edit_distance_pairs,
     "minmax_normalize": _rel.minmax_normalize,
     "user_count_skew": _rel.user_count_skew,

@@ -1433,7 +1433,496 @@ def user_count_skew(sf_dir: str) -> pa.Table:
     })
 
 
+def q6_revenue_forecast(sf_dir: str, *, lo: str = "1996-01-01",
+                        hi: str = "1997-01-01") -> pa.Table:
+    """TPC-H Q6 shape — the pure scan-filter-aggregate: a date predicate
+    pushed INTO the parquet read (``filter=`` prunes row groups before
+    bytes leave storage), the band predicates vectorized per batch, and
+    only one (sum, count) partial per block reaching the driver. The
+    cheapest possible plan at 100 TB: no shuffle, no join, no
+    materialization."""
+    import pyarrow.dataset as pads
+    import ray
+
+    lo_ts = np.datetime64(lo, "us")
+    hi_ts = np.datetime64(hi, "us")
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo_ts))
+        & (pads.field("l_shipdate") < pa.scalar(hi_ts)),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        qty = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+        keep = (disc >= 0.05) & (disc <= 0.07) & (qty < 24.0)
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)[keep]
+        rev_s = np.round(price * disc[keep] * 1e6).astype(np.int64)
+        return pa.table({"rev_s": pa.array([int(rev_s.sum())]),
+                         "n_rows": pa.array([int(keep.sum())])})
+
+    parts = partial_table(ds, partial)  # ≤1 row per block
+    rev = round_scaled(np.array([int(parts["rev_s"].sum())]))[0]
+    return pa.table({"revenue": pa.array([rev], type=pa.float64()),
+                     "n_rows": pa.array([int(parts["n_rows"].sum())])})
+
+
+def partial_table(ds, fn) -> pd.DataFrame:
+    """Run a per-block partial-aggregate fn and collect the (tiny,
+    one-row-per-block) partials on the driver."""
+    df = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return df
+
+
+def _supplier_nation_lookup(sf_dir: str):
+    """supplier ⋈ nation driver-side (both dim-scale): sorted suppkey array
+    + aligned nationkey/name arrays for vectorized searchsorted probes."""
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    j = sup.join(nat, keys="s_nationkey", right_keys="n_nationkey")
+    df = j.to_pandas().sort_values("s_suppkey")
+    return (df["s_suppkey"].to_numpy(np.int64),
+            df["s_nationkey"].to_numpy(np.int64),
+            df["n_name"].to_numpy(object))
+
+
+def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA") -> pa.Table:
+    """TPC-H Q5 shape — revenue by nation where the ordering customer and
+    the line's supplier share a nation, within one region. Plan: the three
+    dims (customer ⋈ nation ⋈ region) compose driver-side into ONE
+    broadcast lookup onto the streaming orders side (as in
+    ``revenue_by_region``); orders ⋈ lineitem is the genuine BIG-BIG edge
+    and takes the one all-to-all (``shuffle_join`` on the order key, with
+    the revenue partial computed BELOW the exchange); the supplier→nation
+    probe after the join is a broadcast searchsorted, and the
+    nation-equality filter drops rows before the final tiny group-by."""
+    import ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    reg = reg.filter(pc.equal(reg.column("r_name"), region))
+    dim = (
+        cust.join(nation, keys="c_nationkey", right_keys="n_nationkey",
+                  join_type="inner")
+        .join(reg, keys="n_regionkey", right_keys="r_regionkey",
+              join_type="inner")  # pyarrow joins default to LEFT OUTER
+        .select(["c_custkey", "c_nationkey", "n_name"])
+    )
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_side = broadcast_join(orders, dim, keys="o_custkey", right_keys="c_custkey")
+
+    def oprune(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderkey", "c_nationkey", "n_name"])
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def lrev(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "rev_s": pa.array(np.round(price * (1.0 - disc) * 1e6).astype(np.int64)),
+        })
+
+    from ..stages.join import shuffle_join
+
+    joined = shuffle_join(
+        li.map_batches(lrev, batch_format="pyarrow", zero_copy_batch=True),
+        o_side.map_batches(oprune, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+
+    skeys, snat, _ = _supplier_nation_lookup(sf_dir)
+    sk_ref, sn_ref = ray.put(skeys), ray.put(snat)
+
+    class NationMatch:
+        def __init__(self, sk, sn):
+            self.sk, self.sn = ray.get(sk), ray.get(sn)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            sup = np.asarray(batch.column("l_suppkey").combine_chunks(),
+                             dtype=np.int64)
+            idx = np.searchsorted(self.sk, sup)
+            idx = np.minimum(idx, len(self.sk) - 1)
+            ok = (self.sk[idx] == sup) & (
+                self.sn[idx]
+                == np.asarray(batch.column("c_nationkey").combine_chunks(),
+                              dtype=np.int64))
+            kept = batch.filter(pa.array(ok)).select(["n_name", "rev_s"])
+            return (pl.from_arrow(kept).group_by("n_name")
+                    .agg(pl.col("rev_s").sum()).to_arrow())
+
+    out = grouped_aggregate(
+        joined.map_batches(NationMatch, fn_constructor_args=(sk_ref, sn_ref),
+                           batch_format="pyarrow", concurrency=(1, 8)),
+        ["n_name"], [("rev_s", "sum", "rev_s")],
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table({"n_name": pa.array([], type=pa.string()),
+                         "revenue": pa.array([], type=pa.float64())})
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    return _finish(df[["n_name", "revenue"]], ["n_name"])
+
+
+def q9_promo_profit(sf_dir: str, *, ptype: str = "PROMO") -> pa.Table:
+    """TPC-H Q9 shape (no partsupp table → profit = discounted revenue):
+    per (supplier-nation, ship-year) revenue over PROMO parts. Plan: the
+    part predicate becomes a broadcast LEFT SEMI on ``l_partkey`` (key set
+    only — never the part payload); supplier→nation is a broadcast
+    searchsorted; the (nation, year) partial group-by runs per batch so
+    only combiner rows reach the final exchange. One streaming pass over
+    lineitem, zero big shuffles."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    keys_tbl = (part.filter(pc.equal(part.column("p_type"), ptype))
+                .select(["p_partkey"]))
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount", "l_shipdate"])
+    semi = broadcast_join(li, keys_tbl, keys="l_partkey",
+                          right_keys="p_partkey", join_type="left semi")
+
+    skeys, _, snames = _supplier_nation_lookup(sf_dir)
+    sk_ref, sn_ref = ray.put(skeys), ray.put(snames)
+
+    class PartialProfit:
+        def __init__(self, sk, sn):
+            self.sk, self.sn = ray.get(sk), ray.get(sn)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            sup = np.asarray(batch.column("l_suppkey").combine_chunks(),
+                             dtype=np.int64)
+            idx = np.minimum(np.searchsorted(self.sk, sup), len(self.sk) - 1)
+            price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+            disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+            df = pl.DataFrame({
+                "n_name": self.sn[idx],
+                "o_year": np.asarray(
+                    pc.year(batch.column("l_shipdate")).combine_chunks(),
+                    dtype=np.int64),
+                "rev_s": np.round(price * (1.0 - disc) * 1e6).astype(np.int64),
+            })
+            return (df.group_by(["n_name", "o_year"])
+                    .agg(pl.col("rev_s").sum()).to_arrow())
+
+    out = grouped_aggregate(
+        semi.map_batches(PartialProfit, fn_constructor_args=(sk_ref, sn_ref),
+                         batch_format="pyarrow", concurrency=(1, 8)),
+        ["n_name", "o_year"], [("rev_s", "sum", "rev_s")],
+    )
+    df = out.to_pandas()
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    return _finish(df[["n_name", "o_year", "revenue"]], ["n_name", "o_year"])
+
+
+def q10_returned_revenue(sf_dir: str, *, k: int = 20) -> pa.Table:
+    """TPC-H Q10 shape — top-k customers by revenue on returned lines.
+    Plan mirrors ``q3_shipping_priority``: the return-flag filter and the
+    per-order revenue partial both run BELOW the big-big orders ⋈ lineitem
+    exchange; per-customer totals come from one combiner-first group-by;
+    the customer/nation dims broadcast onto the (already tiny) per-customer
+    rows; top-k is per-block argpartition + a driver reduce over |blocks|×k
+    candidates — no global sort."""
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def lrev(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        df = pl.DataFrame({
+            "l_orderkey": np.asarray(batch.column("l_orderkey").combine_chunks(),
+                                     dtype=np.int64),
+            "rev_s": np.round(price * (1.0 - disc) * 1e6).astype(np.int64),
+        })
+        return df.group_by("l_orderkey").agg(pl.col("rev_s").sum()).to_arrow()
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    from ..stages.join import shuffle_join
+
+    joined = shuffle_join(
+        li.map_batches(lrev, batch_format="pyarrow", zero_copy_batch=True),
+        orders, left_on="l_orderkey", right_on="o_orderkey",
+    )
+    per_cust = grouped_aggregate(joined, ["o_custkey"],
+                                 [("rev_s", "sum", "rev_s")])
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey") \
+              .select(["c_custkey", "c_name", "c_acctbal", "n_name"])
+    enriched = broadcast_join(per_cust, dim, keys="o_custkey",
+                              right_keys="c_custkey")
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("rev_s").combine_chunks())
+        if len(v) > k:
+            batch = batch.take(pa.array(np.argpartition(-v, kth=k - 1)[:k]))
+        return batch
+
+    cand = enriched.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand["revenue"] = round_scaled(cand.pop("rev_s"))
+    cand = cand.sort_values(["revenue", "o_custkey"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    cand["c_acctbal"] = round_col(cand["c_acctbal"], 2)
+    return pa.Table.from_pandas(
+        cand[["o_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+        .reset_index(drop=True), preserve_index=False)
+
+
+def q13_order_count_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape — the double aggregation: orders-per-customer
+    (combiner-first, one exchange of 8-byte keys), then customers-per-count
+    (second group-by over the already-tiny per-customer rows). The zero
+    bucket is |customer| − |customers with orders| — two scalar counts, so
+    the LEFT OUTER join in the SQL never materializes on our side."""
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    per_cust = grouped_aggregate(orders, ["o_custkey"], [("n", "count", None)])
+    dist = grouped_aggregate(per_cust, ["n"], [("custdist", "count", None)])
+    df = dist.to_pandas()
+    n_cust = read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = int(n_cust) - int(df["custdist"].sum())
+    if zero > 0:
+        df = pd.concat(
+            [df, pd.DataFrame({"n": [0], "custdist": [zero]})],
+            ignore_index=True)
+    df = df.rename(columns={"n": "c_count"})
+    df = df.sort_values(["custdist", "c_count"],
+                        ascending=[False, False]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[["c_count", "custdist"]],
+                                preserve_index=False)
+
+
+def q18_large_volume_customers(sf_dir: str, *, threshold: float = 300.0,
+                               k: int = 100) -> pa.Table:
+    """TPC-H Q18 shape — group-HAVING as a semi-join driver: per-order
+    quantity sums (partials below the exchange, centi-unit int64), the
+    HAVING filter applied distributed, and only the SURVIVING (order key,
+    qty) rows — output-bounded by construction — collected to broadcast
+    onto the streaming orders side; customer names broadcast last. No
+    big-big shuffle at all."""
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def lqty(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        qty = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+        df = pl.DataFrame({
+            "l_orderkey": np.asarray(batch.column("l_orderkey").combine_chunks(),
+                                     dtype=np.int64),
+            "qty_c": np.round(qty * 100.0).astype(np.int64),
+        })
+        return df.group_by("l_orderkey").agg(pl.col("qty_c").sum()).to_arrow()
+
+    per_order = grouped_aggregate(
+        li.map_batches(lqty, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("qty_c", "sum", "qty_c")],
+    )
+    thr_c = int(round(threshold * 100))
+    big = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b.column("qty_c"), thr_c)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    big_df = big.to_pandas()
+    if big_df.empty:
+        return pa.table({
+            "c_name": pa.array([], type=pa.string()),
+            "o_custkey": pa.array([], type=pa.int64()),
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderdate": pa.array([], type=pa.timestamp("us")),
+            "o_totalprice": pa.array([], type=pa.float64()),
+            "sum_qty": pa.array([], type=pa.float64()),
+        })
+
+    big_tbl = pa.Table.from_pandas(big_df, preserve_index=False)
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = broadcast_join(orders, big_tbl, keys="o_orderkey",
+                            right_keys="l_orderkey")
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    out = broadcast_join(joined, cust, keys="o_custkey",
+                         right_keys="c_custkey").to_pandas()
+    out["sum_qty"] = out.pop("qty_c").to_numpy(np.int64) / 100.0
+    out["o_totalprice"] = round_col(out["o_totalprice"], 2)
+    out = out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+    return pa.Table.from_pandas(
+        out[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+             "o_totalprice", "sum_qty"]].reset_index(drop=True),
+        preserve_index=False)
+
+
+def q22_idle_rich_customers(sf_dir: str, *, cutoff: str = "2000-01-01") -> pa.Table:
+    """TPC-H Q22 shape — above-average-balance customers with NO recent
+    orders, per nation. The average is computed in exact integer space
+    (micro-unit sum + count, so the > comparison can't flip on float
+    summation order); the anti-join follows ``parts_never_ordered``'s
+    broadcast pattern: distinct recent-order custkeys (combiner-first,
+    8-byte keys only) broadcast sorted, searchsorted per batch; the
+    documented scale fallback for an un-broadcastable key set is the same
+    co-shuffle used by ``parts_never_ordered(mode='partitioned')``."""
+    import ray
+
+    cust_ds = read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = np.asarray(batch.column("c_acctbal"), dtype=np.float64)
+        pos = bal > 0.0
+        s = np.round(bal[pos] * 1e6).astype(np.int64)
+        return pa.table({"s": pa.array([int(s.sum())]),
+                         "n": pa.array([int(pos.sum())])})
+
+    parts = partial_table(cust_ds, bal_partial)
+    tot_s, n_pos = int(parts["s"].sum()), int(parts["n"].sum())
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("o_orderdate"), cut))
+        .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    seen_ds = grouped_aggregate(recent, ["o_custkey"], [("n", "count", None)])
+    seen = np.sort(seen_ds.to_pandas()["o_custkey"].to_numpy(np.int64))
+    seen_ref = ray.put(seen)
+
+    class IdleRich:
+        def __init__(self, ref, tot_s, n_pos):
+            self.seen = ray.get(ref)
+            self.tot_s, self.n_pos = tot_s, n_pos
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            bal_s = np.round(
+                np.asarray(batch.column("c_acctbal"), dtype=np.float64) * 1e6
+            ).astype(np.int64)
+            # exact integer compare, overflow-free: for ints,
+            # bal_s * n > tot_s  ⇔  bal_s > floor(tot_s / n)  (n > 0)
+            rich = bal_s > (self.tot_s // self.n_pos)
+            ck = np.asarray(batch.column("c_custkey").combine_chunks(),
+                            dtype=np.int64)
+            if len(self.seen):
+                idx = np.minimum(np.searchsorted(self.seen, ck),
+                                 len(self.seen) - 1)
+                idle = self.seen[idx] != ck
+            else:
+                idle = np.ones(len(ck), dtype=bool)
+            keep = rich & idle
+            df = pl.DataFrame({
+                "c_nationkey": np.asarray(
+                    batch.column("c_nationkey").combine_chunks(),
+                    dtype=np.int64)[keep],
+                "bal_s": bal_s[keep],
+            })
+            return (df.group_by("c_nationkey")
+                    .agg(pl.col("bal_s").sum().alias("bal_s"),
+                         pl.len().alias("numcust")).to_arrow())
+
+    out = grouped_aggregate(
+        cust_ds.map_batches(IdleRich, fn_constructor_args=(seen_ref, tot_s, n_pos),
+                            batch_format="pyarrow", concurrency=(1, 8)),
+        ["c_nationkey"],
+        [("numcust", "sum", "numcust"), ("bal_s", "sum", "bal_s")],
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table({"c_nationkey": pa.array([], type=pa.int64()),
+                         "numcust": pa.array([], type=pa.int64()),
+                         "totacctbal": pa.array([], type=pa.float64())})
+    df["totacctbal"] = round_scaled(df.pop("bal_s"))
+    return _finish(df[["c_nationkey", "numcust", "totacctbal"]],
+                   ["c_nationkey"])
+
+
 SQL = {
+    "q6_revenue_forecast": (
+        "SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_rows FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "q5_local_supplier_volume": (
+        "SELECT n_name, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"
+    ),
+    "q9_promo_profit": (
+        "SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_type = 'PROMO' GROUP BY 1, 2 ORDER BY n_name, o_year"
+    ),
+    "q10_returned_revenue": (
+        "SELECT o_custkey, c_name, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "ROUND(c_acctbal, 2) AS c_acctbal, n_name "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "GROUP BY o_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, o_custkey LIMIT 20"
+    ),
+    "q13_order_count_distribution": (
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "  SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+        "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "  GROUP BY c_custkey"
+        ") GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+    "q18_large_volume_customers": (
+        "SELECT c_name, o_custkey, o_orderkey, o_orderdate, "
+        "ROUND(o_totalprice, 2) AS o_totalprice, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice "
+        "HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300 "
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"
+    ),
+    "q22_idle_rich_customers": (
+        "WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000) AS HUGEINT) AS s, "
+        "COUNT(*) AS n FROM customer WHERE c_acctbal > 0.0) "
+        "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS numcust, "
+        "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal "
+        "FROM customer, a "
+        "WHERE CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS HUGEINT) * n > s "
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY c_nationkey ORDER BY c_nationkey"
+    ),
     "minmax_normalize": (
         "WITH s AS (SELECT event_type, "
         "CAST(MIN(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mn, "
