@@ -53,7 +53,11 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (TPC-H-shaped relational suite) ---
+    # --- newest round-3 operators (LM-proxy scoring, corpus triage) ---
+    "char_entropy": _txt.char_entropy,
+    "unigram_logprob": _txt.unigram_logprob,
+    "source_quality_profile": _txt.source_quality_profile,
+    # --- round-3 operators (TPC-H-shaped relational suite) ---
     "q5_local_supplier_volume": _rel.q5_local_supplier_volume,
     "q6_revenue_forecast": _rel.q6_revenue_forecast,
     "q9_promo_profit": _rel.q9_promo_profit,

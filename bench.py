@@ -51,6 +51,8 @@ QUERY_SET = [
     "user_customer_outer",  # big-big FULL OUTER shuffle join (r3)
     "user_trailing_value",  # bounded window frame, keyed cumsum kernel (r3)
     "streaming_hourly_windows",  # watermark streaming windows + checkpoint (r3)
+    "q10_returned_revenue",  # filtered big-big join + distributed top-k (r3)
+    "q9_promo_profit",  # broadcast semi + combiner-first 2-key rollup (r3)
 ]
 
 

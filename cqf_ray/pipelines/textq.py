@@ -772,6 +772,145 @@ def lexical_diversity(sf_dir: str) -> pa.Table:
     )
 
 
+def char_entropy(sf_dir: str) -> pa.Table:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish / encoding-noise quality signal (low entropy = repeated
+    filler, high = random bytes). Fully vectorized SEGMENTED kernel with
+    no per-doc loop: every byte of the batch maps to a
+    ``doc_index*256 + byte`` key, ONE ``np.unique`` yields all per-doc
+    histograms at once, and a weighted ``bincount`` folds the
+    ``-p·log2 p`` terms back per doc. Zero shuffle (row-wise per doc);
+    6-dp rounding absorbs summation-order float jitter vs the oracle."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(batch: pa.Table) -> pa.Table:
+        data, offs = string_bytes_and_offsets(batch.column("text"))
+        lens = np.diff(offs)
+        n = len(lens)
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq, counts = np.unique(doc * 256 + data.astype(np.int64),
+                                 return_counts=True)
+        d_idx = uniq >> 8
+        p = counts / lens[d_idx].astype(np.float64)
+        h = np.bincount(d_idx, weights=-(p * np.log2(p)), minlength=n)
+        h[lens == 0] = 0.0
+        from .common import round_col
+
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(lens.astype(np.int64)),
+            "entropy": pa.array(round_col(h, 6)),
+        })
+
+    df = ds.map_batches(ent, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    return pa.Table.from_pandas(df.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def unigram_logprob(sf_dir: str) -> pa.Table:
+    """CCNet-style LM-proxy quality scoring: fit a corpus unigram model
+    (distributed combiner-first token counts — pass 1), broadcast it once
+    (``ray.put``), and score every document by its mean token log2-prob
+    (pass 2, an actor-pool stage holding the model). The distributed
+    shape of real perplexity filtering — swap the unigram table for a
+    real LM without touching the plumbing. Scale note: at web scale the
+    broadcast vocabulary is capped to top-V with an OOV floor; this
+    corpus's vocab is tiny so the model is exact."""
+    import ray
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(batch.select(["text"]))
+                .select(tok=pl.col("text").str.split(" "))
+                .explode("tok").filter(pl.col("tok") != "")
+                .group_by("tok").agg(n=pl.len().cast(pl.Int64))).to_arrow()
+
+    vocab = grouped_aggregate(
+        ds.map_batches(tok_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["tok"], [("n", "sum", "n")],
+    ).to_pandas()
+    total = float(vocab["n"].sum())
+    import polars as pl
+
+    model = pl.DataFrame({
+        "tok": vocab["tok"].to_numpy(object),
+        "lp": np.log2(vocab["n"].to_numpy(np.float64) / total),
+    })
+    ref = ray.put(model)
+
+    class Score:
+        def __init__(self, r):
+            self.model = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            ex = (pl.from_arrow(batch.select(["doc_id", "text"]))
+                  .select("doc_id", tok=pl.col("text").str.split(" "))
+                  .explode("tok").filter(pl.col("tok") != ""))
+            scored = ex.join(self.model, on="tok", how="left")
+            out = scored.group_by("doc_id").agg(
+                n_tokens=pl.len().cast(pl.Int64),
+                avg_logprob=pl.col("lp").mean(),
+            )
+            return out.to_arrow()
+
+    df = ds.map_batches(Score, fn_constructor_args=(ref,),
+                        batch_format="pyarrow",
+                        concurrency=(1, 8)).to_pandas()
+    from .common import round_col
+
+    df["avg_logprob"] = round_col(df["avg_logprob"], 6)
+    return pa.Table.from_pandas(df.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def source_quality_profile(sf_dir: str) -> pa.Table:
+    """Corpus-triage rollup: per (source, lang) document count,
+    quality-gate pass count (shared ``quality_mask`` predicate) and
+    integer-exact centi-unit mean length — the table a pipeline operator
+    reads to decide which sources to keep, reweight, or drop. One
+    combiner-first group-by; integers end-to-end so the oracle matches
+    bit-for-bit."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang", "source",
+                                    "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        m = quality_mask(batch)
+        df = pl.from_arrow(batch.select(["source", "lang", "n_chars"]))
+        df = df.with_columns(passed=pl.Series(m.astype(np.int64)))
+        return (df.group_by(["source", "lang"])
+                .agg(n_docs=pl.len().cast(pl.Int64),
+                     n_pass=pl.col("passed").sum(),
+                     sum_chars=pl.col("n_chars").sum().cast(pl.Int64))
+                ).to_arrow()
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang"],
+        [("n_docs", "sum", "n_docs"), ("n_pass", "sum", "n_pass"),
+         ("sum_chars", "sum", "sum_chars")],
+    )
+    df = out.to_pandas()
+    df["avg_chars_centi"] = (df.pop("sum_chars").to_numpy(np.int64) * 100
+                             // df["n_docs"].to_numpy(np.int64))
+    df = df.sort_values(["source", "lang"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["source", "lang", "n_docs", "n_pass", "avg_chars_centi"]],
+        preserve_index=False)
+
+
 def _table_checksum_sql() -> str:
     from .sketchq import _MURMUR_SQL
 
@@ -786,6 +925,32 @@ def _table_checksum_sql() -> str:
 
 
 SQL = {
+    "char_entropy": (
+        "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), "
+        "cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k FROM ch GROUP BY 1, 2), "
+        "n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1) "
+        "SELECT cnt.doc_id, CAST(ANY_VALUE(n) AS BIGINT) AS n_chars, "
+        "ROUND(SUM(-(k / n) * log2(k / n)), 6) AS entropy "
+        "FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id ORDER BY doc_id"
+    ),
+    "unigram_logprob": (
+        "WITH toks AS (SELECT doc_id, tok FROM documents, "
+        "LATERAL UNNEST(string_split(text, ' ')) AS t(tok) WHERE tok <> ''), "
+        "v AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1), "
+        "tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS T FROM v) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, "
+        "ROUND(AVG(log2(n / T)), 6) AS avg_logprob "
+        "FROM toks JOIN v USING (tok), tt GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "source_quality_profile": (
+        "SELECT source, lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN length(text) BETWEEN 50 AND 5000 "
+        "AND length(regexp_extract_all(text, '\\S+')) >= 10 "
+        "AND 10 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= 6 * length(text) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, "
+        "CAST(SUM(n_chars) AS BIGINT) * 100 // COUNT(*) AS avg_chars_centi "
+        "FROM documents GROUP BY source, lang ORDER BY source, lang"
+    ),
     "table_checksum": _table_checksum_sql(),
     "redact_terms": (
         "SELECT doc_id, "
