@@ -53,7 +53,12 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (LM-proxy scoring, corpus triage) ---
+    # --- newest round-3 operators (windows, sampling, moments) ---
+    "user_event_gaps": _rel.user_event_gaps,
+    "weighted_sample_events": _rel.weighted_sample_events,
+    "value_stats_by_type": _rel.value_stats_by_type,
+    "brand_supplier_counts": _rel.brand_supplier_counts,
+    # --- round-3 operators (LM-proxy scoring, corpus triage) ---
     "char_entropy": _txt.char_entropy,
     "unigram_logprob": _txt.unigram_logprob,
     "source_quality_profile": _txt.source_quality_profile,

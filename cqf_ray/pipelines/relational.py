@@ -1859,7 +1859,179 @@ def q22_idle_rich_customers(sf_dir: str, *, cutoff: str = "2000-01-01") -> pa.Ta
                    ["c_nationkey"])
 
 
+def user_event_gaps(sf_dir: str, *, user_mod: int = 7) -> pa.Table:
+    """Per-user inter-event gap (LAG offset window): microseconds since
+    the user's previous event in (ts, event_id) order, −1 for the first.
+    One keyed shuffle on user_id; the kernel is a lexsort + one vectorized
+    diff with run starts reset — integer-exact end to end. Completes the
+    window family (cumsum / rank / trailing frame / NTILE / LAG)."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        return batch.filter(pa.array(uid % user_mod == 0))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, tsv, eid = uid[order], tsv[order], eid[order]
+        gap = np.empty(len(uid), dtype=np.int64)
+        gap[0:1] = -1
+        if len(uid) > 1:
+            gap[1:] = tsv[1:] - tsv[:-1]
+        gap[run_starts(uid)] = -1
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "ts": pa.array(tsv).cast(pa.timestamp("us")),
+            "gap_us": pa.array(gap),
+        })
+
+    out = keyed_partition_map(
+        ev.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], kernel,
+    )
+    return _finish(out, ["event_id"])
+
+
+def weighted_sample_events(sf_dir: str, *, k: int = 50, seed: int = 29) -> pa.Table:
+    """Deterministic weighted sampling (Duffield–Lund–Thorup priority
+    sampling): each event gets priority w/u with weight w = micro-unit
+    value and u = murmur64(event_id) — the top-k by priority is a
+    weighted sample usable for unbiased subset-sum estimation. Fully
+    distributed: per-block argpartition candidates, driver reduces
+    |blocks|×k rows. Both engines compute the SAME double w/(u+1) from
+    the SAME integers (no transcendentals), so the oracle reproduces the
+    sample bit-for-bit via the MurmurHash64A-in-SQL port."""
+    from ..hashing import murmur64a_u64
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch.column("event_id").combine_chunks()).astype(np.int64)
+        w_s = np.round(np.asarray(batch.column("value"), dtype=np.float64)
+                       * 1e6).astype(np.int64)
+        pos = w_s > 0
+        eid_p = eid[pos]
+        u = murmur64a_u64(eid_p.view(np.uint64) if eid_p.flags.c_contiguous
+                          else np.ascontiguousarray(eid_p).view(np.uint64),
+                          seed=seed)
+        score = w_s[pos].astype(np.float64) / (u.astype(np.float64) + 1.0)
+        batch = batch.filter(pa.array(pos))
+        if len(score) > k:
+            sel = np.argpartition(-score, kth=k - 1)[:k]
+            batch = batch.take(pa.array(sel))
+            score = score[sel]
+        return batch.append_column("score", pa.array(score))
+
+    cand = ev.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["score", "event_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    cand["score"] = round_col(cand["score"], 6)
+    return pa.Table.from_pandas(
+        cand[["event_id", "user_id", "value", "score"]].reset_index(drop=True),
+        preserve_index=False)
+
+
+def value_stats_by_type(sf_dir: str) -> pa.Table:
+    """Per-type mean / variance / stddev of (2-dp-rounded) value —
+    distributed moments: per-batch integer partials (n, Σw, Σw²) in
+    centi-units, one tiny combiner-first group-by, exact Python-int
+    numerator on the driver, and ONE double division + sqrt at the end so
+    both engines round the identical float. The two-pass-free textbook
+    E[x²]−E[x]² shape — float summation order can't diverge because no
+    float is ever summed."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        v_s = np.round(np.asarray(batch.column("value"), dtype=np.float64)
+                       * 1e6).astype(np.int64)
+        half = 10**4 // 2
+        w_c = np.where(v_s >= 0, (v_s + half) // 10**4,
+                       -((-v_s + half) // 10**4))
+        df = pl.from_arrow(batch.select(["event_type"]))
+        df = df.with_columns(w=pl.Series(w_c), w2=pl.Series(w_c * w_c))
+        return (df.group_by("event_type")
+                .agg(n=pl.len().cast(pl.Int64), sum_c=pl.col("w").sum(),
+                     sumsq=pl.col("w2").sum())).to_arrow()
+
+    out = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("n", "sum", "n"), ("sum_c", "sum", "sum_c"),
+         ("sumsq", "sum", "sumsq")],
+    ).to_pandas()
+    means, variances, stds = [], [], []
+    for n, s, q in zip(out["n"], out["sum_c"], out["sumsq"]):
+        n, s, q = int(n), int(s), int(q)
+        mean = s / float(n * 100)
+        num = n * q - s * s  # exact (python int)
+        var = float(num) / float(n * n * 10000)
+        means.append(round_col(np.array([mean]), 6)[0])
+        variances.append(round_col(np.array([var]), 6)[0])
+        stds.append(round_col(np.array([np.sqrt(var)]), 6)[0])
+    out["mean_value"], out["var_value"], out["std_value"] = means, variances, stds
+    out = out.drop(columns=["sum_c", "sumsq"])
+    return _finish(out[["event_type", "n", "mean_value", "var_value",
+                        "std_value"]], ["event_type"])
+
+
+def brand_supplier_counts(sf_dir: str) -> pa.Table:
+    """TPC-H Q16-shaped distinct-count per group (no partsupp table →
+    suppliers actually shipping each brand): COUNT(DISTINCT) decomposed
+    into two combiner-first group-bys — (brand, suppkey) pair counts
+    first (the exchange carries distinct pairs only), then the per-brand
+    rollup over the already-tiny pair rows. The scale-correct
+    distinct-count plan: no per-group sets, no driver-side dedup."""
+    from ..stages.groupagg import grouped_aggregate
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    tagged = broadcast_join(li, part, keys="l_partkey", right_keys="p_partkey")
+    pairs = grouped_aggregate(tagged, ["p_brand", "l_suppkey"],
+                              [("n_lines", "count", None)])
+    out = grouped_aggregate(pairs, ["p_brand"],
+                            [("n_suppliers", "count", None),
+                             ("n_lines", "sum", "n_lines")])
+    return _finish(out, ["p_brand"])
+
+
 SQL = {
+    "user_event_gaps": (
+        "SELECT event_id, user_id, ts, "
+        "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
+        "FROM events WHERE user_id % 7 = 0 ORDER BY event_id"
+    ),
+    "weighted_sample_events": None,  # assembled below (murmur-in-SQL port)
+    "value_stats_by_type": (
+        "WITH w AS (SELECT event_type, "
+        "CAST(ROUND(CAST(value AS DECIMAL(18,6)), 2) * 100 AS HUGEINT) AS w_c "
+        "FROM events), "
+        "s AS (SELECT event_type, COUNT(*) AS n, SUM(w_c) AS sum_c, "
+        "SUM(w_c * w_c) AS sumsq FROM w GROUP BY 1) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, "
+        "ROUND(CAST(sum_c AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) AS mean_value, "
+        "ROUND(CAST(n * sumsq - sum_c * sum_c AS DOUBLE) / CAST(n * n * 10000 AS DOUBLE), 6) AS var_value, "
+        "ROUND(sqrt(CAST(n * sumsq - sum_c * sum_c AS DOUBLE) / CAST(n * n * 10000 AS DOUBLE)), 6) AS std_value "
+        "FROM s ORDER BY event_type"
+    ),
+    "brand_supplier_counts": (
+        "SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY p_brand ORDER BY p_brand"
+    ),
     "q6_revenue_forecast": (
         "SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
         "COUNT(*) AS n_rows FROM lineitem "
@@ -2192,3 +2364,24 @@ SQL = {
         ") ORDER BY q"
     ),
 }
+
+
+def _weighted_sample_sql(k: int = 50, seed: int = 29) -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT event_id, user_id, value, "
+        "CAST(event_id AS HUGEINT) AS k64, "
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w_s "
+        "FROM events "
+        "WHERE CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) > 0), "
+        + _MURMUR_SQL.format(seed=seed)
+        + " SELECT event_id, user_id, value, ROUND(score, 6) AS score FROM "
+        "(SELECT event_id, user_id, value, "
+        " CAST(w_s AS DOUBLE) / CAST(priority + 1 AS DOUBLE) AS score "
+        f" FROM mmf ORDER BY score DESC, event_id LIMIT {k}) "
+        "ORDER BY score DESC, event_id"
+    )
+
+
+SQL["weighted_sample_events"] = _weighted_sample_sql()
