@@ -53,7 +53,11 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (windows, sampling, moments) ---
+    # --- newest round-3 operators (sessionization, PR, join sizing) ---
+    "event_sessions": _rel.event_sessions,
+    "event_type_pagerank": _rel.event_type_pagerank,
+    "join_size_estimate": _sk.join_size_estimate,
+    # --- round-3 operators (windows, sampling, moments) ---
     "user_event_gaps": _rel.user_event_gaps,
     "weighted_sample_events": _rel.weighted_sample_events,
     "value_stats_by_type": _rel.value_stats_by_type,

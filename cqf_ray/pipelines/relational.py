@@ -2006,7 +2006,118 @@ def brand_supplier_counts(sf_dir: str) -> pa.Table:
     return _finish(out, ["p_brand"])
 
 
+def event_sessions(sf_dir: str, *, gap_minutes: int = 30) -> pa.Table:
+    """Gap-timeout sessionization over the events stream — THE canonical
+    keyed-window operator of clickstream/training-data pipelines: a new
+    session starts when a user is idle longer than ``gap_minutes``.
+    One keyed shuffle on user_id; the kernel is one lexsort + a gap
+    compare + three reduceat passes (session lengths, per-user session
+    counts / maxima) — no per-user or per-session Python loop. Output is
+    one row per user (bounded by |users|), integer-exact."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    gap_us = gap_minutes * 60_000_000
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, tsv = uid[order], tsv[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "max_session_events": pa.array([], type=pa.int64()),
+                             "avg_len_milli": pa.array([], type=pa.int64())})
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = tsv[1:] - tsv[:-1] > gap_us
+        new_s[run_starts(uid)] = True
+        sess_start = np.flatnonzero(new_s)
+        sess_len = np.diff(np.append(sess_start, n))
+        sess_uid = uid[sess_start]
+        ustart = run_starts(sess_uid)  # user runs within the session list
+        n_sessions = np.diff(np.append(ustart, len(sess_uid)))
+        n_events = np.add.reduceat(sess_len, ustart)
+        max_len = np.maximum.reduceat(sess_len, ustart)
+        return pa.table({
+            "user_id": pa.array(sess_uid[ustart]),
+            "n_sessions": pa.array(n_sessions.astype(np.int64)),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "max_session_events": pa.array(max_len.astype(np.int64)),
+            "avg_len_milli": pa.array(n_events.astype(np.int64) * 1000
+                                      // n_sessions.astype(np.int64)),
+        })
+
+    out = keyed_partition_map(ev, ["user_id"], kernel)
+    return _finish(out, ["user_id"])
+
+
+def event_type_pagerank(sf_dir: str, *, iters: int = 5, d: float = 0.85) -> pa.Table:
+    """PageRank over the event-type transition graph — the iterative-
+    algorithm surface: the EDGE aggregation is fully distributed (the
+    same keyed lexsort kernel as ``event_transition_counts``), the
+    iteration then runs on the tiny |types|² matrix with the state
+    broadcast-sized by construction. The exact shape of large-graph PR
+    on Ray Data: distributed edge partials per sweep, small dense state
+    per superstep (for |V| beyond driver memory the state itself keys
+    a ``keyed_partition_map`` per iteration). Per-edge float terms are
+    identical on both engines; 6-dp rounding absorbs sum-order jitter."""
+    edges = event_transition_counts(sf_dir).to_pandas()
+    nodes = np.sort(pd.unique(
+        np.concatenate([edges["prev_type"].to_numpy(object),
+                        edges["next_type"].to_numpy(object)])))
+    n_idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    u = edges["prev_type"].map(n_idx).to_numpy(np.int64)
+    v = edges["next_type"].map(n_idx).to_numpy(np.int64)
+    w = edges["n"].to_numpy(np.float64)
+    out_w = np.bincount(u, weights=w, minlength=N)
+    r = np.full(N, 1.0 / N)
+    for _ in range(iters):
+        contrib = r[u] * w / out_w[u]
+        r = (1.0 - d) / N + d * np.bincount(v, weights=contrib, minlength=N)
+    return pa.table({
+        "event_type": pa.array(nodes),
+        "pagerank": pa.array(round_col(r, 6)),
+    })
+
+
 SQL = {
+    "event_sessions": (
+        "WITH g AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL "
+        "OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+        "per AS (SELECT user_id, sid, COUNT(*) AS len FROM s GROUP BY 1, 2) "
+        "SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(len) AS BIGINT) AS n_events, "
+        "MAX(len) AS max_session_events, "
+        "CAST(SUM(len) AS BIGINT) * 1000 // COUNT(*) AS avg_len_milli "
+        "FROM per GROUP BY user_id ORDER BY user_id"
+    ),
+    "event_type_pagerank": (
+        "WITH s AS (SELECT event_type AS next_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+        "FROM events), "
+        "e AS (SELECT prev_type AS u, next_type AS v, CAST(COUNT(*) AS DOUBLE) AS n "
+        "FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "o AS (SELECT u, SUM(n) AS ow FROM e GROUP BY 1), "
+        "nodes AS (SELECT DISTINCT event_type AS v FROM events), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM nodes), "
+        "r0 AS (SELECT v, 1.0 / N AS r FROM nodes, nn), "
+        "r1 AS (SELECT nodes.v, (1.0 - 0.85) / nn.N + 0.85 * COALESCE((SELECT SUM(r0.r * e.n / o.ow) FROM e JOIN r0 ON r0.v = e.u JOIN o ON o.u = e.u WHERE e.v = nodes.v), 0) AS r FROM nodes, nn), "
+        "r2 AS (SELECT nodes.v, (1.0 - 0.85) / nn.N + 0.85 * COALESCE((SELECT SUM(r1.r * e.n / o.ow) FROM e JOIN r1 ON r1.v = e.u JOIN o ON o.u = e.u WHERE e.v = nodes.v), 0) AS r FROM nodes, nn), "
+        "r3 AS (SELECT nodes.v, (1.0 - 0.85) / nn.N + 0.85 * COALESCE((SELECT SUM(r2.r * e.n / o.ow) FROM e JOIN r2 ON r2.v = e.u JOIN o ON o.u = e.u WHERE e.v = nodes.v), 0) AS r FROM nodes, nn), "
+        "r4 AS (SELECT nodes.v, (1.0 - 0.85) / nn.N + 0.85 * COALESCE((SELECT SUM(r3.r * e.n / o.ow) FROM e JOIN r3 ON r3.v = e.u JOIN o ON o.u = e.u WHERE e.v = nodes.v), 0) AS r FROM nodes, nn), "
+        "r5 AS (SELECT nodes.v, (1.0 - 0.85) / nn.N + 0.85 * COALESCE((SELECT SUM(r4.r * e.n / o.ow) FROM e JOIN r4 ON r4.v = e.u JOIN o ON o.u = e.u WHERE e.v = nodes.v), 0) AS r FROM nodes, nn) "
+        "SELECT v AS event_type, ROUND(r, 6) AS pagerank FROM r5 ORDER BY event_type"
+    ),
     "user_event_gaps": (
         "SELECT event_id, user_id, ts, "
         "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER "

@@ -245,6 +245,40 @@ def cms_top_user_estimates(sf_dir: str) -> pa.Table:
     )
 
 
+def join_size_estimate(sf_dir: str) -> pa.Table:
+    """Join-cardinality estimation — the query-OPTIMIZER use of sketches
+    (decide broadcast vs shuffle vs Bloom-prefilter BEFORE paying the
+    exchange): |events ⋈ orders ON user_id = o_custkey| estimated as the
+    CMS inner product of the two key-frequency sketches (two independent
+    distributed sketch builds, merge-tree folded; the estimate is one
+    driver-side dot of two 4×65536 tables). Driver-checkable the way the
+    sketch contract allows (same pattern as ``hll_distinct_users``): the
+    query ALSO computes the exact join size from per-key count partials
+    and emits (n_exact, est_in_bounds) — the oracle reproduces n_exact
+    and asserts the Cormode–Muthukrishnan bound held (estimate ≥ exact,
+    over-estimate ≤ e/w·‖a‖₁‖b‖₁)."""
+    import math
+
+    ev = read(sf_dir, "events", ["user_id"])
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    mk = lambda: CountMinSketch(depth=4, log2_width=16, seed=11)  # noqa: E731
+    a = build_sketch(ev, keys.int_column("user_id"), mk)
+    b = build_sketch(orders, keys.int_column("o_custkey"), mk)
+    est = a.inner_product(b)
+
+    ca = grouped_aggregate(ev, ["user_id"], [("n1", "count", None)]).to_pandas()
+    cb = grouped_aggregate(orders, ["o_custkey"],
+                           [("n2", "count", None)]).to_pandas()
+    # per-key count tables are |keys|-sized (dim scale); at web scale this
+    # merge is itself a keyed co-shuffle — here a vectorized sorted merge
+    m = ca.merge(cb, left_on="user_id", right_on="o_custkey", how="inner")
+    n_exact = int((m["n1"].to_numpy(np.int64) * m["n2"].to_numpy(np.int64)).sum())
+    bound = math.e / (1 << 16) * float(ca["n1"].sum()) * float(cb["n2"].sum())
+    ok = (est >= n_exact) and (est <= n_exact + bound)
+    return pa.table({"n_exact": pa.array([n_exact], type=pa.int64()),
+                     "est_in_bounds": pa.array([bool(ok)])})
+
+
 def _mg_verdict(mg, users: np.ndarray, true: np.ndarray, k: int):
     """Check the MG guarantees for one summary against exact counts:
     returns (n_total, bounds_ok, heavy_covered)."""
@@ -669,6 +703,10 @@ SQL = {
     ),
     "hll_distinct_users": (
         "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_in_3sigma FROM events"
+    ),
+    "join_size_estimate": (
+        "SELECT (SELECT COUNT(*) FROM events JOIN orders ON user_id = o_custkey) AS n_exact, "
+        "TRUE AS est_in_bounds"
     ),
     "tdigest_value_quantiles": _RANK_BOUND_SQL,
     "tdigest_quantiles_by_type": (

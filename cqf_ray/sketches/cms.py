@@ -55,6 +55,16 @@ class CountMinSketch:
             np.minimum(est, self.table[row][self._row_idx(h, row)], out=est)
         return est
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate (Cormode–Muthukrishnan §4.2):
+        min over rows of the row dot products. Always ≥ the true
+        Σ_k a(k)·b(k); additive error ≤ e/w · ‖a‖₁‖b‖₁ w.p. ≥ 1−e^−d."""
+        if (self.depth, self.log2_width, self.seed) != (
+                other.depth, other.log2_width, other.seed):
+            raise ValueError("CMS inner product requires identical geometry/seed")
+        return int(min(int(np.dot(self.table[r], other.table[r]))
+                       for r in range(self.depth)))
+
     def merge_in_place(self, other: "CountMinSketch") -> "CountMinSketch":
         if (self.depth, self.log2_width, self.seed) != (other.depth, other.log2_width, other.seed):
             raise ValueError("CMS merge requires identical geometry/seed")
