@@ -53,7 +53,10 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (sessionization, PR, join sizing) ---
+    # --- newest round-3 operators (retrieval, tokenizer training) ---
+    "bm25_search": _txt.bm25_search,
+    "bpe_first_merge": _co.bpe_first_merge,
+    "bpe_train_merges": _co.bpe_train_merges,
     "event_sessions": _rel.event_sessions,
     "event_type_pagerank": _rel.event_type_pagerank,
     "join_size_estimate": _sk.join_size_estimate,

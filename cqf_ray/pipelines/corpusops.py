@@ -254,7 +254,109 @@ def _segment_dedup_sql() -> str:
     )
 
 
+def _word_counts(sf_dir: str):
+    """Distributed word-type counts — the ONLY corpus-sized pass BPE
+    training needs (Sennrich-style BPE fits on the word-frequency table,
+    not the raw corpus): per-batch polars explode partials, one
+    combiner-first group-by, a vocab-sized result."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(batch.select(["text"]))
+                .select(tok=pl.col("text").str.split(" "))
+                .explode("tok").filter(pl.col("tok") != "")
+                .group_by("tok").agg(n=pl.len().cast(pl.Int64))).to_arrow()
+
+    wc = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], [("n", "sum", "n")],
+    ).to_pandas()
+    return list(zip(wc["tok"].tolist(), wc["n"].astype(int).tolist()))
+
+
+def _bpe_pair_counts(words: list[tuple[tuple[str, ...], int]]) -> dict:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, n in words:
+        for a, b in zip(syms[:-1], syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + n
+    return counts
+
+
+def bpe_train_merges(sf_dir: str, *, k: int = 8) -> pa.Table:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
+    ``k`` merges. The corpus-sized work is one distributed word-count
+    aggregation; the merge loop then runs on the tiny word-TYPE table
+    (vocab-scale — this is how real BPE trainers work, they never touch
+    the corpus again). Deterministic tie-break (count desc, then
+    lexicographic pair), so the merge table is reproducible; the driver
+    records rows-only (iterative — not SQL-expressible) and
+    ``bpe_first_merge`` oracle-checks step 1's argmax exactly; pytest
+    cross-checks the full loop against an independent reimplementation."""
+    wc = _word_counts(sf_dir)
+    words = [(tuple(w), n) for w, n in wc]
+    rows = []
+    for rank in range(1, k + 1):
+        counts = _bpe_pair_counts(words)
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merged = left + right
+        out_words = []
+        for syms, n in words:
+            if len(syms) > 1:
+                s, i, changed = [], 0, False
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        s.append(merged)
+                        i += 2
+                        changed = True
+                    else:
+                        s.append(syms[i])
+                        i += 1
+                out_words.append((tuple(s) if changed else syms, n))
+            else:
+                out_words.append((syms, n))
+        words = out_words
+        rows.append((rank, left, right, merged, cnt))
+    return pa.table({
+        "rank": pa.array([r[0] for r in rows], type=pa.int64()),
+        "left_sym": pa.array([r[1] for r in rows]),
+        "right_sym": pa.array([r[2] for r in rows]),
+        "merged": pa.array([r[3] for r in rows]),
+        "pair_count": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
+
+
+def bpe_first_merge(sf_dir: str) -> pa.Table:
+    """Oracle-checkable companion of ``bpe_train_merges``: the first
+    merge's argmax pair and weighted count, reproducible in pure SQL
+    (adjacent char pairs over word types, weighted by word frequency)."""
+    wc = _word_counts(sf_dir)
+    counts = _bpe_pair_counts([(tuple(w), n) for w, n in wc])
+    (left, right), cnt = min(
+        counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return pa.table({"left_sym": pa.array([left]),
+                     "right_sym": pa.array([right]),
+                     "pair_count": pa.array([cnt], type=pa.int64())})
+
+
 SQL = {
+    "bpe_first_merge": (
+        "WITH toks AS (SELECT tok, COUNT(*) AS n FROM documents, "
+        "LATERAL UNNEST(string_split(text, ' ')) AS t(tok) WHERE tok <> '' GROUP BY 1), "
+        "ch AS (SELECT tok, n, string_split(tok, '') AS cs FROM toks), "
+        "pairs AS (SELECT cs[CAST(i AS BIGINT)] AS left_sym, "
+        "cs[CAST(i AS BIGINT) + 1] AS right_sym, CAST(SUM(n) AS BIGINT) AS pair_count "
+        "FROM ch, LATERAL UNNEST(range(1, length(cs))) AS t(i) GROUP BY 1, 2) "
+        "SELECT left_sym, right_sym, pair_count FROM pairs "
+        "ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1"
+    ),
     "pack_sequences": _pack_sql(),
     "mixture_sample": _mixture_sql(),
     "segment_dedup": _segment_dedup_sql(),

@@ -911,6 +911,95 @@ def source_quality_profile(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+_BM25_TERMS = ("table", "query", "spark")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_search(sf_dir: str, *, k: int = 20) -> pa.Table:
+    """BM25 keyword retrieval — the lexical-search operator of a RAG /
+    training-data pipeline, distributed in two streaming passes: (1)
+    corpus stats (per-doc lengths + per-term document frequencies,
+    combiner-first — only (term, df) and (Σdl, n) partials move); (2)
+    per-doc term frequencies for the QUERY TERMS ONLY (the polars explode
+    filters to the broadcast term set before grouping), scored per batch
+    and reduced as a distributed top-k. Both engines evaluate the same
+    double formula on the same exact integers (tf, dl, df, N), so ranks
+    reproduce bit-for-bit at 6 dp."""
+    import ray
+
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (pl.from_arrow(batch.select(["doc_id", "text"]))
+                .select("doc_id", tok=pl.col("text").str.split(" "))
+                .explode("tok").filter(pl.col("tok") != ""))
+        per_doc = toks.group_by("doc_id").agg(dl=pl.len().cast(pl.Int64))
+        hits = (toks.filter(pl.col("tok").is_in(list(_BM25_TERMS)))
+                .unique().group_by("tok").agg(df=pl.len().cast(pl.Int64)))
+        # one wide partial row set: doc-length rows + term-df rows
+        a = per_doc.with_columns(tok=pl.lit(None, dtype=pl.String),
+                                 df=pl.lit(0, dtype=pl.Int64))
+        b = hits.with_columns(doc_id=pl.lit(None, dtype=pl.Int64),
+                              dl=pl.lit(0, dtype=pl.Int64))
+        return pl.concat([a.select("doc_id", "dl", "tok", "df"),
+                          b.select("doc_id", "dl", "tok", "df")]).to_arrow()
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    doc_rows = stats[stats["doc_id"].notna()]
+    n_docs = int(doc_rows["doc_id"].nunique())
+    total_dl = int(doc_rows["dl"].sum())
+    avgdl = float(total_dl) / float(n_docs)
+    df_map = stats[stats["tok"].notna()].groupby("tok")["df"].sum().to_dict()
+    idf = {t: np.log((n_docs - df_map.get(t, 0) + 0.5)
+                     / (df_map.get(t, 0) + 0.5) + 1.0)
+           for t in _BM25_TERMS}
+    ref = ray.put((idf, avgdl))
+
+    class Score:
+        def __init__(self, r):
+            self.idf, self.avgdl = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            toks = (pl.from_arrow(batch.select(["doc_id", "text"]))
+                    .select("doc_id", tok=pl.col("text").str.split(" "))
+                    .explode("tok").filter(pl.col("tok") != ""))
+            dl = toks.group_by("doc_id").agg(dl=pl.len().cast(pl.Int64))
+            tf = (toks.filter(pl.col("tok").is_in(list(_BM25_TERMS)))
+                  .group_by("doc_id", "tok").agg(tf=pl.len().cast(pl.Int64)))
+            if tf.height == 0:
+                return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                 "score": pa.array([], type=pa.float64())})
+            j = tf.join(dl, on="doc_id").to_pandas()
+            tfv = j["tf"].to_numpy(np.float64)
+            dlv = j["dl"].to_numpy(np.float64)
+            idfv = j["tok"].map(self.idf).to_numpy(np.float64)
+            term = idfv * tfv * (_BM25_K1 + 1.0) / (
+                tfv + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dlv / self.avgdl))
+            import pandas as _pd
+
+            s = _pd.DataFrame({"doc_id": j["doc_id"], "t": term}) \
+                .groupby("doc_id", sort=True)["t"].sum()
+            return pa.table({"doc_id": pa.array(s.index.to_numpy(np.int64)),
+                             "score": pa.array(s.to_numpy(np.float64))})
+
+    cand = ds.map_batches(Score, fn_constructor_args=(ref,),
+                          batch_format="pyarrow",
+                          concurrency=(1, 8)).to_pandas()
+    cand["score"] = round_col(cand["score"], 6)
+    cand = cand.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return pa.Table.from_pandas(cand[["doc_id", "score"]].reset_index(drop=True),
+                                preserve_index=False)
+
+
 def _table_checksum_sql() -> str:
     from .sketchq import _MURMUR_SQL
 
@@ -925,6 +1014,25 @@ def _table_checksum_sql() -> str:
 
 
 SQL = {
+    "bm25_search": (
+        "WITH toks AS (SELECT doc_id, tok FROM documents, "
+        "LATERAL UNNEST(string_split(text, ' ')) AS t(tok) WHERE tok <> ''), "
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1), "
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, "
+        "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl), "
+        "q(term) AS (VALUES ('table'), ('query'), ('spark')), "
+        "df AS (SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+        "FROM toks JOIN q ON tok = term GROUP BY 1), "
+        "tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf "
+        "FROM toks JOIN q ON tok = term GROUP BY 1, 2), "
+        "sc AS (SELECT tf.doc_id, SUM("
+        "ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+        "tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl))"
+        ") AS score FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats "
+        "GROUP BY 1) "
+        "SELECT doc_id, score FROM (SELECT doc_id, ROUND(score, 6) AS score FROM sc) "
+        "ORDER BY score DESC, doc_id LIMIT 20"
+    ),
     "char_entropy": (
         "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), "
         "cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k FROM ch GROUP BY 1, 2), "

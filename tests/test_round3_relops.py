@@ -102,3 +102,39 @@ def test_value_stats_moments_vs_numpy(ray_session, duck):
         v = g["v"].to_numpy(np.float64)
         assert abs(t.loc[et, "mean_value"] - v.mean()) < 1e-6
         assert abs(t.loc[et, "var_value"] - v.var()) < 1e-6
+
+
+def test_bpe_merges_vs_independent_reference(ray_session, duck):
+    """Full merge loop vs an independent regex-based Sennrich-style
+    reimplementation fitted on the same word counts from SQL."""
+    import re
+
+    from cqf_ray.pipelines.corpusops import bpe_train_merges
+
+    got = bpe_train_merges(SF_DIR, k=8).to_pandas()
+
+    wc = duck.sql(
+        "SELECT tok, COUNT(*) AS n FROM documents, "
+        "LATERAL UNNEST(string_split(text,' ')) AS t(tok) "
+        "WHERE tok <> '' GROUP BY 1").fetchall()
+    vocab = {" ".join(w): n for w, n in wc}  # space-joined symbol strings
+
+    def pair_stats(v):
+        c = {}
+        for word, n in v.items():
+            syms = word.split(" ")
+            for a, b in zip(syms[:-1], syms[1:]):
+                c[(a, b)] = c.get((a, b), 0) + n
+        return c
+
+    exp = []
+    for rank in range(1, 9):
+        c = pair_stats(vocab)
+        if not c:
+            break
+        (l, r), n = min(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        pat = re.compile(r"(?<!\S)" + re.escape(l + " " + r) + r"(?!\S)")
+        vocab = {pat.sub(l + r, w): n2 for w, n2 in vocab.items()}
+        exp.append((rank, l, r, l + r, n))
+
+    assert list(map(tuple, got.itertuples(index=False))) == exp
