@@ -55,6 +55,8 @@ def entry() -> Any:
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- newest round-3 operators (retrieval, tokenizer training) ---
     "bm25_search": _txt.bm25_search,
+    "length_quartile_by_source": _txt.length_quartile_by_source,
+    "token_budget_plan": _co.token_budget_plan,
     "bpe_first_merge": _co.bpe_first_merge,
     "bpe_train_merges": _co.bpe_train_merges,
     "event_sessions": _rel.event_sessions,

@@ -346,7 +346,61 @@ def bpe_first_merge(sf_dir: str) -> pa.Table:
                      "pair_count": pa.array([cnt], type=pa.int64())})
 
 
+_BUDGET_TOKENS = 100_000
+
+
+def token_budget_plan(sf_dir: str, *, budget: int = _BUDGET_TOKENS) -> pa.Table:
+    """Data-mixing plan: split a global token budget across sources
+    proportionally to their measured token mass, with Hamilton
+    largest-remainder rounding so the allocations are integers that sum
+    EXACTLY to the budget (ties broken by source name — fully
+    deterministic, integer-exact end to end). The corpus-sized work is
+    one distributed per-source token count; the plan itself is
+    sources-sized."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(batch.select(["source", "text"]))
+                .select("source", tok=pl.col("text").str.split(" "))
+                .explode("tok").filter(pl.col("tok") != "")
+                .group_by("source").agg(n_tokens=pl.len().cast(pl.Int64))
+                ).to_arrow()
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_tokens", "sum", "n_tokens")],
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    c = counts["n_tokens"].to_numpy(np.int64)
+    total = int(c.sum())
+    base = (budget * c) // total
+    rem = (budget * c) % total
+    short = budget - int(base.sum())
+    # top-`short` remainders get one extra token (tie: source asc)
+    order = np.lexsort((np.arange(len(c)), -rem))
+    extra = np.zeros(len(c), dtype=np.int64)
+    extra[order[:short]] = 1
+    counts["alloc"] = base + extra
+    return pa.Table.from_pandas(counts[["source", "n_tokens", "alloc"]],
+                                preserve_index=False)
+
+
 SQL = {
+    "token_budget_plan": (
+        "WITH c AS (SELECT source, COUNT(*) AS n_tokens FROM documents, "
+        "LATERAL UNNEST(string_split(text, ' ')) AS t(tok) WHERE tok <> '' GROUP BY 1), "
+        "b AS (SELECT source, n_tokens, "
+        "(100000 * n_tokens) // (SELECT SUM(n_tokens) FROM c) AS base, "
+        "(100000 * n_tokens) % (SELECT SUM(n_tokens) FROM c) AS rem FROM c), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk, "
+        "100000 - SUM(base) OVER () AS short FROM b) "
+        "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc "
+        "FROM r ORDER BY source"
+    ),
     "bpe_first_merge": (
         "WITH toks AS (SELECT tok, COUNT(*) AS n FROM documents, "
         "LATERAL UNNEST(string_split(text, ' ')) AS t(tok) WHERE tok <> '' GROUP BY 1), "

@@ -911,6 +911,50 @@ def source_quality_profile(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def length_quartile_by_source(sf_dir: str) -> pa.Table:
+    """Per-group exact NTILE: within each source, docs are bucketed into
+    4 equal-count quartiles by (n_chars, doc_id) — the per-group variant
+    of ``range_partition_stats``'s global partitioner, and the building
+    block of per-domain curriculum bucketing. One keyed shuffle on
+    source; the kernel replicates SQL NTILE's remainder rule exactly
+    (first n mod 4 buckets get the extra row), so the oracle matches
+    bit-for-bit. Output is groups × 4 rows."""
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(t)
+              .sort(["source", "n_chars", "doc_id"])
+              .with_columns(n=pl.len().over("source"),
+                            rk=pl.int_range(pl.len()).over("source")))
+        n = df["n"].to_numpy().astype(np.int64)
+        rk = df["rk"].to_numpy().astype(np.int64)
+        q, r = n // 4, n % 4
+        cut = r * (q + 1)
+        big = rk < cut
+        bucket = np.where(big, rk // np.maximum(q + 1, 1),
+                          r + (rk - cut) // np.maximum(q, 1)) + 1
+        out = df.with_columns(quartile=pl.Series(bucket.astype(np.int64)))
+        return (out.group_by(["source", "quartile"])
+                .agg(n_docs=pl.len().cast(pl.Int64),
+                     min_chars=pl.col("n_chars").min().cast(pl.Int64),
+                     max_chars=pl.col("n_chars").max().cast(pl.Int64))
+                ).to_arrow()
+
+    parts = keyed_partition_map(ds, ["source"], kernel)
+    out = grouped_aggregate(parts, ["source", "quartile"],
+                            [("n_docs", "sum", "n_docs"),
+                             ("min_chars", "min", "min_chars"),
+                             ("max_chars", "max", "max_chars")])
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(["source", "quartile"])
+        .reset_index(drop=True), preserve_index=False)
+
+
 _BM25_TERMS = ("table", "query", "spark")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -1014,6 +1058,15 @@ def _table_checksum_sql() -> str:
 
 
 SQL = {
+    "length_quartile_by_source": (
+        "WITH r AS (SELECT source, n_chars, "
+        "NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS q "
+        "FROM documents) "
+        "SELECT source, CAST(q AS BIGINT) AS quartile, COUNT(*) AS n_docs, "
+        "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+        "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+        "FROM r GROUP BY 1, 2 ORDER BY source, quartile"
+    ),
     "bm25_search": (
         "WITH toks AS (SELECT doc_id, tok FROM documents, "
         "LATERAL UNNEST(string_split(text, ' ')) AS t(tok) WHERE tok <> ''), "
