@@ -53,7 +53,9 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (retrieval, tokenizer training) ---
+    # --- newest round-3 operators (Q15/Q17, retrieval, tokenizers) ---
+    "q15_top_supplier": _rel.q15_top_supplier,
+    "q17_small_quantity_revenue": _rel.q17_small_quantity_revenue,
     "bm25_search": _txt.bm25_search,
     "length_quartile_by_source": _txt.length_quartile_by_source,
     "token_budget_plan": _co.token_budget_plan,

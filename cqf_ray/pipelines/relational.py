@@ -2006,6 +2006,124 @@ def brand_supplier_counts(sf_dir: str) -> pa.Table:
     return _finish(out, ["p_brand"])
 
 
+def q15_top_supplier(sf_dir: str, *, lo: str = "1996-01-01",
+                     hi: str = "1997-01-01") -> pa.Table:
+    """TPC-H Q15 shape — supplier(s) with the maximum windowed revenue
+    (all ties, like the reference query's correlated MAX). The revenue
+    partial runs below the exchange (date filter + micro-unit partial per
+    batch), per-supplier totals are one combiner-first group-by
+    (supplier-scale), and the MAX + tie filter touch only that tiny
+    aggregate; supplier names broadcast last. Integer-exact revenue, so
+    the tie set can't wobble on float order."""
+    lo_ts = pa.scalar(np.datetime64(lo, "us"))
+    hi_ts = pa.scalar(np.datetime64(hi, "us"))
+    li = read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def lrev(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        m = pc.and_(pc.greater_equal(batch.column("l_shipdate"), lo_ts),
+                    pc.less(batch.column("l_shipdate"), hi_ts))
+        batch = batch.filter(m)
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        df = pl.DataFrame({
+            "l_suppkey": np.asarray(batch.column("l_suppkey").combine_chunks(),
+                                    dtype=np.int64),
+            "rev_s": np.round(price * (1.0 - disc) * 1e6).astype(np.int64),
+        })
+        return df.group_by("l_suppkey").agg(pl.col("rev_s").sum()).to_arrow()
+
+    per_supp = grouped_aggregate(
+        li.map_batches(lrev, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey"], [("rev_s", "sum", "rev_s")],
+    ).to_pandas()
+    best = int(per_supp["rev_s"].max())
+    top = per_supp[per_supp["rev_s"] == best].copy()
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    top = top.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    top["total_revenue"] = round_scaled(top.pop("rev_s"))
+    top = top.sort_values("l_suppkey").reset_index(drop=True)
+    return pa.Table.from_pandas(top[["l_suppkey", "s_name", "total_revenue"]],
+                                preserve_index=False)
+
+
+def q17_small_quantity_revenue(sf_dir: str, *, brand: str = "Brand#13") -> pa.Table:
+    """TPC-H Q17 shape (no container column) — revenue from lines whose
+    quantity is below 20% of their part's average quantity. The
+    correlated AVG subquery becomes: per-part (n, Σqty) combiner-first
+    aggregate (part-scale) broadcast sorted, then one streaming pass with
+    the EXACT INTEGER compare qty·5·n < Σqty (no float average, so the
+    threshold can't flip on division), brand-filtered via the broadcast
+    part dim. Only (sum, count) partials reach the driver."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    bkeys = np.sort(np.asarray(
+        part.filter(pc.equal(part.column("p_brand"), brand))
+        .column("p_partkey").combine_chunks(), dtype=np.int64))
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        qty_c = np.round(np.asarray(batch.column("l_quantity"),
+                                    dtype=np.float64) * 100).astype(np.int64)
+        df = pl.DataFrame({
+            "l_partkey": np.asarray(batch.column("l_partkey").combine_chunks(),
+                                    dtype=np.int64),
+            "qty_c": qty_c,
+        })
+        return (df.group_by("l_partkey")
+                .agg(n=pl.len().cast(pl.Int64),
+                     sum_c=pl.col("qty_c").sum())).to_arrow()
+
+    stats = grouped_aggregate(
+        li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], [("n", "sum", "n"), ("sum_c", "sum", "sum_c")],
+    ).to_pandas().sort_values("l_partkey")
+    pk = stats["l_partkey"].to_numpy(np.int64)
+    nn = stats["n"].to_numpy(np.int64)
+    sc = stats["sum_c"].to_numpy(np.int64)
+    refs = (ray.put(bkeys), ray.put(pk), ray.put(nn), ray.put(sc))
+
+    class SmallQty:
+        def __init__(self, b, p, n, s):
+            self.b, self.p = ray.get(b), ray.get(p)
+            self.n, self.s = ray.get(n), ray.get(s)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = np.asarray(batch.column("l_partkey").combine_chunks(),
+                            dtype=np.int64)
+            in_brand = np.zeros(len(lp), dtype=bool)
+            if len(self.b):
+                i = np.minimum(np.searchsorted(self.b, lp), len(self.b) - 1)
+                in_brand = self.b[i] == lp
+            qty_c = np.round(np.asarray(batch.column("l_quantity"),
+                                        dtype=np.float64) * 100).astype(np.int64)
+            j = np.minimum(np.searchsorted(self.p, lp), len(self.p) - 1)
+            small = qty_c * 5 * self.n[j] < self.s[j]
+            keep = in_brand & small & (self.p[j] == lp)
+            price = np.asarray(batch.column("l_extendedprice"),
+                               dtype=np.float64)[keep]
+            rev_s = np.round(price * 1e6).astype(np.int64)
+            return pa.table({"rev_s": pa.array([int(rev_s.sum())]),
+                             "n_lines": pa.array([int(keep.sum())])})
+
+    parts = li.map_batches(SmallQty, fn_constructor_args=refs,
+                           batch_format="pyarrow",
+                           concurrency=(1, 8)).to_pandas()
+    total_s = int(parts["rev_s"].sum())
+    avg_yearly = round_col(np.array([float(total_s) / 1e6 / 7.0]), 2)[0]
+    return pa.table({"avg_yearly": pa.array([avg_yearly], type=pa.float64()),
+                     "n_lines": pa.array([int(parts["n_lines"].sum())])})
+
+
 def event_sessions(sf_dir: str, *, gap_minutes: int = 30) -> pa.Table:
     """Gap-timeout sessionization over the events stream — THE canonical
     keyed-window operator of clickstream/training-data pipelines: a new
@@ -2087,6 +2205,24 @@ def event_type_pagerank(sf_dir: str, *, iters: int = 5, d: float = 0.85) -> pa.T
 
 
 SQL = {
+    "q15_top_supplier": (
+        "WITH r AS (SELECT l_suppkey, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1) "
+        "SELECT l_suppkey, s_name, CAST(ROUND(rev, 2) AS DOUBLE) AS total_revenue "
+        "FROM r JOIN supplier ON s_suppkey = l_suppkey "
+        "WHERE rev = (SELECT MAX(rev) FROM r) ORDER BY l_suppkey"
+    ),
+    "q17_small_quantity_revenue": (
+        "WITH a AS (SELECT l_partkey, COUNT(*) AS n, "
+        "SUM(CAST(l_quantity * 100 AS BIGINT)) AS sum_c FROM lineitem GROUP BY 1) "
+        "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey JOIN a USING (l_partkey) "
+        "WHERE p_brand = 'Brand#13' "
+        "AND CAST(l_quantity * 100 AS BIGINT) * 5 * n < sum_c"
+    ),
     "event_sessions": (
         "WITH g AS (SELECT user_id, ts, event_id, "
         "CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL "
