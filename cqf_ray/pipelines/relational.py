@@ -2050,14 +2050,23 @@ def q15_top_supplier(sf_dir: str, *, lo: str = "1996-01-01",
                                 preserve_index=False)
 
 
-def q17_small_quantity_revenue(sf_dir: str, *, brand: str = "Brand#13") -> pa.Table:
+def q17_small_quantity_revenue(sf_dir: str, *, brand: str = "Brand#13",
+                               mode: str = "broadcast") -> pa.Table:
     """TPC-H Q17 shape (no container column) — revenue from lines whose
     quantity is below 20% of their part's average quantity. The
     correlated AVG subquery becomes: per-part (n, Σqty) combiner-first
     aggregate (part-scale) broadcast sorted, then one streaming pass with
     the EXACT INTEGER compare qty·5·n < Σqty (no float average, so the
     threshold can't flip on division), brand-filtered via the broadcast
-    part dim. Only (sum, count) partials reach the driver."""
+    part dim. Only (sum, count) partials reach the driver.
+
+    ``mode="partitioned"``: the scale fallback when the per-part stats
+    outgrow a broadcast (part is 2·10⁸ rows at SF 1000) — the brand dim
+    and the per-part stats each co-shuffle with lineitem on the part key
+    (two ``shuffle_join`` exchanges, zero broadcasts), pytest-forced
+    bit-equal to the broadcast path."""
+    if mode == "partitioned":
+        return _q17_partitioned(sf_dir, brand)
     import ray
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
@@ -2122,6 +2131,76 @@ def q17_small_quantity_revenue(sf_dir: str, *, brand: str = "Brand#13") -> pa.Ta
     avg_yearly = round_col(np.array([float(total_s) / 1e6 / 7.0]), 2)[0]
     return pa.table({"avg_yearly": pa.array([avg_yearly], type=pa.float64()),
                      "n_lines": pa.array([int(parts["n_lines"].sum())])})
+
+
+def _q17_partitioned(sf_dir: str, brand: str) -> pa.Table:
+    """Broadcast-free Q17: lineitem ⋈ brand-filtered part ⋈ per-part
+    stats, both joins co-partitioned shuffles on the part key."""
+    from ..stages.join import shuffle_join
+
+    part = read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def bfilt(batch: pa.Table) -> pa.Table:
+        return (batch.filter(pc.equal(batch.column("p_brand"), brand))
+                .select(["p_partkey"]))
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty_c = np.round(np.asarray(batch.column("l_quantity"),
+                                    dtype=np.float64) * 100).astype(np.int64)
+        price_s = np.round(np.asarray(batch.column("l_extendedprice"),
+                                      dtype=np.float64) * 1e6).astype(np.int64)
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "qty_c": pa.array(qty_c),
+            "price_s": pa.array(price_s),
+        })
+
+    stats = grouped_aggregate(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda b: b.select(["l_partkey", "qty_c"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_q17_stats_partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["l_partkey"], [("n", "sum", "n"), ("sum_c", "sum", "sum_c")],
+    ).map_batches(lambda b: b.rename_columns(["s_partkey", "n", "sum_c"]),
+                  batch_format="pyarrow", zero_copy_batch=True)
+
+    branded = shuffle_join(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        part.map_batches(bfilt, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_partkey", right_on="p_partkey",
+    )
+    joined = shuffle_join(branded, stats, left_on="l_partkey",
+                          right_on="s_partkey")
+
+    def small_sum(batch: pa.Table) -> pa.Table:
+        qty_c = np.asarray(batch.column("qty_c").combine_chunks(),
+                           dtype=np.int64)
+        n = np.asarray(batch.column("n").combine_chunks(), dtype=np.int64)
+        s = np.asarray(batch.column("sum_c").combine_chunks(), dtype=np.int64)
+        keep = qty_c * 5 * n < s
+        price = np.asarray(batch.column("price_s").combine_chunks(),
+                           dtype=np.int64)[keep]
+        return pa.table({"rev_s": pa.array([int(price.sum())]),
+                         "n_lines": pa.array([int(keep.sum())])})
+
+    parts = joined.map_batches(small_sum, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    total_s = int(parts["rev_s"].sum())
+    avg_yearly = round_col(np.array([float(total_s) / 1e6 / 7.0]), 2)[0]
+    return pa.table({"avg_yearly": pa.array([avg_yearly], type=pa.float64()),
+                     "n_lines": pa.array([int(parts["n_lines"].sum())])})
+
+
+def _q17_stats_partial(batch: pa.Table) -> pa.Table:
+    import polars as pl
+
+    return (pl.from_arrow(batch).group_by("l_partkey")
+            .agg(n=pl.len().cast(pl.Int64),
+                 sum_c=pl.col("qty_c").sum())).to_arrow()
 
 
 def event_sessions(sf_dir: str, *, gap_minutes: int = 30) -> pa.Table:

@@ -985,19 +985,23 @@ def bm25_search(sf_dir: str, *, k: int = 20) -> pa.Table:
         per_doc = toks.group_by("doc_id").agg(dl=pl.len().cast(pl.Int64))
         hits = (toks.filter(pl.col("tok").is_in(list(_BM25_TERMS)))
                 .unique().group_by("tok").agg(df=pl.len().cast(pl.Int64)))
-        # one wide partial row set: doc-length rows + term-df rows
-        a = per_doc.with_columns(tok=pl.lit(None, dtype=pl.String),
-                                 df=pl.lit(0, dtype=pl.Int64))
-        b = hits.with_columns(doc_id=pl.lit(None, dtype=pl.Int64),
-                              dl=pl.lit(0, dtype=pl.Int64))
-        return pl.concat([a.select("doc_id", "dl", "tok", "df"),
-                          b.select("doc_id", "dl", "tok", "df")]).to_arrow()
+        # partials are BLOCK-sized, never corpus-sized: one scalar
+        # (n_docs, Σdl) row per block (docs never straddle batches, so
+        # per-block df counts sum exactly) + ≤|terms| df rows
+        corpus = pl.DataFrame({
+            "tok": [None], "df": [0],
+            "n_docs": [per_doc.height], "dl_sum": [int(per_doc["dl"].sum())],
+        }).cast({"tok": pl.String, "df": pl.Int64, "n_docs": pl.Int64,
+                 "dl_sum": pl.Int64})
+        b = hits.with_columns(n_docs=pl.lit(0, dtype=pl.Int64),
+                              dl_sum=pl.lit(0, dtype=pl.Int64))
+        return pl.concat([corpus.select("tok", "df", "n_docs", "dl_sum"),
+                          b.select("tok", "df", "n_docs", "dl_sum")]).to_arrow()
 
     stats = ds.map_batches(stats_partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
-    doc_rows = stats[stats["doc_id"].notna()]
-    n_docs = int(doc_rows["doc_id"].nunique())
-    total_dl = int(doc_rows["dl"].sum())
+    n_docs = int(stats["n_docs"].sum())
+    total_dl = int(stats["dl_sum"].sum())
     avgdl = float(total_dl) / float(n_docs)
     df_map = stats[stats["tok"].notna()].groupby("tok")["df"].sum().to_dict()
     idf = {t: np.log((n_docs - df_map.get(t, 0) + 0.5)

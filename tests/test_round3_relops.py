@@ -138,3 +138,13 @@ def test_bpe_merges_vs_independent_reference(ray_session, duck):
         exp.append((rank, l, r, l + r, n))
 
     assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_q17_partitioned_matches_broadcast(ray_session):
+    """The broadcast-free co-shuffle Q17 path must be bit-equal to the
+    broadcast path."""
+    from cqf_ray.pipelines.relational import q17_small_quantity_revenue
+
+    a = q17_small_quantity_revenue(SF_DIR, mode="broadcast")
+    b = q17_small_quantity_revenue(SF_DIR, mode="partitioned")
+    assert a.equals(b)
