@@ -1498,7 +1498,10 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA") -> pa.Table:
     and takes the one all-to-all (``shuffle_join`` on the order key, with
     the revenue partial computed BELOW the exchange); the supplier→nation
     probe after the join is a broadcast searchsorted, and the
-    nation-equality filter drops rows before the final tiny group-by."""
+    nation-equality filter drops rows before the final tiny group-by.
+    Beyond broadcast scale the driver-side dim compose becomes two
+    ``shuffle_join``s (the ``q17_small_quantity_revenue`` partitioned
+    pattern) — the plan shape is otherwise unchanged."""
     import ray
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
@@ -1640,7 +1643,9 @@ def q10_returned_revenue(sf_dir: str, *, k: int = 20) -> pa.Table:
     exchange; per-customer totals come from one combiner-first group-by;
     the customer/nation dims broadcast onto the (already tiny) per-customer
     rows; top-k is per-block argpartition + a driver reduce over |blocks|×k
-    candidates — no global sort."""
+    candidates — no global sort. Beyond broadcast scale the dim
+    enrichment becomes one more co-shuffle on the customer key (the
+    ``q17_small_quantity_revenue`` partitioned pattern)."""
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
 

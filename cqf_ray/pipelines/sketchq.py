@@ -266,14 +266,26 @@ def join_size_estimate(sf_dir: str) -> pa.Table:
     b = build_sketch(orders, keys.int_column("o_custkey"), mk)
     est = a.inner_product(b)
 
-    ca = grouped_aggregate(ev, ["user_id"], [("n1", "count", None)]).to_pandas()
-    cb = grouped_aggregate(orders, ["o_custkey"],
-                           [("n2", "count", None)]).to_pandas()
-    # per-key count tables are |keys|-sized (dim scale); at web scale this
-    # merge is itself a keyed co-shuffle — here a vectorized sorted merge
-    m = ca.merge(cb, left_on="user_id", right_on="o_custkey", how="inner")
-    n_exact = int((m["n1"].to_numpy(np.int64) * m["n2"].to_numpy(np.int64)).sum())
-    bound = math.e / (1 << 16) * float(ca["n1"].sum()) * float(cb["n2"].sum())
+    from ..stages.join import shuffle_join
+
+    ca = grouped_aggregate(ev, ["user_id"], [("n1", "count", None)])
+    cb = grouped_aggregate(orders, ["o_custkey"], [("n2", "count", None)])
+    # exact join size stays distributed: the per-key count tables
+    # co-shuffle on the key and only Σ n1·n2 partials reach the driver
+    joined = shuffle_join(ca, cb, left_on="user_id", right_on="o_custkey")
+
+    def prod_partial(batch: pa.Table) -> pa.Table:
+        n1 = np.asarray(batch.column("n1").combine_chunks(), dtype=np.int64)
+        n2 = np.asarray(batch.column("n2").combine_chunks(), dtype=np.int64)
+        return pa.table({"p": pa.array([int((n1 * n2).sum())]),
+                         "t1": pa.array([int(n1.sum())]),
+                         "t2": pa.array([int(n2.sum())])})
+
+    parts = joined.map_batches(prod_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    n_exact = int(parts["p"].sum())
+    # ‖a‖₁/‖b‖₁ are the raw row counts (cheap streaming count())
+    bound = math.e / (1 << 16) * float(ev.count()) * float(orders.count())
     ok = (est >= n_exact) and (est <= n_exact + bound)
     return pa.table({"n_exact": pa.array([n_exact], type=pa.int64()),
                      "est_in_bounds": pa.array([bool(ok)])})
