@@ -54,6 +54,7 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- newest round-3 operators (Q15/Q17, retrieval, tokenizers) ---
+    "zorder_layout_stats": _rel.zorder_layout_stats,
     "q15_top_supplier": _rel.q15_top_supplier,
     "q17_small_quantity_revenue": _rel.q17_small_quantity_revenue,
     "bm25_search": _txt.bm25_search,

@@ -1186,6 +1186,77 @@ def range_partition_stats(sf_dir: str, *, k: int = 8) -> pa.Table:
     return _finish(out, ["part"])
 
 
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Interleave-ready bit spread of 16-bit values (Morton encoding):
+    abcd… → a0b0c0d0… (classic magic-mask doubling, vectorized int64)."""
+    x = x.astype(np.int64)
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def zorder_layout_stats(sf_dir: str, *, k: int = 8) -> pa.Table:
+    """Z-ORDER (Morton) data layout — the multi-dimensional locality
+    technique behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits
+    of (user_id, centi-value) into one sort key so ONE range partitioning
+    gives pruning power on BOTH columns. Pipeline: vectorized Morton
+    encode per batch, then the exact equal-count range partitioner
+    (``range_partition_stats``'s sort + boundary-row machinery), and
+    per-partition min/max of BOTH dimensions — the stats a reader's
+    pruning would use. Integer-exact key, so SQL NTILE over the same
+    bit-arithmetic key matches bit-for-bit."""
+    ev = read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def zkey(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        # value is centi-precise in this schema (integer cents), so
+        # round(value*100) is exact in both numpy and SQL — no rounding-mode
+        # hazard between np.round (half-even) and DuckDB ROUND (half-away).
+        v_c = np.round(
+            np.asarray(batch.column("value").combine_chunks(), dtype=np.float64)
+            * 100.0
+        ).astype(np.int64)
+        y = np.clip(v_c, 0, 65535)
+        z = _spread16(uid & 0xFFFF) | (_spread16(y) << 1)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": pa.array(uid),
+            "value": batch.column("value"),
+            "z": pa.array(z),
+        })
+
+    zds = ev.map_batches(zkey, batch_format="pyarrow", zero_copy_batch=True)
+    n = zds.count()
+    k = max(1, min(k, n))
+    base, rem = divmod(n, k)
+    bounds_idx = [j * base + min(j, rem) for j in range(1, k)]
+    parts = zds.sort(["z", "event_id"]).split_at_indices(bounds_idx)
+    heads = [p.take(1)[0] for p in parts[1:]]
+    bz = np.array([h["z"] for h in heads], dtype=np.int64)
+    be = np.array([h["event_id"] for h in heads], dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch.column("z").combine_chunks()).astype(np.int64)
+        eid = np.asarray(batch.column("event_id").combine_chunks()).astype(np.int64)
+        part = np.zeros(len(z), dtype=np.int64)
+        for j in range(k - 1):
+            part += (z > bz[j]) | ((z == bz[j]) & (eid >= be[j]))
+        return pa.table({"part": pa.array(part),
+                         "user_id": batch.column("user_id"),
+                         "value": batch.column("value")})
+
+    out = grouped_aggregate(
+        zds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["part"],
+        [("n", "count", None),
+         ("min_user", "min", "user_id"), ("max_user", "max", "user_id"),
+         ("min_v", "min", "value"), ("max_v", "max", "value")],
+    )
+    return _finish(out, ["part"])
+
+
 def orders_monthly_growth(sf_dir: str) -> pa.Table:
     """Month-over-month revenue growth — the time-series LAG surface:
     ONE combiner-first grouped aggregate to (month, micro-unit revenue)
@@ -2493,6 +2564,27 @@ SQL = {
     "range_partition_stats": (
         "WITH r AS (SELECT value, NTILE(8) OVER (ORDER BY value, event_id) AS p FROM events) "
         "SELECT CAST(p - 1 AS BIGINT) AS part, COUNT(*) AS n, "
+        "MIN(value) AS min_v, MAX(value) AS max_v "
+        "FROM r GROUP BY p ORDER BY part"
+    ),
+    "zorder_layout_stats": (
+        # Same Morton bit-spread as _spread16, unrolled in SQL bit arithmetic.
+        "WITH b AS (SELECT event_id, user_id, value, "
+        "(user_id & 65535) AS x0, "
+        "LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0), 65535) AS y0 "
+        "FROM events), "
+        "s1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1, "
+        "(y0 | (y0 << 8)) & 16711935 AS y1 FROM b), "
+        "s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2, "
+        "(y1 | (y1 << 4)) & 252645135 AS y2 FROM s1), "
+        "s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3, "
+        "(y2 | (y2 << 2)) & 858993459 AS y3 FROM s2), "
+        "s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4, "
+        "(y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3), "
+        "z AS (SELECT event_id, user_id, value, x4 | (y4 << 1) AS zk FROM s4), "
+        "r AS (SELECT user_id, value, NTILE(8) OVER (ORDER BY zk, event_id) AS p FROM z) "
+        "SELECT CAST(p - 1 AS BIGINT) AS part, COUNT(*) AS n, "
+        "MIN(user_id) AS min_user, MAX(user_id) AS max_user, "
         "MIN(value) AS min_v, MAX(value) AS max_v "
         "FROM r GROUP BY p ORDER BY part"
     ),
