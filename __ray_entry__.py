@@ -55,6 +55,9 @@ def entry() -> Any:
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- newest round-3 operators (Q15/Q17, retrieval, tokenizers) ---
     "zorder_layout_stats": _rel.zorder_layout_stats,
+    "q4_order_priority": _rel.q4_order_priority,
+    "q12_line_priority": _rel.q12_line_priority,
+    "q14_promo_effect": _rel.q14_promo_effect,
     "q15_top_supplier": _rel.q15_top_supplier,
     "q17_small_quantity_revenue": _rel.q17_small_quantity_revenue,
     "bm25_search": _txt.bm25_search,

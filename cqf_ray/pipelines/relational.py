@@ -2359,7 +2359,206 @@ def event_type_pagerank(sf_dir: str, *, iters: int = 5, d: float = 0.85) -> pa.T
     })
 
 
+def q4_order_priority(sf_dir: str, *, lo: str = "1996-01-01",
+                      hi: str = "1997-01-01") -> pa.Table:
+    """TPC-H Q4 shape (no commitdate column → the EXISTS predicate is
+    "has at least one returned line"): order counts per priority over a
+    date-range window, semi-joined to lineitem. Plan: the EXISTS becomes
+    a distributed DISTINCT of returned order keys (per-batch polars
+    unique, then one combiner-first group-by — multiplicity collapses
+    below the exchange), and orders ⋈ that key set is the one big-big
+    ``shuffle_join`` (distinct keys ⇒ join multiplicity exactly 1, so the
+    joined row count IS the semi-join count). Final per-priority count is
+    5 rows."""
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def rkeys(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        return (pl.from_arrow(batch.select(["l_orderkey"]))
+                .unique().to_arrow())
+
+    returned = grouped_aggregate(
+        li.map_batches(rkeys, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("n_dup", "count", None)],
+    )
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lo_us, hi_us = np.datetime64(lo, "us"), np.datetime64(hi, "us")
+
+    def ofilt(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo_us)),
+                    pc.less(batch.column("o_orderdate"), pa.scalar(hi_us)))
+        return batch.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    from ..stages.join import shuffle_join
+
+    joined = shuffle_join(
+        orders.map_batches(ofilt, batch_format="pyarrow", zero_copy_batch=True),
+        returned, left_on="o_orderkey", right_on="l_orderkey",
+    )
+    out = grouped_aggregate(joined, ["o_orderpriority"],
+                            [("n_orders", "count", None)])
+    return _finish(out, ["o_orderpriority"])
+
+
+def q12_line_priority(sf_dir: str, *, lo: str = "1996-01-01",
+                      hi: str = "1997-01-01") -> pa.Table:
+    """TPC-H Q12 shape (no shipmode column → grouped by l_linestatus):
+    per line-status counts of lines belonging to high- vs low-priority
+    orders in a shipdate window. Plan: lineitem collapses to per
+    (orderkey, linestatus) counts BELOW the exchange (combiner-first), the
+    one big-big ``shuffle_join`` brings in o_orderpriority, and the final
+    group-by is 2 rows with conditional integer sums."""
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linestatus", "l_shipdate"])
+    lo_us, hi_us = np.datetime64(lo, "us"), np.datetime64(hi, "us")
+
+    def lpartial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        m = pc.and_(pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo_us)),
+                    pc.less(batch.column("l_shipdate"), pa.scalar(hi_us)))
+        batch = batch.filter(m)
+        return (pl.from_arrow(batch.select(["l_orderkey", "l_linestatus"]))
+                .group_by(["l_orderkey", "l_linestatus"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    per_order = grouped_aggregate(
+        li.map_batches(lpartial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "l_linestatus"], [("n", "sum", "n")],
+    )
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    from ..stages.join import shuffle_join
+
+    joined = shuffle_join(per_order, orders,
+                          left_on="l_orderkey", right_on="o_orderkey")
+
+    def split_priority(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        pri = np.asarray(batch.column("o_orderpriority").combine_chunks(),
+                         dtype=object)
+        n = np.asarray(batch.column("n").combine_chunks(), dtype=np.int64)
+        high = np.isin(pri, ("1-URGENT", "2-HIGH"))
+        df = pl.DataFrame({
+            "l_linestatus": np.asarray(
+                batch.column("l_linestatus").combine_chunks(), dtype=object),
+            "high_lines": np.where(high, n, 0),
+            "low_lines": np.where(high, 0, n),
+        })
+        return (df.group_by("l_linestatus")
+                .agg(pl.col("high_lines").sum(), pl.col("low_lines").sum())
+                .to_arrow())
+
+    out = grouped_aggregate(
+        joined.map_batches(split_priority, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["l_linestatus"],
+        [("high_lines", "sum", "high_lines"), ("low_lines", "sum", "low_lines")],
+    )
+    return _finish(out, ["l_linestatus"])
+
+
+def q14_promo_effect(sf_dir: str, *, lo: str = "1996-01-01",
+                     hi: str = "1996-02-01") -> pa.Table:
+    """TPC-H Q14 shape — the share of one month's revenue coming from
+    PROMO-type parts, in exact basis points. Plan: the part dim reduces to
+    ONE sorted promo-key array broadcast via ``ray.put`` (key set only);
+    lineitem streams once, each batch emitting two micro-unit int64
+    partial sums; the ratio is integer floor-division at the very end
+    (the ``orders_monthly_growth`` bit-exact bps pattern) so no float
+    division can flip the rounded result."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo = np.sort(np.asarray(
+        part.filter(pc.equal(part.column("p_type"), "PROMO"))
+        .column("p_partkey").combine_chunks(), dtype=np.int64))
+    promo_ref = ray.put(promo)
+
+    lo_us, hi_us = np.datetime64(lo, "us"), np.datetime64(hi, "us")
+
+    class PromoPartial:
+        def __init__(self, pref):
+            self.promo = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo_us)),
+                pc.less(batch.column("l_shipdate"), pa.scalar(hi_us)))
+            batch = batch.filter(m)
+            lp = np.asarray(batch.column("l_partkey").combine_chunks(),
+                            dtype=np.int64)
+            price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+            disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+            rev_s = np.round(price * (1.0 - disc) * 1e6).astype(np.int64)
+            is_promo = np.zeros(len(lp), dtype=bool)
+            if len(self.promo):
+                i = np.minimum(np.searchsorted(self.promo, lp),
+                               len(self.promo) - 1)
+                is_promo = self.promo[i] == lp
+            return pa.table({
+                "promo_s": pa.array([int(rev_s[is_promo].sum())]),
+                "total_s": pa.array([int(rev_s.sum())]),
+            })
+
+    totals = (
+        read(sf_dir, "lineitem",
+             ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(PromoPartial, fn_constructor_args=(promo_ref,),
+                     batch_format="pyarrow", concurrency=(1, 8))
+        .sum(["promo_s", "total_s"])
+    )
+    promo_s = int(totals["sum(promo_s)"])
+    total_s = int(totals["sum(total_s)"])
+    bps = promo_s * 10000 // total_s if total_s else 0
+    return pa.table({
+        "promo_revenue": pa.array([round_scaled([promo_s])[0]]),
+        "total_revenue": pa.array([round_scaled([total_s])[0]]),
+        "promo_bps": pa.array([float(bps)]),
+    })
+
+
 SQL = {
+    "q4_order_priority": (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "q12_line_priority": (
+        "SELECT l_linestatus, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_lines, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_lines "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "q14_promo_effect": (
+        "WITH s AS (SELECT "
+        "SUM(CASE WHEN p_type = 'PROMO' THEN "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
+        "ELSE 0 END) AS promo, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-02-01') "
+        "SELECT CAST(ROUND(promo, 2) AS DOUBLE) AS promo_revenue, "
+        "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue, "
+        "CAST(CAST(promo * 1000000 AS HUGEINT) * 10000 "
+        "// CAST(total * 1000000 AS HUGEINT) AS DOUBLE) AS promo_bps FROM s"
+    ),
     "q15_top_supplier": (
         "WITH r AS (SELECT l_suppkey, "
         "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev "
