@@ -56,6 +56,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- newest round-3 operators (Q15/Q17, retrieval, tokenizers) ---
     "zorder_layout_stats": _rel.zorder_layout_stats,
     "q4_order_priority": _rel.q4_order_priority,
+    "q7_volume_shipping": _rel.q7_volume_shipping,
+    "q8_market_share": _rel.q8_market_share,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,
     "q15_top_supplier": _rel.q15_top_supplier,

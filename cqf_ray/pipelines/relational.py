@@ -2359,6 +2359,205 @@ def event_type_pagerank(sf_dir: str, *, iters: int = 5, d: float = 0.85) -> pa.T
     })
 
 
+def q7_volume_shipping(sf_dir: str, *, nation_a: str = "NATION_3",
+                       nation_b: str = "NATION_12",
+                       lo: str = "1995-01-01", hi: str = "2002-01-01") -> pa.Table:
+    """TPC-H Q7 shape — shipping volume between two nations by ship-year,
+    keyed (supplier-nation, customer-nation). Plan: customer ⋈ nation
+    composes driver-side into ONE broadcast lookup restricted to the two
+    nations (so the orders side prunes to ~2/25 of rows before the
+    exchange); the supplier→nation probe is a broadcast searchsorted run
+    BELOW the exchange alongside the date filter and the revenue partial;
+    the one big-big ``shuffle_join`` on the order key then only carries
+    pre-filtered, pre-projected rows. Beyond broadcast scale the dim
+    compose becomes a second ``shuffle_join`` (the
+    ``q17_small_quantity_revenue`` partitioned pattern)."""
+    import ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    pair = nation.filter(pc.is_in(nation.column("n_name"),
+                                  value_set=pa.array([nation_a, nation_b])))
+    dim = (cust.join(pair, keys="c_nationkey", right_keys="n_nationkey",
+                     join_type="inner")
+           .select(["c_custkey", "n_name"])
+           .rename_columns(["c_custkey", "cust_nation"]))
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_side = broadcast_join(orders, dim, keys="o_custkey",
+                            right_keys="c_custkey")
+
+    def oprune(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderkey", "cust_nation"])
+
+    skeys, _, snames = _supplier_nation_lookup(sf_dir)
+    sk_ref, sn_ref = ray.put(skeys), ray.put(snames)
+    lo_us, hi_us = np.datetime64(lo, "us"), np.datetime64(hi, "us")
+    wanted = {nation_a, nation_b}
+
+    class SuppNation:
+        def __init__(self, sk, sn):
+            self.sk, self.sn = ray.get(sk), ray.get(sn)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo_us)),
+                pc.less(batch.column("l_shipdate"), pa.scalar(hi_us)))
+            batch = batch.filter(m)
+            sup = np.asarray(batch.column("l_suppkey").combine_chunks(),
+                             dtype=np.int64)
+            idx = np.minimum(np.searchsorted(self.sk, sup), len(self.sk) - 1)
+            sn = self.sn[idx]
+            keep = np.isin(sn, list(wanted)) & (self.sk[idx] == sup)
+            batch = batch.filter(pa.array(keep))
+            price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+            disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+            return pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "supp_nation": pa.array(sn[keep], type=pa.string()),
+                "l_year": pc.cast(pc.year(batch.column("l_shipdate")), pa.int64()),
+                "rev_s": pa.array(np.round(price * (1.0 - disc) * 1e6)
+                                  .astype(np.int64)),
+            })
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"])
+
+    from ..stages.join import shuffle_join
+
+    joined = shuffle_join(
+        li.map_batches(SuppNation, fn_constructor_args=(sk_ref, sn_ref),
+                       batch_format="pyarrow", concurrency=(1, 8)),
+        o_side.map_batches(oprune, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch.column("supp_nation"),
+                                  batch.column("cust_nation")))
+        return batch.filter(keep).select(
+            ["supp_nation", "cust_nation", "l_year", "rev_s"])
+
+    out = grouped_aggregate(
+        joined.map_batches(cross_only, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["supp_nation", "cust_nation", "l_year"],
+        [("rev_s", "sum", "rev_s")],
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table({"supp_nation": pa.array([], type=pa.string()),
+                         "cust_nation": pa.array([], type=pa.string()),
+                         "l_year": pa.array([], type=pa.int64()),
+                         "revenue": pa.array([], type=pa.float64())})
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    return _finish(df[["supp_nation", "cust_nation", "l_year", "revenue"]],
+                   ["supp_nation", "cust_nation", "l_year"])
+
+
+def q8_market_share(sf_dir: str, *, nation: str = "NATION_2",
+                    region: str = "ASIA", ptype: str = "ECONOMY") -> pa.Table:
+    """TPC-H Q8 shape — one nation's share of a region's yearly revenue on
+    one part type, in exact basis points. Plan: the part predicate is a
+    broadcast key-set semi; customer ⋈ nation ⋈ region composes
+    driver-side into one broadcast onto orders (carrying the order YEAR,
+    not the date); the supplier-nation membership flag is a broadcast
+    searchsorted below the exchange; after the one big-big
+    ``shuffle_join`` the per-year numerator/denominator are two micro-unit
+    int64 sums, and the share is integer floor-division (the
+    ``orders_monthly_growth`` bps pattern — no float divide)."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    pkeys = np.sort(np.asarray(
+        part.filter(pc.equal(part.column("p_type"), ptype))
+        .column("p_partkey").combine_chunks(), dtype=np.int64))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    reg = reg.filter(pc.equal(reg.column("r_name"), region))
+    dim = (cust.join(nat, keys="c_nationkey", right_keys="n_nationkey",
+                     join_type="inner")
+           .join(reg, keys="n_regionkey", right_keys="r_regionkey",
+                 join_type="inner")
+           .select(["c_custkey"]))
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    o_side = broadcast_join(orders, dim, keys="o_custkey",
+                            right_keys="c_custkey", join_type="left semi")
+
+    def oyear(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+        })
+
+    skeys, _, snames = _supplier_nation_lookup(sf_dir)
+    in_nation = np.zeros(len(skeys), dtype=bool)
+    in_nation[np.asarray(snames, dtype=object) == nation] = True
+    refs = (ray.put(pkeys), ray.put(skeys), ray.put(in_nation))
+
+    class RevParts:
+        def __init__(self, pk, sk, flag):
+            self.pk, self.sk = ray.get(pk), ray.get(sk)
+            self.flag = ray.get(flag)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = np.asarray(batch.column("l_partkey").combine_chunks(),
+                            dtype=np.int64)
+            keep = np.zeros(len(lp), dtype=bool)
+            if len(self.pk):
+                i = np.minimum(np.searchsorted(self.pk, lp), len(self.pk) - 1)
+                keep = self.pk[i] == lp
+            batch = batch.filter(pa.array(keep))
+            sup = np.asarray(batch.column("l_suppkey").combine_chunks(),
+                             dtype=np.int64)
+            j = np.minimum(np.searchsorted(self.sk, sup), len(self.sk) - 1)
+            price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+            disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+            rev = np.round(price * (1.0 - disc) * 1e6).astype(np.int64)
+            return pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "nat_s": pa.array(np.where(self.flag[j] & (self.sk[j] == sup),
+                                           rev, 0)),
+                "rev_s": pa.array(rev),
+            })
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"])
+
+    from ..stages.join import shuffle_join
+
+    joined = shuffle_join(
+        li.map_batches(RevParts, fn_constructor_args=refs,
+                       batch_format="pyarrow", concurrency=(1, 8)),
+        o_side.map_batches(oyear, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    out = grouped_aggregate(joined, ["o_year"],
+                            [("nat_s", "sum", "nat_s"),
+                             ("rev_s", "sum", "rev_s")])
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table({"o_year": pa.array([], type=pa.int64()),
+                         "share_bps": pa.array([], type=pa.float64()),
+                         "total_revenue": pa.array([], type=pa.float64())})
+    nat_s = df["nat_s"].to_numpy(np.int64)
+    tot_s = df["rev_s"].to_numpy(np.int64)
+    df["share_bps"] = (nat_s * 10000 // np.maximum(tot_s, 1)).astype(np.float64)
+    df["total_revenue"] = round_scaled(tot_s)
+    return _finish(df[["o_year", "share_bps", "total_revenue"]], ["o_year"])
+
+
 def q4_order_priority(sf_dir: str, *, lo: str = "1996-01-01",
                       hi: str = "1997-01-01") -> pa.Table:
     """TPC-H Q4 shape (no commitdate column → the EXISTS predicate is
@@ -2526,6 +2725,40 @@ def q14_promo_effect(sf_dir: str, *, lo: str = "1996-01-01",
 
 
 SQL = {
+    "q7_volume_shipping": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_12') "
+        "OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_3')) "
+        "AND l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '2002-01-01' "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    "q8_market_share": (
+        "WITH a AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "SUM(CASE WHEN n1.n_name = 'NATION_2' THEN "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) ELSE 0 END) AS nat, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "JOIN region ON n2.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' GROUP BY 1) "
+        "SELECT o_year, "
+        "CAST(CAST(nat * 1000000 AS HUGEINT) * 10000 "
+        "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
+        "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
+        "FROM a ORDER BY o_year"
+    ),
     "q4_order_priority": (
         "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders "
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
