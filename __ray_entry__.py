@@ -58,6 +58,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "q4_order_priority": _rel.q4_order_priority,
     "q7_volume_shipping": _rel.q7_volume_shipping,
     "q8_market_share": _rel.q8_market_share,
+    "q19_disjunctive_revenue": _rel.q19_disjunctive_revenue,
+    "q21_waiting_supplier": _rel.q21_waiting_supplier,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,
     "q15_top_supplier": _rel.q15_top_supplier,

@@ -2558,6 +2558,109 @@ def q8_market_share(sf_dir: str, *, nation: str = "NATION_2",
     return _finish(df[["o_year", "share_bps", "total_revenue"]], ["o_year"])
 
 
+def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape (no shipinstruct/container → brand × size × quantity
+    bands): revenue over a DISJUNCTION of three multi-column predicates.
+    Plan: the lineitem ⋈ part edge never materializes — part collapses to
+    three aligned broadcast arrays (sorted key, brand code, size) probed
+    by searchsorted per batch, and the whole disjunction evaluates as
+    vectorized boolean algebra below a 2-number partial sum. One streaming
+    pass, zero shuffles."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    order = pc.sort_indices(part.column("p_partkey"))
+    part = part.take(order)
+    pk = np.asarray(part.column("p_partkey").combine_chunks(), dtype=np.int64)
+    brand = np.asarray(part.column("p_brand").combine_chunks(), dtype=object)
+    size = np.asarray(part.column("p_size").combine_chunks(), dtype=np.int64)
+    refs = (ray.put(pk), ray.put(brand), ray.put(size))
+
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) — all bounds inclusive.
+    bands = (("Brand#12", 1, 15, 1, 11),
+             ("Brand#13", 10, 30, 10, 20),
+             ("Brand#14", 20, 50, 20, 30))
+
+    class Disjunct:
+        def __init__(self, pkr, brr, szr):
+            self.pk, self.brand = ray.get(pkr), ray.get(brr)
+            self.size = ray.get(szr)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = np.asarray(batch.column("l_partkey").combine_chunks(),
+                            dtype=np.int64)
+            qty = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+            i = np.minimum(np.searchsorted(self.pk, lp), len(self.pk) - 1)
+            hit = self.pk[i] == lp
+            b, sz = self.brand[i], self.size[i]
+            keep = np.zeros(len(lp), dtype=bool)
+            for br, s_lo, s_hi, q_lo, q_hi in bands:
+                keep |= ((b == br) & (sz >= s_lo) & (sz <= s_hi)
+                         & (qty >= q_lo) & (qty <= q_hi))
+            keep &= hit
+            price = np.asarray(batch.column("l_extendedprice"),
+                               dtype=np.float64)[keep]
+            disc = np.asarray(batch.column("l_discount"),
+                              dtype=np.float64)[keep]
+            rev_s = np.round(price * (1.0 - disc) * 1e6).astype(np.int64)
+            return pa.table({"rev_s": pa.array([int(rev_s.sum())]),
+                             "n_lines": pa.array([int(keep.sum())])})
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    totals = li.map_batches(Disjunct, fn_constructor_args=refs,
+                            batch_format="pyarrow",
+                            concurrency=(1, 8)).sum(["rev_s", "n_lines"])
+    return pa.table({
+        "revenue": pa.array([round_scaled([int(totals["sum(rev_s)"])])[0]]),
+        "n_lines": pa.array([int(totals["sum(n_lines)"])]),
+    })
+
+
+def q21_waiting_supplier(sf_dir: str, *, k: int = 25) -> pa.Table:
+    """TPC-H Q21 shape (no commit/receipt dates → "late" becomes "sole
+    latest shipper"): suppliers who, on orders touched by MORE than one
+    supplier, were the ONLY supplier shipping on the order's last ship
+    date. Plan: all per-order logic (distinct-supplier count, max date,
+    sole-at-max test) runs inside ONE ``keyed_partition_map`` on the
+    order key — every order's lines co-locate by construction, so the
+    partition-local polars kernel is exact; only qualifying
+    (order, supplier) rows leave, the per-supplier count is
+    combiner-first, and the supplier-name probe broadcasts."""
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    from ..stages.keyed import keyed_partition_map
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        g = df.group_by("l_orderkey").agg(
+            ns=pl.col("l_suppkey").n_unique(),
+            m=pl.col("l_shipdate").max())
+        j = (df.join(g, on="l_orderkey")
+             .filter((pl.col("ns") > 1) & (pl.col("l_shipdate") == pl.col("m"))))
+        w = j.select(["l_orderkey", "l_suppkey"]).unique()
+        q = (w.group_by("l_orderkey").agg(nk=pl.len())
+             .filter(pl.col("nk") == 1).select(["l_orderkey"]))
+        return w.join(q, on="l_orderkey").select(["l_suppkey"]).to_arrow()
+
+    waits = keyed_partition_map(li, ["l_orderkey"], kernel)
+    per_supp = grouped_aggregate(waits, ["l_suppkey"],
+                                 [("numwait", "count", None)])
+    df = per_supp.to_pandas()
+    if df.empty:
+        return pa.table({"s_name": pa.array([], type=pa.string()),
+                         "numwait": pa.array([], type=pa.int64())})
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    df = df.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    df = (df.sort_values(["numwait", "s_name"],
+                         ascending=[False, True]).head(k))
+    return _finish(df[["s_name", "numwait"]], ["s_name"])
+
+
 def q4_order_priority(sf_dir: str, *, lo: str = "1996-01-01",
                       hi: str = "1997-01-01") -> pa.Table:
     """TPC-H Q4 shape (no commitdate column → the EXISTS predicate is
@@ -2758,6 +2861,26 @@ SQL = {
         "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
         "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
         "FROM a ORDER BY o_year"
+    ),
+    "q19_disjunctive_revenue": (
+        "SELECT CAST(ROUND(COALESCE(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#14' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    "q21_waiting_supplier": (
+        "WITH o AS (SELECT l_orderkey, MAX(l_shipdate) AS m, "
+        "COUNT(DISTINCT l_suppkey) AS ns FROM lineitem GROUP BY 1), "
+        "w AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l "
+        "JOIN o ON l.l_orderkey = o.l_orderkey "
+        "WHERE o.ns > 1 AND l.l_shipdate = o.m), "
+        "q AS (SELECT l_orderkey FROM w GROUP BY 1 HAVING COUNT(*) = 1) "
+        "SELECT s_name, COUNT(*) AS numwait "
+        "FROM w JOIN q USING (l_orderkey) "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25"
     ),
     "q4_order_priority": (
         "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders "
