@@ -60,6 +60,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "q8_market_share": _rel.q8_market_share,
     "q19_disjunctive_revenue": _rel.q19_disjunctive_revenue,
     "q21_waiting_supplier": _rel.q21_waiting_supplier,
+    "grouped_regression": _rel.grouped_regression,
+    "user_set_ops": _rel.user_set_ops,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,
     "q15_top_supplier": _rel.q15_top_supplier,

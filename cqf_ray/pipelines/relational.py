@@ -2661,6 +2661,105 @@ def q21_waiting_supplier(sf_dir: str, *, k: int = 25) -> pa.Table:
     return _finish(df[["s_name", "numwait"]], ["s_name"])
 
 
+def grouped_regression(sf_dir: str) -> pa.Table:
+    """Per-group least-squares line (value vs hour-of-day per event_type)
+    from EXACT integer moment sums — the distributed-regression surface.
+    Plan: each batch contributes five int64 partials per group
+    (n, Σx, Σy, Σx², Σxy with y in centi-units), merged combiner-first;
+    slope/intercept are computed from the merged integers in ONE fixed
+    float expression order, mirrored verbatim in the SQL oracle so the
+    doubles are bit-identical. Headroom note: Σxy ≤ n·23·32753, so int64
+    holds past 10¹² rows per group."""
+    ev = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        x = np.asarray(pc.hour(batch.column("ts")).combine_chunks(),
+                       dtype=np.int64)
+        y = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                dtype=np.float64) * 100.0).astype(np.int64)
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "n": np.ones(len(x), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+        })
+        return (df.group_by("event_type")
+                .agg(pl.col("n").sum(), pl.col("sx").sum(), pl.col("sy").sum(),
+                     pl.col("sxx").sum(), pl.col("sxy").sum()).to_arrow())
+
+    sums = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("n", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+         ("sxx", "sum", "sxx"), ("sxy", "sum", "sxy")],
+    ).to_pandas()
+    n = sums["n"].to_numpy(np.int64)
+    sx = sums["sx"].to_numpy(np.int64)
+    sy = sums["sy"].to_numpy(np.int64)
+    num = (n * sums["sxy"].to_numpy(np.int64) - sx * sy).astype(np.float64)
+    den = (n * sums["sxx"].to_numpy(np.int64) - sx * sx).astype(np.float64)
+    slope = num / den / 100.0
+    intercept = (sy.astype(np.float64) - (num / den) * sx.astype(np.float64)) \
+        / (100.0 * n.astype(np.float64))
+    out = pd.DataFrame({
+        "event_type": sums["event_type"],
+        "n": n,
+        "slope": round_col(slope, 6),
+        "intercept": round_col(intercept, 6),
+    })
+    return _finish(out, ["event_type"])
+
+
+def user_set_ops(sf_dir: str, *, type_a: str = "purchase",
+                 type_b: str = "view") -> pa.Table:
+    """Distributed set algebra on user sets (INTERSECT / EXCEPT counts):
+    which users did A, B, both, or neither. Plan: per-batch boolean flag
+    partials per user (max is associative), one combiner-first group-by on
+    user_id, then the four counts come from a second per-batch partial sum
+    over the (already unique) user rows — no distinct set ever leaves the
+    workers."""
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        et = np.asarray(batch.column("event_type").combine_chunks(),
+                        dtype=object)
+        df = pl.DataFrame({
+            "user_id": np.asarray(batch.column("user_id").combine_chunks(),
+                                  dtype=np.int64),
+            "a": (et == type_a).astype(np.int64),
+            "b": (et == type_b).astype(np.int64),
+        })
+        return (df.group_by("user_id")
+                .agg(pl.col("a").max(), pl.col("b").max()).to_arrow())
+
+    per_user = grouped_aggregate(
+        ev.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("a", "max", "a"), ("b", "max", "b")],
+    )
+
+    def combo_counts(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a").combine_chunks(), dtype=np.int64)
+        b = np.asarray(batch.column("b").combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "n_both": pa.array([int((a & b).sum())]),
+            "n_a_only": pa.array([int((a & (1 - b)).sum())]),
+            "n_b_only": pa.array([int(((1 - a) & b).sum())]),
+            "n_neither": pa.array([int(((1 - a) & (1 - b)).sum())]),
+            "n_users": pa.array([len(a)]),
+        })
+
+    t = per_user.map_batches(combo_counts, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .sum(["n_both", "n_a_only", "n_b_only", "n_neither", "n_users"])
+    return pa.table({k: pa.array([int(t[f"sum({k})"])])
+                     for k in ("n_both", "n_a_only", "n_b_only",
+                               "n_neither", "n_users")})
+
+
 def q4_order_priority(sf_dir: str, *, lo: str = "1996-01-01",
                       hi: str = "1997-01-01") -> pa.Table:
     """TPC-H Q4 shape (no commitdate column → the EXISTS predicate is
@@ -2861,6 +2960,30 @@ SQL = {
         "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
         "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
         "FROM a ORDER BY o_year"
+    ),
+    "grouped_regression": (
+        "WITH m AS (SELECT event_type, COUNT(*) AS n, "
+        "SUM(CAST(hour(ts) AS BIGINT)) AS sx, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sy, "
+        "SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS sxx, "
+        "SUM(CAST(hour(ts) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS sxy "
+        "FROM events GROUP BY 1) "
+        "SELECT event_type, n, "
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope, "
+        "ROUND((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "/ (100.0 * CAST(n AS DOUBLE)), 6) AS intercept "
+        "FROM m ORDER BY event_type"
+    ),
+    "user_set_ops": (
+        "WITH f AS (SELECT user_id, "
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a, "
+        "MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b "
+        "FROM events GROUP BY 1) "
+        "SELECT CAST(SUM(a * b) AS BIGINT) AS n_both, "
+        "CAST(SUM(a * (1 - b)) AS BIGINT) AS n_a_only, "
+        "CAST(SUM((1 - a) * b) AS BIGINT) AS n_b_only, "
+        "CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n_neither, "
+        "COUNT(*) AS n_users FROM f"
     ),
     "q19_disjunctive_revenue": (
         "SELECT CAST(ROUND(COALESCE(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 0), 2) AS DOUBLE) AS revenue, "
