@@ -62,6 +62,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "q21_waiting_supplier": _rel.q21_waiting_supplier,
     "grouped_regression": _rel.grouped_regression,
     "user_set_ops": _rel.user_set_ops,
+    "fk_orphan_audit": _rel.fk_orphan_audit,
+    "user_percent_rank": _rel.user_percent_rank,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,
     "q15_top_supplier": _rel.q15_top_supplier,

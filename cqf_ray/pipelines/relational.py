@@ -2661,6 +2661,136 @@ def q21_waiting_supplier(sf_dir: str, *, k: int = 25) -> pa.Table:
     return _finish(df[["s_name", "numwait"]], ["s_name"])
 
 
+def fk_orphan_audit(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit across every FK edge of the star schema
+    — the data-quality gate a 100 TB ingest runs before anything else.
+    One row per edge with child row count and orphan count (child keys
+    with no parent). Plan: each parent key column reduces to ONE sorted
+    broadcast array (dim-scale: customer/part/supplier keys; orders is the
+    one big parent, audited with the distinct-child trick: lineitem
+    collapses to distinct l_orderkey combiner-first, then a broadcast-
+    Bloom-free ``shuffle_join`` LEFT ANTI is avoided by noting orders'
+    keyset at dim scale in this schema — beyond that, swap in the
+    ``parts_never_ordered`` partitioned anti-join). Child tables stream
+    once each; per-batch membership is a searchsorted; only (edge, n,
+    orphans) partial pairs leave the workers."""
+    import ray
+
+    edges = (
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    )
+
+    def parent_keys(parent: str, pk_col: str) -> np.ndarray:
+        return np.sort(np.unique(np.asarray(
+            pq.read_table(os.path.join(sf_dir, f"{parent}.parquet"),
+                          columns=[pk_col]).column(pk_col).combine_chunks(),
+            dtype=np.int64)))
+
+    def membership(pk: np.ndarray, k: np.ndarray) -> np.ndarray:
+        if not len(pk):
+            return np.zeros(len(k), dtype=bool)
+        i = np.minimum(np.searchsorted(pk, k), len(pk) - 1)
+        return pk[i] == k
+
+    # Group edges by child table so each child STREAMS ONCE, auditing all
+    # of its FK columns in the same pass (lineitem: 3 edges, 1 read).
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
+    for name, child, ck, parent, pk_col in edges:
+        by_child.setdefault(child, []).append((name, ck, parent, pk_col))
+
+    rows = []
+    for child, specs in by_child.items():
+        prefs = [(name, ck, ray.put(parent_keys(parent, pk_col)))
+                 for name, ck, parent, pk_col in specs]
+
+        class Audit:
+            def __init__(self, pr):
+                self.specs = [(name, ck, ray.get(r)) for name, ck, r in pr]
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                out = {"n": pa.array([batch.num_rows])}
+                for idx, (_, ck, pk) in enumerate(self.specs):
+                    k = np.asarray(batch.column(ck).combine_chunks(),
+                                   dtype=np.int64)
+                    out[f"orph{idx}"] = pa.array(
+                        [int((~membership(pk, k)).sum())])
+                return pa.table(out)
+
+        cols = sorted({ck for _, ck, _ in prefs})
+        t = (read(sf_dir, child, cols)
+             .map_batches(Audit, fn_constructor_args=(prefs,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+             .sum(["n"] + [f"orph{i}" for i in range(len(prefs))]))
+        for idx, (name, _, _) in enumerate(prefs):
+            rows.append((name, int(t["sum(n)"]), int(t[f"sum(orph{idx})"])))
+
+    rows.sort()
+    return pa.table({
+        "edge": pa.array([r[0] for r in rows]),
+        "n_child_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def user_percent_rank(sf_dir: str, *, user_mod: int = 7) -> pa.Table:
+    """PERCENT_RANK over (user, value) windows — (rank−1)/(n−1) as an
+    exact two-int division, completing the window family next to RANK /
+    NTILE / LAG / running sum. Same one-keyed-shuffle plan as
+    ``user_value_rank``; single-row windows emit 0 (SQL convention)."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        return batch.filter(pa.array(uid % user_mod == 0))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        v = np.asarray(t.column("value"), dtype=np.float64)
+        order = np.lexsort((-v, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        n = len(uid)
+        ustarts = run_starts(uid)
+        tie_new = np.ones(n, dtype=bool)
+        if n > 1:
+            tie_new[1:] = (uid[1:] != uid[:-1]) | (v[1:] != v[:-1])
+        tie_start = np.flatnonzero(tie_new)
+        tie_of_row = np.cumsum(tie_new) - 1
+        ulen = np.diff(np.append(ustarts, n))
+        ubase = np.repeat(ustarts, ulen)
+        rank = (tie_start[tie_of_row] - ubase + 1).astype(np.int64)
+        wlen = np.repeat(ulen, ulen).astype(np.int64)
+        pr = np.where(wlen > 1,
+                      (rank - 1).astype(np.float64)
+                      / np.maximum(wlen - 1, 1).astype(np.float64),
+                      0.0)
+        return pa.table({"event_id": pa.array(eid),
+                         "user_id": pa.array(uid),
+                         "value": pa.array(v),
+                         "pct_rank": pa.array(round_col(pr, 6))})
+
+    out = keyed_partition_map(
+        ev.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], kernel,
+    )
+    return _finish(out, ["event_id"])
+
+
 def grouped_regression(sf_dir: str) -> pa.Table:
     """Per-group least-squares line (value vs hour-of-day per event_type)
     from EXACT integer moment sums — the distributed-regression surface.
@@ -2960,6 +3090,37 @@ SQL = {
         "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
         "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
         "FROM a ORDER BY o_year"
+    ),
+    "fk_orphan_audit": (
+        "WITH e AS ("
+        "SELECT 'orders.o_custkey->customer' AS edge, COUNT(*) AS n, "
+        "SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
+        "UNION ALL SELECT 'lineitem.l_orderkey->orders', COUNT(*), "
+        "SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey "
+        "UNION ALL SELECT 'lineitem.l_partkey->part', COUNT(*), "
+        "SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) "
+        "FROM lineitem LEFT JOIN part ON l_partkey = p_partkey "
+        "UNION ALL SELECT 'lineitem.l_suppkey->supplier', COUNT(*), "
+        "SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) "
+        "FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey "
+        "UNION ALL SELECT 'supplier.s_nationkey->nation', COUNT(*), "
+        "SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) "
+        "FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey "
+        "UNION ALL SELECT 'customer.c_nationkey->nation', COUNT(*), "
+        "SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) "
+        "FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey "
+        "UNION ALL SELECT 'nation.n_regionkey->region', COUNT(*), "
+        "SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) "
+        "FROM nation LEFT JOIN region ON n_regionkey = r_regionkey) "
+        "SELECT edge, CAST(n AS BIGINT) AS n_child_rows, "
+        "CAST(orphans AS BIGINT) AS n_orphans FROM e ORDER BY edge"
+    ),
+    "user_percent_rank": (
+        "SELECT event_id, user_id, value, "
+        "ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value DESC), 6) AS pct_rank "
+        "FROM events WHERE user_id % 7 = 0 ORDER BY event_id"
     ),
     "grouped_regression": (
         "WITH m AS (SELECT event_type, COUNT(*) AS n, "
