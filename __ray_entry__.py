@@ -64,6 +64,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "user_set_ops": _rel.user_set_ops,
     "fk_orphan_audit": _rel.fk_orphan_audit,
     "user_percent_rank": _rel.user_percent_rank,
+    "stratified_sample_langs": _txt.stratified_sample_langs,
+    "q16_supplier_variety": _rel.q16_supplier_variety,
+    "q2_min_price_supplier": _rel.q2_min_price_supplier,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,
     "q15_top_supplier": _rel.q15_top_supplier,

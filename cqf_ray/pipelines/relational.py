@@ -2661,6 +2661,152 @@ def q21_waiting_supplier(sf_dir: str, *, k: int = 25) -> pa.Table:
     return _finish(df[["s_name", "numwait"]], ["s_name"])
 
 
+def q16_supplier_variety(sf_dir: str, *, exclude_brand: str = "Brand#13") -> pa.Table:
+    """TPC-H Q16 shape (no partsupp → the part↔supplier edge is lineitem):
+    distinct supplier count per part type, excluding one brand. Plan: the
+    part dim collapses to broadcast (sorted key → type-code, brand-mask)
+    arrays; each batch emits its local DISTINCT (type, suppkey) pairs
+    (multiplicity dies below the exchange); one combiner-first group-by on
+    the pair key; the per-type count is a second tiny group-by."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_type"])
+    order = pc.sort_indices(part.column("p_partkey"))
+    part = part.take(order)
+    pk = np.asarray(part.column("p_partkey").combine_chunks(), dtype=np.int64)
+    types = np.asarray(part.column("p_type").combine_chunks(), dtype=object)
+    ok_brand = np.asarray(part.column("p_brand").combine_chunks(),
+                          dtype=object) != exclude_brand
+    refs = (ray.put(pk), ray.put(types), ray.put(ok_brand))
+
+    class PairDistinct:
+        def __init__(self, pkr, tyr, okr):
+            self.pk, self.ty = ray.get(pkr), ray.get(tyr)
+            self.ok = ray.get(okr)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            lp = np.asarray(batch.column("l_partkey").combine_chunks(),
+                            dtype=np.int64)
+            i = np.minimum(np.searchsorted(self.pk, lp), len(self.pk) - 1)
+            keep = (self.pk[i] == lp) & self.ok[i]
+            df = pl.DataFrame({
+                "p_type": pa.array(self.ty[i][keep], type=pa.string()),
+                "l_suppkey": np.asarray(
+                    batch.column("l_suppkey").combine_chunks(),
+                    dtype=np.int64)[keep],
+            })
+            return df.unique().to_arrow()
+
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    pairs = grouped_aggregate(
+        li.map_batches(PairDistinct, fn_constructor_args=refs,
+                       batch_format="pyarrow", concurrency=(1, 8)),
+        ["p_type", "l_suppkey"], [("n_dup", "count", None)],
+    )
+    out = grouped_aggregate(pairs, ["p_type"],
+                            [("n_suppliers", "count", None)])
+    return _finish(out, ["p_type"])
+
+
+def q2_min_price_supplier(sf_dir: str, *, ptype: str = "LARGE",
+                          region: str = "EUROPE") -> pa.Table:
+    """TPC-H Q2 shape (no partsupp → "supply cost" is the line's observed
+    price): per part of one type, the REGION-local supplier offering the
+    minimum price, deterministic tie-break on supplier key — the grouped
+    ARGMIN operator. Plan: both predicates are broadcast key probes; the
+    per-part argmin runs as a per-batch candidate reduction (sort +
+    first-of-run, associative) below ONE keyed exchange on the part key,
+    where the identical kernel reduces candidates to the global winner;
+    supplier payload broadcasts onto the part-scale result."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    pkeys = np.sort(np.asarray(
+        part.filter(pc.equal(part.column("p_type"), ptype))
+        .column("p_partkey").combine_chunks(), dtype=np.int64))
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey", "s_name",
+                                 "s_acctbal"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    reg = reg.filter(pc.equal(reg.column("r_name"), region))
+    sdim = (sup.join(nat, keys="s_nationkey", right_keys="n_nationkey",
+                     join_type="inner")
+            .join(reg, keys="n_regionkey", right_keys="r_regionkey",
+                  join_type="inner"))
+    skeys = np.sort(np.asarray(sdim.column("s_suppkey").combine_chunks(),
+                               dtype=np.int64))
+    refs = (ray.put(pkeys), ray.put(skeys))
+
+    def argmin_kernel(t: pa.Table) -> pa.Table:
+        lp = np.asarray(t.column("l_partkey").combine_chunks(), dtype=np.int64)
+        sk = np.asarray(t.column("l_suppkey").combine_chunks(), dtype=np.int64)
+        price_c = np.asarray(t.column("price_c").combine_chunks(),
+                             dtype=np.int64)
+        order = np.lexsort((sk, price_c, lp))
+        lp, sk, price_c = lp[order], sk[order], price_c[order]
+        first = np.ones(len(lp), dtype=bool)
+        if len(lp) > 1:
+            first[1:] = lp[1:] != lp[:-1]
+        return pa.table({"l_partkey": pa.array(lp[first]),
+                         "l_suppkey": pa.array(sk[first]),
+                         "price_c": pa.array(price_c[first])})
+
+    class Candidates:
+        def __init__(self, pr, sr):
+            self.pk, self.sk = ray.get(pr), ray.get(sr)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = np.asarray(batch.column("l_partkey").combine_chunks(),
+                            dtype=np.int64)
+            sk = np.asarray(batch.column("l_suppkey").combine_chunks(),
+                            dtype=np.int64)
+            keep = np.zeros(len(lp), dtype=bool)
+            if len(self.pk) and len(self.sk):
+                i = np.minimum(np.searchsorted(self.pk, lp), len(self.pk) - 1)
+                j = np.minimum(np.searchsorted(self.sk, sk), len(self.sk) - 1)
+                keep = (self.pk[i] == lp) & (self.sk[j] == sk)
+            batch = batch.filter(pa.array(keep))
+            price_c = np.round(np.asarray(batch.column("l_extendedprice"),
+                                          dtype=np.float64) * 100).astype(np.int64)
+            t = pa.table({"l_partkey": batch.column("l_partkey"),
+                          "l_suppkey": batch.column("l_suppkey"),
+                          "price_c": pa.array(price_c)})
+            return argmin_kernel(t)
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    from ..stages.keyed import keyed_partition_map
+
+    winners = keyed_partition_map(
+        li.map_batches(Candidates, fn_constructor_args=refs,
+                       batch_format="pyarrow", concurrency=(1, 8)),
+        ["l_partkey"], argmin_kernel,
+    )
+    df = winners.to_pandas()
+    if df.empty:
+        return pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                         "min_price": pa.array([], type=pa.float64()),
+                         "s_suppkey": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string()),
+                         "s_acctbal": pa.array([], type=pa.float64())})
+    sup_df = sup.select(["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
+    df = df.merge(sup_df, left_on="l_suppkey", right_on="s_suppkey")
+    df["p_partkey"] = df.pop("l_partkey")
+    df["min_price"] = df.pop("price_c").to_numpy(np.int64) / 100.0
+    df["s_acctbal"] = round_col(df["s_acctbal"], 2)
+    return _finish(df[["p_partkey", "min_price", "s_suppkey", "s_name",
+                       "s_acctbal"]], ["p_partkey"])
+
+
 def fk_orphan_audit(sf_dir: str) -> pa.Table:
     """Referential-integrity audit across every FK edge of the star schema
     — the data-quality gate a 100 TB ingest runs before anything else.
@@ -3090,6 +3236,27 @@ SQL = {
         "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
         "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
         "FROM a ORDER BY o_year"
+    ),
+    "q16_supplier_variety": (
+        "SELECT p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#13' GROUP BY 1 ORDER BY 1"
+    ),
+    "q2_min_price_supplier": (
+        "WITH cand AS (SELECT l_partkey, l_suppkey, l_extendedprice, "
+        "ROW_NUMBER() OVER (PARTITION BY l_partkey "
+        "ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT), l_suppkey) AS rn "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE p_type = 'LARGE' AND r_name = 'EUROPE') "
+        "SELECT CAST(c.l_partkey AS BIGINT) AS p_partkey, "
+        "CAST(CAST(ROUND(c.l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 100.0 AS min_price, "
+        "CAST(c.l_suppkey AS BIGINT) AS s_suppkey, s.s_name, "
+        "ROUND(s.s_acctbal, 2) AS s_acctbal "
+        "FROM cand c JOIN supplier s ON c.l_suppkey = s.s_suppkey "
+        "WHERE c.rn = 1 ORDER BY p_partkey"
     ),
     "fk_orphan_audit": (
         "WITH e AS ("

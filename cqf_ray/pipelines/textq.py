@@ -311,6 +311,50 @@ def dataset_split(sf_dir: str, *, val_permille: int = 10, test_permille: int = 1
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def stratified_sample_langs(sf_dir: str, *, seed: int = 29) -> pa.Table:
+    """Stratified deterministic sampling with PER-STRATUM rates — the
+    language-rebalancing step of a multilingual corpus mix (downsample the
+    dominant language, keep low-resource ones): doc survives iff
+    murmur64(doc_id) % 1000 < rate_permille[lang]. Coordination-free and
+    partition-invariant like ``dataset_split`` (same hash, different
+    seed), so the sample is reproducible across runs and shard layouts —
+    no global sort, no sampling state, one vectorized hash per batch.
+    Returns the surviving (doc_id, lang) rows."""
+    from ..hashing import murmur64a_u64
+
+    rates = {"en": 100, "de": 500, "es": 500, "fr": 500, "zh": 500}
+    default = 250
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        lang = np.asarray(batch.column("lang").combine_chunks(), dtype=object)
+        bucket = murmur64a_u64(did.view(np.uint64), seed=seed) % np.uint64(1000)
+        lim = np.full(len(did), default, dtype=np.uint64)
+        for lg, r in rates.items():
+            lim[lang == lg] = r
+        return batch.filter(pa.array(bucket < lim))
+
+    df = ds.map_batches(keep, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _stratified_sample_sql() -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id, lang FROM documents), "
+        + _MURMUR_SQL.format(seed=29)
+        + " SELECT doc_id, lang FROM mmf WHERE priority % 1000 < "
+        "(CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 500 WHEN 'es' THEN 500 "
+        "WHEN 'fr' THEN 500 WHEN 'zh' THEN 500 ELSE 250 END) "
+        "ORDER BY doc_id"
+    )
+
+
 def repetition_stats(sf_dir: str, *, n: int = 5, seed: int = 61) -> pa.Table:
     """Within-document repetition signal (the Gopher-style quality rule
     "drop docs whose n-grams repeat excessively"): per doc, the total and
@@ -1175,6 +1219,7 @@ SQL = {
         "FROM documents ORDER BY doc_id"
     ),
     "dataset_split": _dataset_split_sql(),
+    "stratified_sample_langs": _stratified_sample_sql(),
     "epoch_shuffle": _epoch_shuffle_sql(),
     "repetition_stats": (
         "SELECT doc_id, CAST(length(text) - 4 AS BIGINT) AS n_total, "
