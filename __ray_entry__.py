@@ -67,6 +67,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "stratified_sample_langs": _txt.stratified_sample_langs,
     "q16_supplier_variety": _rel.q16_supplier_variety,
     "q2_min_price_supplier": _rel.q2_min_price_supplier,
+    "q11_important_parts": _rel.q11_important_parts,
+    "q20_dominant_suppliers": _rel.q20_dominant_suppliers,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,
     "q15_top_supplier": _rel.q15_top_supplier,

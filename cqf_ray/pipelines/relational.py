@@ -2661,6 +2661,111 @@ def q21_waiting_supplier(sf_dir: str, *, k: int = 25) -> pa.Table:
     return _finish(df[["s_name", "numwait"]], ["s_name"])
 
 
+def q11_important_parts(sf_dir: str, *, share_denom: int = 1500) -> pa.Table:
+    """TPC-H Q11 shape (no partsupp → importance is revenue share): parts
+    whose revenue exceeds 1/``share_denom`` of TOTAL revenue — a grouped
+    aggregate gated by a GLOBAL-threshold HAVING. Plan: per-part revenue
+    is one combiner-first group-by (micro-unit int64); the global total is
+    the SUM of those per-part rows (a streaming aggregate, no second scan
+    of lineitem); the threshold filter runs distributed with the total as
+    a broadcast scalar — the exact integer compare rev·denom > total can't
+    flip on float division. Only qualifying part-scale rows reach the
+    driver."""
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def lrev(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        df = pl.DataFrame({
+            "l_partkey": np.asarray(batch.column("l_partkey").combine_chunks(),
+                                    dtype=np.int64),
+            "rev_s": np.round(price * (1.0 - disc) * 1e6).astype(np.int64),
+        })
+        return df.group_by("l_partkey").agg(pl.col("rev_s").sum()).to_arrow()
+
+    per_part = grouped_aggregate(
+        li.map_batches(lrev, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], [("rev_s", "sum", "rev_s")],
+    ).materialize()
+    total_s = int(per_part.sum("rev_s"))
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        rev = np.asarray(batch.column("rev_s").combine_chunks(),
+                         dtype=np.int64)
+        return batch.filter(pa.array(rev * share_denom > total_s))
+
+    df = per_part.map_batches(threshold, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    if df.empty:
+        return pa.table({"l_partkey": pa.array([], type=pa.int64()),
+                         "revenue": pa.array([], type=pa.float64())})
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    return _finish(df[["l_partkey", "revenue"]], ["l_partkey"])
+
+
+def q20_dominant_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H Q20 shape (no partsupp → "excess availability" becomes
+    market dominance): suppliers shipping MORE than a fifth of some part's
+    total quantity — a nested aggregate joined back on its own group key.
+    Plan: ONE combiner-first group-by to (part, supplier, Σqty_c); the
+    per-part total re-aggregates FROM those rows (supplier-level fan-in,
+    no second lineitem scan) inside the same keyed partition — both
+    levels share the part-key co-location, so the 5·qty_ps > qty_p
+    compare is partition-local and integer-exact. Distinct qualifying
+    suppliers then collapse combiner-first; the name probe broadcasts."""
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def qpartial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        qty_c = np.round(np.asarray(batch.column("l_quantity"),
+                                    dtype=np.float64) * 100).astype(np.int64)
+        df = pl.DataFrame({
+            "l_partkey": np.asarray(batch.column("l_partkey").combine_chunks(),
+                                    dtype=np.int64),
+            "l_suppkey": np.asarray(batch.column("l_suppkey").combine_chunks(),
+                                    dtype=np.int64),
+            "qty_c": qty_c,
+        })
+        return (df.group_by(["l_partkey", "l_suppkey"])
+                .agg(pl.col("qty_c").sum()).to_arrow())
+
+    pairs = li.map_batches(qpartial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    from ..stages.keyed import keyed_partition_map
+
+    def dominant(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(t).group_by(["l_partkey", "l_suppkey"])
+              .agg(pl.col("qty_c").sum()))
+        tot = df.group_by("l_partkey").agg(tot_c=pl.col("qty_c").sum())
+        j = df.join(tot, on="l_partkey") \
+              .filter(5 * pl.col("qty_c") > pl.col("tot_c"))
+        # one row per qualifying (part, supplier) — already unique after
+        # the pair-level group_by — so the downstream per-supplier count
+        # is "number of parts dominated".
+        return j.select(["l_partkey", "l_suppkey"]).to_arrow()
+
+    # partition on the PART key: both aggregate levels are closed per part
+    supp = keyed_partition_map(pairs, ["l_partkey"], dominant)
+    distinct = grouped_aggregate(supp, ["l_suppkey"],
+                                 [("n_parts", "count", None)])
+    df = distinct.to_pandas()
+    if df.empty:
+        return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string()),
+                         "n_parts": pa.array([], type=pa.int64())})
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    df = df.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    return _finish(df[["s_suppkey", "s_name", "n_parts"]], ["s_suppkey"])
+
+
 def q16_supplier_variety(sf_dir: str, *, exclude_brand: str = "Brand#13") -> pa.Table:
     """TPC-H Q16 shape (no partsupp → the part↔supplier edge is lineitem):
     distinct supplier count per part type, excluding one brand. Plan: the
@@ -3236,6 +3341,30 @@ SQL = {
         "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
         "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
         "FROM a ORDER BY o_year"
+    ),
+    "q11_important_parts": (
+        "WITH pr AS (SELECT l_partkey, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS HUGEINT)) AS rev_s "
+        "FROM lineitem GROUP BY 1), "
+        "t AS (SELECT SUM(rev_s) AS total_s FROM pr) "
+        "SELECT l_partkey, "
+        "CAST((rev_s + 5000) // 10000 AS DOUBLE) / 100.0 AS revenue "
+        "FROM pr, t WHERE rev_s * 1500 > total_s ORDER BY l_partkey"
+    ),
+    "q20_dominant_suppliers": (
+        "WITH ps AS (SELECT l_partkey, l_suppkey, "
+        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c "
+        "FROM lineitem GROUP BY 1, 2), "
+        "pt AS (SELECT l_partkey, SUM(qty_c) AS tot_c FROM ps GROUP BY 1), "
+        "d AS (SELECT DISTINCT l_suppkey FROM ps JOIN pt USING (l_partkey) "
+        "WHERE 5 * qty_c > tot_c), "
+        "c AS (SELECT l_suppkey, COUNT(*) AS n_parts FROM "
+        "(SELECT l_suppkey, l_partkey FROM ps JOIN pt USING (l_partkey) "
+        "WHERE 5 * qty_c > tot_c) GROUP BY 1) "
+        "SELECT CAST(c.l_suppkey AS BIGINT) AS s_suppkey, s.s_name, "
+        "CAST(c.n_parts AS BIGINT) AS n_parts "
+        "FROM c JOIN supplier s ON c.l_suppkey = s.s_suppkey "
+        "ORDER BY s_suppkey"
     ),
     "q16_supplier_variety": (
         "SELECT p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers "
