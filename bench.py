@@ -53,6 +53,9 @@ QUERY_SET = [
     "streaming_hourly_windows",  # watermark streaming windows + checkpoint (r3)
     "q10_returned_revenue",  # filtered big-big join + distributed top-k (r3)
     "q9_promo_profit",  # broadcast semi + combiner-first 2-key rollup (r3)
+    "q7_volume_shipping",  # two broadcast dim probes below one big-big join (r3s5)
+    "q21_waiting_supplier",  # per-order logic in one keyed_partition_map (r3s5)
+    "zorder_layout_stats",  # Morton key + global sort + equal-count split (r3s5)
 ]
 
 
