@@ -69,6 +69,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "q2_min_price_supplier": _rel.q2_min_price_supplier,
     "q11_important_parts": _rel.q11_important_parts,
     "q20_dominant_suppliers": _rel.q20_dominant_suppliers,
+    "sft_pair_extraction": _tr.sft_pair_extraction,
+    "sft_corpus_build": _tr.sft_corpus_build,
+    "turn_alternation_stats": _tr.turn_alternation_stats,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,
     "q15_top_supplier": _rel.q15_top_supplier,

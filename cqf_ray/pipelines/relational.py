@@ -1560,7 +1560,111 @@ def _supplier_nation_lookup(sf_dir: str):
             df["n_name"].to_numpy(object))
 
 
-def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA") -> pa.Table:
+def _q5_partitioned(sf_dir: str, region: str) -> pa.Table:
+    """Broadcast-free Q5 (the scale fallback promised by
+    ``q5_local_supplier_volume``): customer is NOT composed driver-side —
+    it streams, enriched per batch from the constant-size nation⋈region
+    map, and co-shuffles with orders on the customer key; the enriched
+    orders side then co-shuffles with the lineitem revenue partials on
+    the order key (two ``shuffle_join`` exchanges, zero O(|customer|)
+    driver state). Pytest-forced bit-equal to the broadcast path."""
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    reg = reg.filter(pc.equal(reg.column("r_name"), region))
+    nat = (nation.join(reg, keys="n_regionkey", right_keys="r_regionkey",
+                       join_type="inner")
+           .sort_by("n_nationkey"))
+    nk = np.asarray(nat.column("n_nationkey").combine_chunks(), dtype=np.int64)
+    nname = np.asarray(nat.column("n_name").combine_chunks(), dtype=object)
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cdim(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("c_custkey").combine_chunks(),
+                        dtype=np.int64)
+        cn = np.asarray(batch.column("c_nationkey").combine_chunks(),
+                        dtype=np.int64)
+        keep = np.zeros(len(cn), dtype=bool)
+        idx = np.zeros(len(cn), dtype=np.int64)
+        if len(nk):
+            idx = np.minimum(np.searchsorted(nk, cn), len(nk) - 1)
+            keep = nk[idx] == cn
+        return pa.table({
+            "c_custkey": pa.array(ck[keep]),
+            "c_nationkey": pa.array(cn[keep]),
+            "n_name": pa.array(nname[idx][keep], type=pa.string()),
+        })
+
+    from ..stages.join import shuffle_join
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_side = shuffle_join(
+        orders,
+        cust.map_batches(cdim, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="o_custkey", right_on="c_custkey",
+    )
+
+    def oprune(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderkey", "c_nationkey", "n_name"])
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def lrev(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "rev_s": pa.array(np.round(price * (1.0 - disc) * 1e6).astype(np.int64)),
+        })
+
+    joined = shuffle_join(
+        li.map_batches(lrev, batch_format="pyarrow", zero_copy_batch=True),
+        o_side.map_batches(oprune, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+
+    skeys, snat, _ = _supplier_nation_lookup(sf_dir)
+    sk_ref, sn_ref = ray.put(skeys), ray.put(snat)
+
+    class NationMatch:
+        def __init__(self, sk, sn):
+            self.sk, self.sn = ray.get(sk), ray.get(sn)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            sup = np.asarray(batch.column("l_suppkey").combine_chunks(),
+                             dtype=np.int64)
+            idx = np.minimum(np.searchsorted(self.sk, sup), len(self.sk) - 1)
+            ok = (self.sk[idx] == sup) & (
+                self.sn[idx]
+                == np.asarray(batch.column("c_nationkey").combine_chunks(),
+                              dtype=np.int64))
+            kept = batch.filter(pa.array(ok)).select(["n_name", "rev_s"])
+            return (pl.from_arrow(kept).group_by("n_name")
+                    .agg(pl.col("rev_s").sum()).to_arrow())
+
+    out = grouped_aggregate(
+        joined.map_batches(NationMatch, fn_constructor_args=(sk_ref, sn_ref),
+                           batch_format="pyarrow", concurrency=(1, 8)),
+        ["n_name"], [("rev_s", "sum", "rev_s")],
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table({"n_name": pa.array([], type=pa.string()),
+                         "revenue": pa.array([], type=pa.float64())})
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    return _finish(df[["n_name", "revenue"]], ["n_name"])
+
+
+def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
+                             mode: str = "broadcast") -> pa.Table:
     """TPC-H Q5 shape — revenue by nation where the ordering customer and
     the line's supplier share a nation, within one region. Plan: the three
     dims (customer ⋈ nation ⋈ region) compose driver-side into ONE
@@ -1570,9 +1674,13 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA") -> pa.Table:
     the revenue partial computed BELOW the exchange); the supplier→nation
     probe after the join is a broadcast searchsorted, and the
     nation-equality filter drops rows before the final tiny group-by.
-    Beyond broadcast scale the driver-side dim compose becomes two
-    ``shuffle_join``s (the ``q17_small_quantity_revenue`` partitioned
-    pattern) — the plan shape is otherwise unchanged."""
+
+    ``mode="partitioned"``: the scale fallback when customer outgrows a
+    broadcast (1.5·10⁸ rows at SF 1000) — ``_q5_partitioned`` streams
+    customer through a constant-size nation map and takes two
+    ``shuffle_join`` exchanges instead (pytest-forced bit-equal)."""
+    if mode == "partitioned":
+        return _q5_partitioned(sf_dir, region)
     import ray
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),

@@ -313,7 +313,180 @@ def conv_reconstruct(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _ordered_conv_arrays(t: pa.Table):
+    """Shared per-partition prologue: lexsort events by (conv, ts, event_id)
+    and return (conv int key, turn_idx, role, text) aligned arrays."""
+    from ..sources.transcripts import _role_of_types
+    from ..stages.keyed import run_ids
+
+    uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+    ts = np.asarray(t.column("ts").combine_chunks()).astype("datetime64[us]").astype(np.int64)
+    eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+    order = np.lexsort((eid, ts, uid))
+    u = uid[order]
+    rid, starts, _ = run_ids(u)
+    turn_idx = (np.arange(len(u), dtype=np.int64) - starts[rid]).astype(np.int32)
+    t = t.take(pa.array(order))
+    roles = np.asarray(_role_of_types(t.column("event_type")), dtype=object)
+    texts = np.asarray(t.column("props").combine_chunks(), dtype=object)
+    return u, rid, starts, turn_idx, roles, texts
+
+
+def sft_pair_extraction(sf_dir: str) -> pa.Table:
+    """(user → assistant) adjacent-turn training-pair extraction — THE
+    SFT-corpus construction step: every 'user' turn whose immediate next
+    turn in the same conversation is an 'assistant' turn becomes one
+    (prompt, response) example. Plan: turn ordering, role derivation and
+    adjacency all happen inside ONE keyed partition shuffle on the
+    conversation key (conversations are partition-closed, so the shifted-
+    array adjacency compare is exact); output is pair-scale only."""
+    import os
+
+    import ray
+
+    from ..stages.keyed import keyed_partition_map
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u, _, _, turn_idx, roles, texts = _ordered_conv_arrays(t)
+        n = len(u)
+        m = np.zeros(n, dtype=bool)
+        if n > 1:
+            m[:-1] = (u[1:] == u[:-1]) & (roles[:-1] == "user") \
+                & (roles[1:] == "assistant")
+        i = np.flatnonzero(m)
+        return pa.table({
+            "conv_id": pa.array(np.char.add("c", u[i].astype(str)),
+                                type=pa.string()),
+            "user_turn_idx": pa.array(turn_idx[i], type=pa.int32()),
+            "prompt": pa.array(texts[i], type=pa.string()),
+            "response": pa.array(texts[i + 1], type=pa.string()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    out = keyed_partition_map(ds, ["user_id"], kernel).to_pandas()
+    out = out.sort_values(["conv_id", "user_turn_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def turn_alternation_stats(sf_dir: str) -> pa.Table:
+    """Dialogue-quality audit: per conversation, how many adjacent turns
+    REPEAT the same role (a clean chat corpus alternates) — the filter
+    stat an SFT pipeline thresholds before pair extraction. Same single
+    keyed shuffle as ``sft_pair_extraction``; the per-conversation counts
+    are one bincount over the partition, output conv-scale."""
+    import os
+
+    import ray
+
+    from ..stages.keyed import keyed_partition_map
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u, rid, starts, _, roles, _ = _ordered_conv_arrays(t)
+        n = len(u)
+        nruns = len(starts)
+        rep = np.zeros(n, dtype=bool)
+        if n > 1:
+            rep[1:] = (u[1:] == u[:-1]) & (roles[1:] == roles[:-1])
+        n_rep = np.bincount(rid[rep], minlength=nruns).astype(np.int64)
+        n_turns = np.diff(np.append(starts, n)).astype(np.int64)
+        conv = u[starts]
+        return pa.table({
+            "conv_id": pa.array(np.char.add("c", conv.astype(str)),
+                                type=pa.string()),
+            "n_turns": pa.array(n_turns),
+            "n_repeat_role": pa.array(n_rep),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    out = keyed_partition_map(ds, ["user_id"], kernel).to_pandas()
+    out = out.sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sft_corpus_build(sf_dir: str) -> pa.Table:
+    """End-to-end SFT corpus composition — the LLM-axis flagship shape:
+    (1) alternation-quality gate (drop conversations where ≥half the
+    adjacent turns repeat a role), (2) (user → assistant) pair extraction,
+    (3) exact pair dedup with occurrence counts. Steps 1+2 are both
+    conversation-local, so they fuse into ONE kernel under the single
+    conversation-keyed shuffle; step 3 is one combiner-first group-by on
+    the pair text — two exchanges total, each carrying only what the next
+    step needs (pairs, then distinct pairs)."""
+    import os
+
+    import ray
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u, rid, starts, turn_idx, roles, texts = _ordered_conv_arrays(t)
+        n = len(u)
+        nruns = len(starts)
+        rep = np.zeros(n, dtype=bool)
+        if n > 1:
+            rep[1:] = (u[1:] == u[:-1]) & (roles[1:] == roles[:-1])
+        n_rep = np.bincount(rid[rep], minlength=nruns).astype(np.int64)
+        n_turns = np.diff(np.append(starts, n)).astype(np.int64)
+        conv_ok = 2 * n_rep < n_turns
+        m = np.zeros(n, dtype=bool)
+        if n > 1:
+            m[:-1] = (u[1:] == u[:-1]) & (roles[:-1] == "user") \
+                & (roles[1:] == "assistant")
+        m &= conv_ok[rid]
+        i = np.flatnonzero(m)
+        return pa.table({
+            "prompt": pa.array(texts[i], type=pa.string()),
+            "response": pa.array(texts[i + 1], type=pa.string()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    pairs = keyed_partition_map(ds, ["user_id"], kernel)
+    out = grouped_aggregate(pairs, ["prompt", "response"],
+                            [("n_occurrences", "count", None)])
+    df = out.to_pandas().sort_values(["prompt", "response"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 SQL = {
+    "sft_corpus_build": (
+        f"{_CTE}, l AS (SELECT conv_id, role, text, "
+        "LAG(role) OVER w AS prev_role, "
+        "LEAD(role) OVER w AS next_role, LEAD(text) OVER w AS next_text "
+        "FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), "
+        "ok AS (SELECT conv_id FROM l GROUP BY 1 "
+        "HAVING 2 * SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) < COUNT(*)) "
+        "SELECT text AS prompt, next_text AS response, COUNT(*) AS n_occurrences "
+        "FROM l JOIN ok USING (conv_id) "
+        "WHERE role = 'user' AND next_role = 'assistant' "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "sft_pair_extraction": (
+        f"{_CTE}, l AS (SELECT conv_id, turn_idx, role, text, "
+        "LEAD(role) OVER w AS next_role, LEAD(text) OVER w AS next_text "
+        "FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)) "
+        "SELECT conv_id, turn_idx AS user_turn_idx, text AS prompt, "
+        "next_text AS response FROM l "
+        "WHERE role = 'user' AND next_role = 'assistant' "
+        "ORDER BY conv_id, user_turn_idx"
+    ),
+    "turn_alternation_stats": (
+        f"{_CTE}, l AS (SELECT conv_id, role, "
+        "LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role "
+        "FROM transcripts) "
+        "SELECT conv_id, COUNT(*) AS n_turns, "
+        "CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_role "
+        "FROM l GROUP BY 1 ORDER BY 1"
+    ),
     "conv_reconstruct": (
         f"{_CTE} SELECT conv_id, COUNT(*) AS n_turns, "
         "LENGTH(STRING_AGG(role || ': ' || text, CHR(10) ORDER BY turn_idx)) AS dialog_len, "

@@ -148,3 +148,14 @@ def test_q17_partitioned_matches_broadcast(ray_session):
     a = q17_small_quantity_revenue(SF_DIR, mode="broadcast")
     b = q17_small_quantity_revenue(SF_DIR, mode="partitioned")
     assert a.equals(b)
+
+
+def test_q5_partitioned_matches_broadcast(ray_session):
+    """The broadcast-free two-exchange Q5 path (customer streamed through
+    the constant-size nation map, co-shuffled with orders) must be
+    bit-equal to the broadcast dim-compose path."""
+    from cqf_ray.pipelines.relational import q5_local_supplier_volume
+
+    a = q5_local_supplier_volume(SF_DIR, mode="broadcast")
+    b = q5_local_supplier_volume(SF_DIR, mode="partitioned")
+    assert a.equals(b)
