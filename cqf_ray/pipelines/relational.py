@@ -2769,6 +2769,70 @@ def q21_waiting_supplier(sf_dir: str, *, k: int = 25) -> pa.Table:
     return _finish(df[["s_name", "numwait"]], ["s_name"])
 
 
+def merge_upsert(sf_dir: str) -> pa.Table:
+    """MERGE INTO (upsert) — the lakehouse table-maintenance primitive:
+    apply a change set (updates, deletes, inserts) to a base table in ONE
+    key-co-located exchange. The change set derives deterministically from
+    orders itself (key%7 → price update, key%11 → delete, key%13 → insert
+    under key+10⁹) so the driver can oracle it. Plan: base and change rows
+    are tagged per batch and flow through the SAME keyed partition shuffle
+    on the order key; each partition resolves merge semantics locally with
+    vectorized membership (every key's base+change rows co-locate by
+    construction, so partition-local resolution IS the global merge).
+    Returns the merged (key, price) table."""
+    import ray
+
+    base = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag_all(batch: pa.Table) -> pa.Table:
+        # base rows AND the change rows they generate, in one pass — the
+        # change-set leg costs zero extra I/O and no Dataset union.
+        k = np.asarray(batch.column("o_orderkey").combine_chunks(),
+                       dtype=np.int64)
+        price_c = np.round(np.asarray(batch.column("o_totalprice"),
+                                      dtype=np.float64) * 100).astype(np.int64)
+        upd = (k % 7 == 0)
+        dele = (k % 11 == 0) & ~upd
+        ins = (k % 13 == 0)
+        out_k = np.concatenate([k, k[upd], k[dele], k[ins] + 10**9])
+        out_p = np.concatenate([price_c, price_c[upd] + 100000,
+                                np.zeros(int(dele.sum()), dtype=np.int64),
+                                price_c[ins] // 2])
+        out_op = np.concatenate([np.zeros(len(k), dtype=np.int64),
+                                 np.full(int(upd.sum()), 1, dtype=np.int64),
+                                 np.full(int(dele.sum()), 2, dtype=np.int64),
+                                 np.full(int(ins.sum()), 3, dtype=np.int64)])
+        return pa.table({"k": pa.array(out_k), "price_c": pa.array(out_p),
+                         "op": pa.array(out_op)})
+
+    tagged = base.map_batches(tag_all, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    from ..stages.keyed import keyed_partition_map
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k").combine_chunks(), dtype=np.int64)
+        p = np.asarray(t.column("price_c").combine_chunks(), dtype=np.int64)
+        op = np.asarray(t.column("op").combine_chunks(), dtype=np.int64)
+        # sort by (key, op) so per key: base first, then update/delete/insert
+        order = np.lexsort((op, k))
+        k, p, op = k[order], p[order], op[order]
+        # vectorized resolution: deletes kill the key, updates/inserts win
+        # over base. per-key last-wins works because op codes are ordered.
+        last = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            last[:-1] = k[1:] != k[:-1]
+        keep = last & (op != 2)
+        return pa.table({"o_orderkey": pa.array(k[keep]),
+                         "price_c": pa.array(p[keep])})
+
+    merged = keyed_partition_map(tagged, ["k"], resolve)
+    df = merged.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    df["o_totalprice"] = df.pop("price_c").to_numpy(np.int64) / 100.0
+    return pa.Table.from_pandas(df[["o_orderkey", "o_totalprice"]],
+                                preserve_index=False)
+
+
 def q11_important_parts(sf_dir: str, *, share_denom: int = 1500) -> pa.Table:
     """TPC-H Q11 shape (no partsupp → importance is revenue share): parts
     whose revenue exceeds 1/``share_denom`` of TOTAL revenue — a grouped
@@ -3449,6 +3513,24 @@ SQL = {
         "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
         "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
         "FROM a ORDER BY o_year"
+    ),
+    "merge_upsert": (
+        "WITH upd AS (SELECT o_orderkey AS k, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000 AS price_c "
+        "FROM orders WHERE o_orderkey % 7 = 0), "
+        "del AS (SELECT o_orderkey AS k FROM orders "
+        "WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0), "
+        "ins AS (SELECT o_orderkey + 1000000000 AS k, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2 AS price_c "
+        "FROM orders WHERE o_orderkey % 13 = 0), "
+        "merged AS (SELECT b.o_orderkey AS k, "
+        "COALESCE(u.price_c, CAST(ROUND(b.o_totalprice * 100) AS BIGINT)) AS price_c "
+        "FROM orders b LEFT JOIN upd u ON b.o_orderkey = u.k "
+        "WHERE b.o_orderkey NOT IN (SELECT k FROM del) "
+        "UNION ALL SELECT k, price_c FROM ins) "
+        "SELECT CAST(k AS BIGINT) AS o_orderkey, "
+        "CAST(price_c AS DOUBLE) / 100.0 AS o_totalprice "
+        "FROM merged ORDER BY 1"
     ),
     "q11_important_parts": (
         "WITH pr AS (SELECT l_partkey, "
