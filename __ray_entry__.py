@@ -72,6 +72,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "sft_pair_extraction": _tr.sft_pair_extraction,
     "sft_corpus_build": _tr.sft_corpus_build,
     "merge_upsert": _rel.merge_upsert,
+    "table_diff": _rel.table_diff,
     "turn_alternation_stats": _tr.turn_alternation_stats,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,

@@ -2833,6 +2833,81 @@ def merge_upsert(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def table_diff(sf_dir: str) -> pa.Table:
+    """Snapshot reconciliation — diff two table versions by primary key
+    (the audit a lakehouse runs after MERGE/replication): counts of added,
+    removed, changed and unchanged keys plus value-delta totals. Version B
+    derives deterministically as ``merge_upsert``'s output rules, so the
+    pair exercises write-then-verify. Plan: both versions tag side bits in
+    the SAME single pass over orders (B's rows are a pure function of A's
+    here — zero extra I/O), one keyed exchange co-locates each key's A/B
+    rows, and each partition classifies vectorized; only 4 counters + 1
+    sum leave the workers."""
+    base = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag_versions(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("o_orderkey").combine_chunks(),
+                       dtype=np.int64)
+        price_c = np.round(np.asarray(batch.column("o_totalprice"),
+                                      dtype=np.float64) * 100).astype(np.int64)
+        upd = (k % 7 == 0)
+        dele = (k % 11 == 0) & ~upd
+        ins = (k % 13 == 0)
+        # side 0 = version A (all base rows); side 1 = version B rows
+        keep_b = ~dele
+        b_k = np.concatenate([k[keep_b], k[ins] + 10**9])
+        b_p = np.concatenate([np.where(upd[keep_b],
+                                       price_c[keep_b] + 100000,
+                                       price_c[keep_b]),
+                              price_c[ins] // 2])
+        out_k = np.concatenate([k, b_k])
+        out_p = np.concatenate([price_c, b_p])
+        out_s = np.concatenate([np.zeros(len(k), dtype=np.int64),
+                                np.ones(len(b_k), dtype=np.int64)])
+        return pa.table({"k": pa.array(out_k), "price_c": pa.array(out_p),
+                         "side": pa.array(out_s)})
+
+    from ..stages.keyed import keyed_partition_map
+
+    def classify(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k").combine_chunks(), dtype=np.int64)
+        p = np.asarray(t.column("price_c").combine_chunks(), dtype=np.int64)
+        s = np.asarray(t.column("side").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((s, k))
+        k, p, s = k[order], p[order], s[order]
+        first = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(k)))
+        only = lens == 1
+        n_added = int((only & (s[starts] == 1)).sum())
+        n_removed = int((only & (s[starts] == 0)).sum())
+        both = starts[~only]
+        changed = p[both] != p[both + 1]
+        n_changed = int(changed.sum())
+        n_same = int((~changed).sum())
+        delta = int((p[both + 1] - p[both])[changed].sum())
+        return pa.table({"n_added": pa.array([n_added]),
+                         "n_removed": pa.array([n_removed]),
+                         "n_changed": pa.array([n_changed]),
+                         "n_same": pa.array([n_same]),
+                         "delta_c": pa.array([delta])})
+
+    parts = keyed_partition_map(
+        base.map_batches(tag_versions, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["k"], classify,
+    ).to_pandas()
+    return pa.table({
+        "n_added": pa.array([int(parts["n_added"].sum())]),
+        "n_removed": pa.array([int(parts["n_removed"].sum())]),
+        "n_changed": pa.array([int(parts["n_changed"].sum())]),
+        "n_same": pa.array([int(parts["n_same"].sum())]),
+        "price_delta": pa.array([int(parts["delta_c"].sum()) / 100.0]),
+    })
+
+
 def q11_important_parts(sf_dir: str, *, share_denom: int = 1500) -> pa.Table:
     """TPC-H Q11 shape (no partsupp → importance is revenue share): parts
     whose revenue exceeds 1/``share_denom`` of TOTAL revenue — a grouped
@@ -3513,6 +3588,25 @@ SQL = {
         "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
         "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
         "FROM a ORDER BY o_year"
+    ),
+    "table_diff": (
+        "WITH a AS (SELECT o_orderkey AS k, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p FROM orders), "
+        "b AS (SELECT o_orderkey AS k, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000 "
+        "ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS p "
+        "FROM orders WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0) "
+        "UNION ALL SELECT o_orderkey + 1000000000, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2 "
+        "FROM orders WHERE o_orderkey % 13 = 0), "
+        "j AS (SELECT a.p AS p_a, b.p AS p_b "
+        "FROM a FULL OUTER JOIN b ON a.k = b.k) "
+        "SELECT CAST(SUM(CASE WHEN p_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, "
+        "CAST(SUM(CASE WHEN p_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+        "CAST(SUM(CASE WHEN p_a IS NOT NULL AND p_b IS NOT NULL AND p_a <> p_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, "
+        "CAST(SUM(CASE WHEN p_a = p_b THEN 1 ELSE 0 END) AS BIGINT) AS n_same, "
+        "CAST(SUM(CASE WHEN p_a IS NOT NULL AND p_b IS NOT NULL AND p_a <> p_b "
+        "THEN p_b - p_a ELSE 0 END) AS DOUBLE) / 100.0 AS price_delta FROM j"
     ),
     "merge_upsert": (
         "WITH upd AS (SELECT o_orderkey AS k, "
