@@ -1367,7 +1367,54 @@ def _jaccard_pairs_sql(threshold: float, shingle_seed_note: str = "") -> str:
     )
 
 
+def entity_resolution(sf_dir: str, *, max_dist: int = 8) -> pa.Table:
+    """Entity resolution end-to-end — the record-linkage composition:
+    character-level blocking + exact Levenshtein verification
+    (``edit_distance_pairs``: PassJoin length bands, char-bag prefilter,
+    banded DP) feeds the DISTRIBUTED hash-to-min connected-components
+    stage (``stages/cc.py`` — labels live in the object store, the driver
+    sees only convergence scalars), yielding one canonical id per matched
+    entity cluster. Demonstrates the match-graph → cluster → canonicalize
+    path with a different edge modality than ``near_dup_canonical``'s
+    Jaccard LSH (typo-level edits that shift every shingle still link
+    here)."""
+    import ray
+
+    from ..stages.cc import connected_components
+
+    pairs = edit_distance_pairs(sf_dir, max_dist=max_dist)
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "canonical_id": pa.array([], type=pa.int64()),
+                         "keep": pa.array([], type=pa.bool_())})
+    edges = ray.data.from_arrow(pa.table({
+        "src": pairs.column("doc_a"),
+        "dst": pairs.column("doc_b"),
+    }))
+    lab = connected_components(edges).to_pandas().sort_values("node")
+    return pa.table({
+        "doc_id": pa.array(lab["node"].to_numpy(np.int64)),
+        "canonical_id": pa.array(lab["comp"].to_numpy(np.int64)),
+        "keep": pa.array(lab["node"].to_numpy(np.int64)
+                         == lab["comp"].to_numpy(np.int64)),
+    })
+
+
 SQL = {
+    "entity_resolution": (
+        "WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS L FROM documents), "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= 8 "
+        "WHERE levenshtein(a.text, b.text) <= 8), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM p "
+        "UNION ALL SELECT doc_b, doc_a FROM p), "
+        "reach(node, r) AS ("
+        "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r) "
+        "SELECT node AS doc_id, MIN(r) AS canonical_id, "
+        "CAST(node = MIN(r) AS BOOLEAN) AS keep "
+        "FROM reach GROUP BY node ORDER BY doc_id"
+    ),
     "simhash_complete": "SELECT TRUE AS complete",
     "edit_distance_pairs": (
         "WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents), "
