@@ -74,6 +74,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "merge_upsert": _rel.merge_upsert,
     "table_diff": _rel.table_diff,
     "entity_resolution": _dedup.entity_resolution,
+    "vocab_top_terms_by_lang": _txt.vocab_top_terms_by_lang,
     "turn_alternation_stats": _tr.turn_alternation_stats,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,

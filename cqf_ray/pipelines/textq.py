@@ -517,6 +517,63 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def vocab_top_terms_by_lang(sf_dir: str, *, k: int = 10) -> pa.Table:
+    """Per-language top-k vocabulary — GROUPED top-k over text keys (the
+    multilingual variant of ``vocab_top_terms``). Same combiner-first
+    term aggregation (per-batch polars group_by on (lang, term), exchange
+    carries vocab-scale partials only); the per-group top-k then runs as
+    ONE vectorized lexsort + run-offset rank inside the keyed final merge
+    — no per-group Python, no global sort of the vocabulary."""
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ds = read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df_ = pl.DataFrame({
+            "lang": pl.from_arrow(batch.column("lang").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .str.to_lowercase(),
+        })
+        return (df_.with_columns(pl.col("t").str.extract_all(r"\S+")
+                                 .alias("term"))
+                .select("lang", "term").explode("term").drop_nulls()
+                .group_by(["lang", "term"])
+                .agg(pl.len().cast(pl.Int64).alias("tf_part"))).to_arrow()
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "term"], [("tf_total", "sum", "tf_part")],
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t.column("lang").combine_chunks(), dtype=object)
+        term = np.asarray(t.column("term").combine_chunks(), dtype=object)
+        tf = np.asarray(t.column("tf_total").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((term, -tf, lang))
+        lang, term, tf = lang[order], term[order], tf[order]
+        # rank within each lang run = offset from the run start
+        changed = np.ones(len(lang), dtype=bool)
+        if len(lang) > 1:
+            changed[1:] = lang[1:] != lang[:-1]
+        starts = np.flatnonzero(changed)
+        lens = np.diff(np.append(starts, len(lang)))
+        rank = np.arange(len(lang), dtype=np.int64) - np.repeat(starts, lens) + 1
+        keep = rank <= k
+        return pa.table({
+            "lang": pa.array(lang[keep], type=pa.string()),
+            "rank": pa.array(rank[keep]),
+            "term": pa.array(term[keep], type=pa.string()),
+            "tf_total": pa.array(tf[keep]),
+        })
+
+    out = keyed_partition_map(agg, ["lang"], topk).to_pandas()
+    out = out.sort_values(["lang", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def vocab_top_terms(sf_dir: str, *, k: int = 50) -> pa.Table:
     """Corpus vocabulary statistics: the top-k terms by total occurrence
     count, with document frequency — the global-vocab profile a
@@ -1174,6 +1231,15 @@ SQL = {
         "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_types, MAX(n) AS top_token_n, "
         "CAST((COUNT(*) * 1000) // SUM(n) AS BIGINT) AS ttr_milli "
         "FROM toks GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "vocab_top_terms_by_lang": (
+        "WITH toks AS (SELECT lang, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
+        "ag AS (SELECT lang, term, COUNT(*) AS tf_total FROM toks GROUP BY 1, 2), "
+        "ranked AS (SELECT lang, term, tf_total, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tf_total DESC, term) AS rank FROM ag) "
+        "SELECT lang, CAST(rank AS BIGINT) AS rank, term, "
+        "CAST(tf_total AS BIGINT) AS tf_total "
+        "FROM ranked WHERE rank <= 10 ORDER BY lang, rank"
     ),
     "vocab_top_terms": (
         "WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
