@@ -2769,6 +2769,54 @@ def q21_waiting_supplier(sf_dir: str, *, k: int = 25) -> pa.Table:
     return _finish(df[["s_name", "numwait"]], ["s_name"])
 
 
+def segment_event_revenue(sf_dir: str, *, hot_threshold: int = 50) -> pa.Table:
+    """Event revenue per customer market segment through the SKEW-AWARE
+    join (``stages/join.py::skew_join``): event traffic is Zipf-skewed on
+    user_id, so the hottest keys would serialize inside single hash
+    partitions of a plain ``shuffle_join`` — here they split off after a
+    combiner-first frequency pass and map-join against broadcast right
+    rows with NO exchange, while cold keys shuffle normally. Join output
+    collapses to per-segment (count, Σ micro-value) partials immediately
+    after the join; mode-invariance vs ``shuffle_join`` is pytest-forced."""
+    import polars as pl  # noqa: F401  (kernel import below)
+
+    from ..stages.join import skew_join
+
+    ev = read(sf_dir, "events", ["user_id", "value"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = skew_join(ev, cust, left_on="user_id", right_on="c_custkey",
+                       hot_threshold=hot_threshold)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        v_s = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        df = pl.DataFrame({
+            "c_mktsegment": np.asarray(
+                batch.column("c_mktsegment").combine_chunks(), dtype=object),
+            "v_s": v_s,
+        })
+        return (df.group_by("c_mktsegment")
+                .agg(pl.col("v_s").sum().alias("v_s"),
+                     pl.len().cast(pl.Int64).alias("n_events")).to_arrow())
+
+    out = grouped_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["c_mktsegment"],
+        [("n_events", "sum", "n_events"), ("v_s", "sum", "v_s")],
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table({"c_mktsegment": pa.array([], type=pa.string()),
+                         "n_events": pa.array([], type=pa.int64()),
+                         "total_value": pa.array([], type=pa.float64())})
+    df["total_value"] = round_scaled(df.pop("v_s"))
+    return _finish(df[["c_mktsegment", "n_events", "total_value"]],
+                   ["c_mktsegment"])
+
+
 def merge_upsert(sf_dir: str) -> pa.Table:
     """MERGE INTO (upsert) — the lakehouse table-maintenance primitive:
     apply a change set (updates, deletes, inserts) to a base table in ONE
@@ -3588,6 +3636,12 @@ SQL = {
         "// GREATEST(CAST(total * 1000000 AS HUGEINT), 1) AS DOUBLE) AS share_bps, "
         "CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue "
         "FROM a ORDER BY o_year"
+    ),
+    "segment_event_revenue": (
+        "SELECT c_mktsegment, COUNT(*) AS n_events, "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY 1 ORDER BY 1"
     ),
     "table_diff": (
         "WITH a AS (SELECT o_orderkey AS k, "

@@ -159,3 +159,24 @@ def test_q5_partitioned_matches_broadcast(ray_session):
     a = q5_local_supplier_volume(SF_DIR, mode="broadcast")
     b = q5_local_supplier_volume(SF_DIR, mode="partitioned")
     assert a.equals(b)
+
+
+def test_skew_join_matches_shuffle_join(ray_session):
+    """skew_join (hot keys broadcast, cold keys shuffled) must be
+    row-set-identical to plain shuffle_join; a tiny threshold forces a
+    non-empty hot leg."""
+    from cqf_ray.pipelines.common import read
+    from cqf_ray.stages.join import shuffle_join, skew_join
+
+    ev = read(SF_DIR, "events", ["user_id", "value"])
+    cust = read(SF_DIR, "customer", ["c_custkey", "c_mktsegment"])
+    a = skew_join(ev, cust, left_on="user_id", right_on="c_custkey",
+                  hot_threshold=5).to_pandas()
+    ev2 = read(SF_DIR, "events", ["user_id", "value"])
+    cust2 = read(SF_DIR, "customer", ["c_custkey", "c_mktsegment"])
+    b = shuffle_join(ev2, cust2, left_on="user_id",
+                     right_on="c_custkey").to_pandas()
+    key = ["user_id", "value", "c_mktsegment"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
