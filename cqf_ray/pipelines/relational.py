@@ -3257,31 +3257,45 @@ def fk_orphan_audit(sf_dir: str) -> pa.Table:
     for name, child, ck, parent, pk_col in edges:
         by_child.setdefault(child, []).append((name, ck, parent, pk_col))
 
-    rows = []
+    class Audit:
+        def __init__(self, pr):
+            self.specs = [(name, ck, ray.get(r)) for name, ck, r in pr]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"n": pa.array([batch.num_rows])}
+            for idx, (_, ck, pk) in enumerate(self.specs):
+                k = np.asarray(batch.column(ck).combine_chunks(),
+                               dtype=np.int64)
+                out[f"orph{idx}"] = pa.array(
+                    [int((~membership(pk, k)).sum())])
+            return pa.table(out)
+
+    # Build every lazy Dataset serially on the main thread (read_parquet's
+    # lazy fsspec imports are not thread-safe), then EXECUTE the five
+    # independent audits concurrently from driver threads so their fixed
+    # per-execution latency overlaps.
+    jobs = []
     for child, specs in by_child.items():
         prefs = [(name, ck, ray.put(parent_keys(parent, pk_col)))
                  for name, ck, parent, pk_col in specs]
-
-        class Audit:
-            def __init__(self, pr):
-                self.specs = [(name, ck, ray.get(r)) for name, ck, r in pr]
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                out = {"n": pa.array([batch.num_rows])}
-                for idx, (_, ck, pk) in enumerate(self.specs):
-                    k = np.asarray(batch.column(ck).combine_chunks(),
-                                   dtype=np.int64)
-                    out[f"orph{idx}"] = pa.array(
-                        [int((~membership(pk, k)).sum())])
-                return pa.table(out)
-
         cols = sorted({ck for _, ck, _ in prefs})
-        t = (read(sf_dir, child, cols)
-             .map_batches(Audit, fn_constructor_args=(prefs,),
-                          batch_format="pyarrow", concurrency=(1, 4))
-             .sum(["n"] + [f"orph{i}" for i in range(len(prefs))]))
-        for idx, (name, _, _) in enumerate(prefs):
-            rows.append((name, int(t["sum(n)"]), int(t[f"sum(orph{idx})"])))
+        ds = read(sf_dir, child, cols).map_batches(
+            Audit, fn_constructor_args=(prefs,),
+            batch_format="pyarrow", concurrency=(1, 4))
+        jobs.append((prefs, ds))
+
+    def run_audit(job):
+        prefs, ds = job
+        t = ds.sum(["n"] + [f"orph{i}" for i in range(len(prefs))])
+        return [(name, int(t["sum(n)"]), int(t[f"sum(orph{idx})"]))
+                for idx, (name, _, _) in enumerate(prefs)]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows = []
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        for part_rows in ex.map(run_audit, jobs):
+            rows.extend(part_rows)
 
     rows.sort()
     return pa.table({
