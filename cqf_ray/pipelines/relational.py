@@ -887,6 +887,57 @@ def mad_outliers(sf_dir: str) -> pa.Table:
     return _finish(df, ["event_id"])
 
 
+def cube_revenue(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE (orderpriority, orderstatus) — all four grouping
+    sets with 'ALL' labels, completing the grouping-sets family next to
+    ``rollup_revenue``. One combiner-first aggregate at the finest grain;
+    the three coarser groupings derive from THAT tiny table (micro-unit
+    integer sums, so every marginal is exactly consistent with the
+    leaves — never a second scan of orders)."""
+    orders = read(sf_dir, "orders",
+                  ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        p_s = np.round(np.asarray(batch.column("o_totalprice"),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        df = pl.DataFrame({
+            "o_orderpriority": np.asarray(
+                batch.column("o_orderpriority").combine_chunks(), dtype=object),
+            "o_orderstatus": np.asarray(
+                batch.column("o_orderstatus").combine_chunks(), dtype=object),
+            "rev_s": p_s,
+        })
+        return (df.group_by(["o_orderpriority", "o_orderstatus"])
+                .agg(pl.col("rev_s").sum().alias("rev_s"),
+                     pl.len().cast(pl.Int64).alias("n_orders")).to_arrow())
+
+    fine = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority", "o_orderstatus"],
+        [("rev_s", "sum", "rev_s"), ("n_orders", "sum", "n_orders")],
+    ).to_pandas()
+
+    frames = [fine]
+    for keys in (["o_orderpriority"], ["o_orderstatus"], []):
+        g = (fine.groupby(keys, as_index=False)[["rev_s", "n_orders"]].sum()
+             if keys else
+             pd.DataFrame({"rev_s": [fine["rev_s"].sum()],
+                           "n_orders": [fine["n_orders"].sum()]}))
+        for c in ("o_orderpriority", "o_orderstatus"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        frames.append(g[["o_orderpriority", "o_orderstatus", "rev_s",
+                         "n_orders"]])
+    df = pd.concat(frames, ignore_index=True)
+    df["revenue"] = round_scaled(df.pop("rev_s"))
+    df["n_orders"] = df["n_orders"].astype(np.int64)
+    return _finish(df[["o_orderpriority", "o_orderstatus", "revenue",
+                       "n_orders"]], ["o_orderpriority", "o_orderstatus"])
+
+
 def rollup_revenue(sf_dir: str) -> pa.Table:
     """Region → nation revenue ROLLUP with subtotals and a grand total
     ('ALL' labels).  The fact stream passes ONE broadcast join (dims
@@ -4221,6 +4272,14 @@ SQL = {
         "mad AS (SELECT MIN(CASE WHEN r = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN av END) AS mad FROM o2, n) "
         "SELECT event_id, value FROM events, med, mad "
         "WHERE ABS(value - m) > 3 * mad ORDER BY event_id"
+    ),
+    "cube_revenue": (
+        "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+        "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_orders FROM orders "
+        "GROUP BY CUBE (o_orderpriority, o_orderstatus) "
+        "ORDER BY o_orderpriority, o_orderstatus"
     ),
     "rollup_revenue": (
         "SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name, "
