@@ -3526,14 +3526,21 @@ def q4_order_priority(sf_dir: str, *, lo: str = "1996-01-01",
         ["l_orderkey"], [("n_dup", "count", None)],
     )
 
-    orders = read(sf_dir, "orders",
-                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    import pyarrow.dataset as pads
+    import ray
+
     lo_us, hi_us = np.datetime64(lo, "us"), np.datetime64(hi, "us")
+    # date predicate pushed INTO the read — row groups prune before bytes
+    # leave storage (the q6 pattern)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(lo_us))
+        & (pads.field("o_orderdate") < pa.scalar(hi_us)),
+    )
 
     def ofilt(batch: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo_us)),
-                    pc.less(batch.column("o_orderdate"), pa.scalar(hi_us)))
-        return batch.filter(m).select(["o_orderkey", "o_orderpriority"])
+        return batch.select(["o_orderkey", "o_orderpriority"])
 
     from ..stages.join import shuffle_join
 
@@ -3554,16 +3561,20 @@ def q12_line_priority(sf_dir: str, *, lo: str = "1996-01-01",
     (orderkey, linestatus) counts BELOW the exchange (combiner-first), the
     one big-big ``shuffle_join`` brings in o_orderpriority, and the final
     group-by is 2 rows with conditional integer sums."""
-    li = read(sf_dir, "lineitem",
-              ["l_orderkey", "l_linestatus", "l_shipdate"])
+    import pyarrow.dataset as pads
+    import ray
+
     lo_us, hi_us = np.datetime64(lo, "us"), np.datetime64(hi, "us")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo_us))
+        & (pads.field("l_shipdate") < pa.scalar(hi_us)),
+    )
 
     def lpartial(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        m = pc.and_(pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo_us)),
-                    pc.less(batch.column("l_shipdate"), pa.scalar(hi_us)))
-        batch = batch.filter(m)
         return (pl.from_arrow(batch.select(["l_orderkey", "l_linestatus"]))
                 .group_by(["l_orderkey", "l_linestatus"])
                 .agg(n=pl.len().cast(pl.Int64)).to_arrow())
@@ -3631,10 +3642,6 @@ def q14_promo_effect(sf_dir: str, *, lo: str = "1996-01-01",
             self.promo = ray.get(pref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.greater_equal(batch.column("l_shipdate"), pa.scalar(lo_us)),
-                pc.less(batch.column("l_shipdate"), pa.scalar(hi_us)))
-            batch = batch.filter(m)
             lp = np.asarray(batch.column("l_partkey").combine_chunks(),
                             dtype=np.int64)
             price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
@@ -3650,15 +3657,23 @@ def q14_promo_effect(sf_dir: str, *, lo: str = "1996-01-01",
                 "total_s": pa.array([int(rev_s.sum())]),
             })
 
+    import pyarrow.dataset as pads
+
     totals = (
-        read(sf_dir, "lineitem",
-             ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+            filter=(pads.field("l_shipdate") >= pa.scalar(lo_us))
+            & (pads.field("l_shipdate") < pa.scalar(hi_us)),
+        )
         .map_batches(PromoPartial, fn_constructor_args=(promo_ref,),
                      batch_format="pyarrow", concurrency=(1, 8))
         .sum(["promo_s", "total_s"])
     )
-    promo_s = int(totals["sum(promo_s)"])
-    total_s = int(totals["sum(total_s)"])
+    # a fully-pruned read yields no blocks → Dataset.sum returns None
+    promo_s = int(totals["sum(promo_s)"]) if totals else 0
+    total_s = int(totals["sum(total_s)"]) if totals else 0
     bps = promo_s * 10000 // total_s if total_s else 0
     return pa.table({
         "promo_revenue": pa.array([round_scaled([promo_s])[0]]),
