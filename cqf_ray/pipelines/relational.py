@@ -3308,18 +3308,23 @@ def fk_orphan_audit(sf_dir: str) -> pa.Table:
     for name, child, ck, parent, pk_col in edges:
         by_child.setdefault(child, []).append((name, ck, parent, pk_col))
 
-    class Audit:
-        def __init__(self, pr):
-            self.specs = [(name, ck, ray.get(r)) for name, ck, r in pr]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def audit_fn(prefs):
+        # a TASK function, not an actor pool: five audits execute
+        # concurrently, and five min-1 actor pools would reserve more
+        # CPUs than a small cluster has and starve each other's reads
+        # (each task's ray.get of the parent keys is node-local after
+        # the first fetch).
+        def fn(batch: pa.Table) -> pa.Table:
             out = {"n": pa.array([batch.num_rows])}
-            for idx, (_, ck, pk) in enumerate(self.specs):
+            for idx, (_, ck, r) in enumerate(prefs):
+                pk = ray.get(r)
                 k = np.asarray(batch.column(ck).combine_chunks(),
                                dtype=np.int64)
                 out[f"orph{idx}"] = pa.array(
                     [int((~membership(pk, k)).sum())])
             return pa.table(out)
+
+        return fn
 
     # Build every lazy Dataset serially on the main thread (read_parquet's
     # lazy fsspec imports are not thread-safe), then EXECUTE the five
@@ -3331,8 +3336,7 @@ def fk_orphan_audit(sf_dir: str) -> pa.Table:
                  for name, ck, parent, pk_col in specs]
         cols = sorted({ck for _, ck, _ in prefs})
         ds = read(sf_dir, child, cols).map_batches(
-            Audit, fn_constructor_args=(prefs,),
-            batch_format="pyarrow", concurrency=(1, 4))
+            audit_fn(prefs), batch_format="pyarrow")
         jobs.append((prefs, ds))
 
     def run_audit(job):
