@@ -168,15 +168,20 @@ def test_skew_join_matches_shuffle_join(ray_session):
     from cqf_ray.pipelines.common import read
     from cqf_ray.stages.join import shuffle_join, skew_join
 
-    ev = read(SF_DIR, "events", ["user_id", "value"])
-    cust = read(SF_DIR, "customer", ["c_custkey", "c_mktsegment"])
-    a = skew_join(ev, cust, left_on="user_id", right_on="c_custkey",
-                  hot_threshold=5).to_pandas()
-    ev2 = read(SF_DIR, "events", ["user_id", "value"])
-    cust2 = read(SF_DIR, "customer", ["c_custkey", "c_mktsegment"])
-    b = shuffle_join(ev2, cust2, left_on="user_id",
-                     right_on="c_custkey").to_pandas()
     key = ["user_id", "value", "c_mktsegment"]
-    a = a[key].sort_values(key).reset_index(drop=True)
+    b = shuffle_join(read(SF_DIR, "events", ["user_id", "value"]),
+                     read(SF_DIR, "customer", ["c_custkey", "c_mktsegment"]),
+                     left_on="user_id", right_on="c_custkey").to_pandas()
     b = b[key].sort_values(key).reset_index(drop=True)
-    assert a.equals(b)
+    counts = b["user_id"].value_counts()
+    # a threshold strictly between min and max key frequency forces BOTH
+    # legs (hot broadcast + cold shuffle) to carry rows
+    mid = int((counts.min() + counts.max()) // 2)
+    assert counts.min() <= mid < counts.max()
+    for thr in (5, mid):
+        a = skew_join(read(SF_DIR, "events", ["user_id", "value"]),
+                      read(SF_DIR, "customer", ["c_custkey", "c_mktsegment"]),
+                      left_on="user_id", right_on="c_custkey",
+                      hot_threshold=thr).to_pandas()
+        a = a[key].sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
