@@ -77,6 +77,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "vocab_top_terms_by_lang": _txt.vocab_top_terms_by_lang,
     "segment_event_revenue": _rel.segment_event_revenue,
     "cube_revenue": _rel.cube_revenue,
+    "embedding_dim_stats": _ann.embedding_dim_stats,
     "turn_alternation_stats": _tr.turn_alternation_stats,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,

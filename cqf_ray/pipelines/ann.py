@@ -7,7 +7,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..stages.ann import LshBucketer, batch_embeddings, brute_force_topk, load_query_matrix
-from .common import read
+from .common import read, round_col
 
 _N_QUERIES = 10
 _K = 5
@@ -353,7 +353,69 @@ def embedding_centroids(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def embedding_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension feature statistics over the embedding matrix — the
+    profile a vector pipeline runs before normalization / PQ codebook
+    fitting (dead dims, scale imbalance). One streaming pass: each batch
+    reduces its (n, d) block to FOUR d-length integer vectors (count,
+    Σmicro, Σmicro², min, max in micro-units — exact associative int64
+    sums, so the result is summation-order-free); the driver folds
+    |blocks| × d scalars. The micro-unit quantization is mirrored in the
+    UNNEST-with-ordinality SQL oracle, making mean/std bit-identical."""
+    ds = read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch_embeddings(batch)  # (n, d) float64
+        q = np.round(emb * 1e6).astype(np.int64)  # micro-units, exact
+        return pa.table({
+            "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+            "n": pa.array(np.full(q.shape[1], q.shape[0], dtype=np.int64)),
+            "s1": pa.array(q.sum(axis=0)),
+            "s2": pa.array((q * q).sum(axis=0)),
+            "mn": pa.array(q.min(axis=0)),
+            "mx": pa.array(q.max(axis=0)),
+        })
+
+    from ..stages.groupagg import grouped_aggregate
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["dim"],
+        [("n", "sum", "n"), ("s1", "sum", "s1"), ("s2", "sum", "s2"),
+         ("mn", "min", "mn"), ("mx", "max", "mx")],
+    ).to_pandas().sort_values("dim").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    s1 = agg["s1"].to_numpy(np.int64).astype(np.float64)
+    s2 = agg["s2"].to_numpy(np.int64).astype(np.float64)
+    mean = s1 / n / 1e6
+    var = (s2 / n - (s1 / n) * (s1 / n)) / 1e12
+    return pa.table({
+        "dim": pa.array(agg["dim"].to_numpy(np.int64)),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "mean": pa.array(round_col(mean, 9)),
+        "variance": pa.array(round_col(var, 12)),
+        "min_v": pa.array(agg["mn"].to_numpy(np.int64).astype(np.float64) / 1e6),
+        "max_v": pa.array(agg["mx"].to_numpy(np.int64).astype(np.float64) / 1e6),
+    })
+
+
 SQL = {
+    "embedding_dim_stats": (
+        "WITH u AS (SELECT CAST(g.i AS BIGINT) - 1 AS dim, "
+        "CAST(ROUND(CAST(e.embedding[CAST(g.i AS BIGINT)] AS DOUBLE) * 1000000) AS BIGINT) AS q "
+        "FROM embeddings e, "
+        "LATERAL UNNEST(range(1, len(e.embedding) + 1)) AS g(i)), "
+        "a AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s1, SUM(q * q) AS s2, "
+        "MIN(q) AS mn, MAX(q) AS mx FROM u GROUP BY 1) "
+        "SELECT dim, CAST(n AS BIGINT) AS n, "
+        "ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 9) AS mean, "
+        "ROUND((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) "
+        "- (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) "
+        "/ 1000000000000.0, 12) AS variance, "
+        "CAST(mn AS DOUBLE) / 1000000.0 AS min_v, "
+        "CAST(mx AS DOUBLE) / 1000000.0 AS max_v "
+        "FROM a ORDER BY dim"
+    ),
     "ann_brute_force": (
         "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10), "
         "sims AS ( "
