@@ -78,6 +78,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "segment_event_revenue": _rel.segment_event_revenue,
     "cube_revenue": _rel.cube_revenue,
     "embedding_dim_stats": _ann.embedding_dim_stats,
+    "purchase_view_window_join": _w.purchase_view_window_join,
     "turn_alternation_stats": _tr.turn_alternation_stats,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,

@@ -227,7 +227,91 @@ def streaming_hourly_windows(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def purchase_view_window_join(sf_dir: str, *, window_min: int = 240) -> pa.Table:
+    """Stream-stream WINDOWED self-join — the two-sided interval join the
+    as-of join (1 : nearest-one) doesn't cover: every (purchase, view)
+    pair of the same user with the view inside the purchase's trailing
+    window. ONE keyed exchange on user_id; the per-partition kernel sorts
+    each side once and turns the band predicate into two vectorized
+    ``searchsorted`` bounds + a ``repeat``-expanded pair emit — per-pair
+    cost is output-sized, never |A|×|B|. The window bound keeps state
+    finite: the streaming analog would retain only ``window_min`` of view
+    history per user."""
+    ev = read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    win_us = np.int64(window_min) * 60_000_000
+
+    def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["purchase", "view"]))
+        return batch.filter(keep)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        ts = np.asarray(t.column("ts").combine_chunks()) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(t.column("event_type").combine_chunks(), dtype=object)
+        is_p = et == "purchase"
+        # views sorted by (user, ts, event_id) for binary-searchable bounds
+        v = np.flatnonzero(~is_p)
+        vord = v[np.lexsort((eid[v], ts[v], uid[v]))]
+        vu, vt, vid_s = uid[vord], ts[vord], eid[vord]
+        p = np.flatnonzero(is_p)
+        if not len(p) or not len(vord):
+            return pa.table({"purchase_id": pa.array([], type=pa.int64()),
+                             "view_id": pa.array([], type=pa.int64())})
+
+        def pair_insert(qu, qt, side):
+            # vectorized TWO-KEY searchsorted (no int packing — user ids
+            # and µs timestamps don't fit one int64): merge views and
+            # queries in (user, ts) order via one lexsort; a query's
+            # insertion position = number of view elements before it.
+            n, m = len(vu), len(qu)
+            U = np.concatenate([vu, qu])
+            T = np.concatenate([vt, qt])
+            # tie-break: side='left' puts queries BEFORE equal views,
+            # side='right' after — exactly np.searchsorted semantics
+            first = 0.0 if side == "right" else 1.0
+            tag = np.concatenate([np.full(n, first),
+                                  np.full(m, 1.0 - first)])
+            order = np.lexsort((tag, T, U))
+            isv = order < n
+            views_before = np.cumsum(isv) - isv
+            res = np.empty(m, dtype=np.int64)
+            res[order[~isv] - n] = views_before[~isv]
+            return res
+
+        t_lo = pair_insert(uid[p], ts[p] - win_us, "left")
+        t_hi = pair_insert(uid[p], ts[p], "right")
+        cnt = (t_hi - t_lo).clip(min=0)
+        prow = np.repeat(eid[p], cnt)
+        # ragged-range expansion, vectorized: offs[i] walks t_lo..t_hi per
+        # purchase (arange minus each segment's cumulative start)
+        total = int(cnt.sum())
+        offs = (np.repeat(t_lo, cnt)
+                + (np.arange(total, dtype=np.int64)
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+        return pa.table({"purchase_id": pa.array(prow),
+                         "view_id": pa.array(vid_s[offs])})
+
+    out = keyed_partition_map(
+        ev.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], kernel,
+    ).to_pandas()
+    out = out.sort_values(["purchase_id", "view_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 SQL = {
+    "purchase_view_window_join": (
+        "SELECT a.event_id AS purchase_id, b.event_id AS view_id "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND a.event_type = 'purchase' AND b.event_type = 'view' "
+        "AND b.ts >= a.ts - INTERVAL 240 MINUTE AND b.ts <= a.ts "
+        "ORDER BY purchase_id, view_id"
+    ),
     "streaming_hourly_windows": (
         "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
         "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value "
