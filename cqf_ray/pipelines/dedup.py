@@ -1367,6 +1367,39 @@ def _jaccard_pairs_sql(threshold: float, shingle_seed_note: str = "") -> str:
     )
 
 
+def embedding_dedup_canonical(sf_dir: str, *, threshold: float = 0.4) -> pa.Table:
+    """SemDeDup-shaped semantic deduplication: embedding-cosine near-dup
+    pairs → duplicate clusters (distributed hash-to-min connected
+    components) → one canonical vector per cluster (min vec_id keeps).
+    This small-scale verify role uses the EXACT all-pairs cosine edges
+    (``embedding_dup_pairs``), so a recursive-CTE SQL oracle checks the
+    whole composition bit-for-bit (threshold 0.4: the synthetic embeddings
+    carry no planted duplicates — max pairwise cosine ≈ 0.51 — so the
+    cluster machinery is exercised on the natural similarity tail); at corpus scale the edge generator
+    swaps for ``embedding_dup_pairs_lsh`` (hyperplane banding + exact
+    endpoint verify) with the plan otherwise unchanged."""
+    import ray
+
+    from ..stages.cc import connected_components
+
+    pairs = embedding_dup_pairs(sf_dir, threshold=threshold)
+    if pairs.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                         "canonical_id": pa.array([], type=pa.int64()),
+                         "keep": pa.array([], type=pa.bool_())})
+    edges = ray.data.from_arrow(pa.table({
+        "src": pairs.column("vec_a"),
+        "dst": pairs.column("vec_b"),
+    }))
+    lab = connected_components(edges).to_pandas().sort_values("node")
+    return pa.table({
+        "vec_id": pa.array(lab["node"].to_numpy(np.int64)),
+        "canonical_id": pa.array(lab["comp"].to_numpy(np.int64)),
+        "keep": pa.array(lab["node"].to_numpy(np.int64)
+                         == lab["comp"].to_numpy(np.int64)),
+    })
+
+
 def entity_resolution(sf_dir: str, *, max_dist: int = 8) -> pa.Table:
     """Entity resolution end-to-end — the record-linkage composition:
     character-level blocking + exact Levenshtein verification
@@ -1401,6 +1434,19 @@ def entity_resolution(sf_dir: str, *, max_dist: int = 8) -> pa.Table:
 
 
 SQL = {
+    "embedding_dedup_canonical": (
+        "WITH RECURSIVE p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4), "
+        "edges AS (SELECT vec_a AS u, vec_b AS v FROM p "
+        "UNION ALL SELECT vec_b, vec_a FROM p), "
+        "reach(node, r) AS ("
+        "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r) "
+        "SELECT node AS vec_id, MIN(r) AS canonical_id, "
+        "CAST(node = MIN(r) AS BOOLEAN) AS keep "
+        "FROM reach GROUP BY node ORDER BY vec_id"
+    ),
     "entity_resolution": (
         "WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS L FROM documents), "
         "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
