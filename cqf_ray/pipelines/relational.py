@@ -1866,16 +1866,21 @@ def q9_promo_profit(sf_dir: str, *, ptype: str = "PROMO") -> pa.Table:
     return _finish(df[["n_name", "o_year", "revenue"]], ["n_name", "o_year"])
 
 
-def q10_returned_revenue(sf_dir: str, *, k: int = 20) -> pa.Table:
+def q10_returned_revenue(sf_dir: str, *, k: int = 20,
+                         mode: str = "broadcast") -> pa.Table:
     """TPC-H Q10 shape — top-k customers by revenue on returned lines.
     Plan mirrors ``q3_shipping_priority``: the return-flag filter and the
     per-order revenue partial both run BELOW the big-big orders ⋈ lineitem
     exchange; per-customer totals come from one combiner-first group-by;
     the customer/nation dims broadcast onto the (already tiny) per-customer
     rows; top-k is per-block argpartition + a driver reduce over |blocks|×k
-    candidates — no global sort. Beyond broadcast scale the dim
-    enrichment becomes one more co-shuffle on the customer key (the
-    ``q17_small_quantity_revenue`` partitioned pattern)."""
+    candidates — no global sort.
+
+    ``mode="partitioned"``: beyond broadcast scale the dim enrichment
+    becomes one more co-shuffle on the customer key — customer streams,
+    enriched per batch from the constant-size nation map, and
+    ``shuffle_join``s with the per-customer totals (pytest-forced
+    bit-equal to the broadcast path)."""
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
 
@@ -1903,15 +1908,44 @@ def q10_returned_revenue(sf_dir: str, *, k: int = 20) -> pa.Table:
     per_cust = grouped_aggregate(joined, ["o_custkey"],
                                  [("rev_s", "sum", "rev_s")])
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_name", "c_acctbal",
-                                  "c_nationkey"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
-    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey") \
-              .select(["c_custkey", "c_name", "c_acctbal", "n_name"])
-    enriched = broadcast_join(per_cust, dim, keys="o_custkey",
-                              right_keys="c_custkey")
+    if mode == "partitioned":
+        nk = np.asarray(pc.sort_indices(nation.column("n_nationkey")),
+                        dtype=np.int64)
+        nation_s = nation.take(pa.array(nk))
+        nkey = np.asarray(nation_s.column("n_nationkey").combine_chunks(),
+                          dtype=np.int64)
+        nname = np.asarray(nation_s.column("n_name").combine_chunks(),
+                           dtype=object)
+
+        def cdim(batch: pa.Table) -> pa.Table:
+            cn = np.asarray(batch.column("c_nationkey").combine_chunks(),
+                            dtype=np.int64)
+            i = np.minimum(np.searchsorted(nkey, cn), len(nkey) - 1)
+            return pa.table({
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "c_acctbal": batch.column("c_acctbal"),
+                "n_name": pa.array(nname[i], type=pa.string()),
+            })
+
+        cust_ds = read(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        enriched = shuffle_join(
+            per_cust,
+            cust_ds.map_batches(cdim, batch_format="pyarrow",
+                                zero_copy_batch=True),
+            left_on="o_custkey", right_on="c_custkey",
+        )
+    else:
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_name", "c_acctbal",
+                                      "c_nationkey"])
+        dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey") \
+                  .select(["c_custkey", "c_name", "c_acctbal", "n_name"])
+        enriched = broadcast_join(per_cust, dim, keys="o_custkey",
+                                  right_keys="c_custkey")
 
     def local_topk(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column("rev_s").combine_chunks())
@@ -2520,7 +2554,8 @@ def event_type_pagerank(sf_dir: str, *, iters: int = 5, d: float = 0.85) -> pa.T
 
 def q7_volume_shipping(sf_dir: str, *, nation_a: str = "NATION_3",
                        nation_b: str = "NATION_12",
-                       lo: str = "1995-01-01", hi: str = "2002-01-01") -> pa.Table:
+                       lo: str = "1995-01-01", hi: str = "2002-01-01",
+                       mode: str = "broadcast") -> pa.Table:
     """TPC-H Q7 shape — shipping volume between two nations by ship-year,
     keyed (supplier-nation, customer-nation). Plan: customer ⋈ nation
     composes driver-side into ONE broadcast lookup restricted to the two
@@ -2528,25 +2563,59 @@ def q7_volume_shipping(sf_dir: str, *, nation_a: str = "NATION_3",
     exchange); the supplier→nation probe is a broadcast searchsorted run
     BELOW the exchange alongside the date filter and the revenue partial;
     the one big-big ``shuffle_join`` on the order key then only carries
-    pre-filtered, pre-projected rows. Beyond broadcast scale the dim
-    compose becomes a second ``shuffle_join`` (the
-    ``q17_small_quantity_revenue`` partitioned pattern)."""
+    pre-filtered, pre-projected rows.
+
+    ``mode="partitioned"``: beyond broadcast scale the dim compose
+    becomes a second ``shuffle_join`` — customer streams through the
+    two-nation filter and co-shuffles with orders on the customer key
+    (pytest-forced bit-equal to the broadcast path)."""
     import ray
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
     pair = nation.filter(pc.is_in(nation.column("n_name"),
                                   value_set=pa.array([nation_a, nation_b])))
-    dim = (cust.join(pair, keys="c_nationkey", right_keys="n_nationkey",
-                     join_type="inner")
-           .select(["c_custkey", "n_name"])
-           .rename_columns(["c_custkey", "cust_nation"]))
-
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o_side = broadcast_join(orders, dim, keys="o_custkey",
-                            right_keys="c_custkey")
+    if mode == "partitioned":
+        pk = np.asarray(pc.sort_indices(pair.column("n_nationkey")),
+                        dtype=np.int64)
+        pair_s = pair.take(pa.array(pk))
+        nkey = np.asarray(pair_s.column("n_nationkey").combine_chunks(),
+                          dtype=np.int64)
+        nname = np.asarray(pair_s.column("n_name").combine_chunks(),
+                           dtype=object)
+
+        def cdim(batch: pa.Table) -> pa.Table:
+            cn = np.asarray(batch.column("c_nationkey").combine_chunks(),
+                            dtype=np.int64)
+            keep = np.zeros(len(cn), dtype=bool)
+            i = np.zeros(len(cn), dtype=np.int64)
+            if len(nkey):
+                i = np.minimum(np.searchsorted(nkey, cn), len(nkey) - 1)
+                keep = nkey[i] == cn
+            return pa.table({
+                "c_custkey": pa.array(np.asarray(
+                    batch.column("c_custkey").combine_chunks(),
+                    dtype=np.int64)[keep]),
+                "cust_nation": pa.array(nname[i][keep], type=pa.string()),
+            })
+
+        from ..stages.join import shuffle_join as _sj
+
+        o_side = _sj(orders,
+                     read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                     .map_batches(cdim, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                     left_on="o_custkey", right_on="c_custkey")
+    else:
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        dim = (cust.join(pair, keys="c_nationkey", right_keys="n_nationkey",
+                         join_type="inner")
+               .select(["c_custkey", "n_name"])
+               .rename_columns(["c_custkey", "cust_nation"]))
+        o_side = broadcast_join(orders, dim, keys="o_custkey",
+                                right_keys="c_custkey")
 
     def oprune(batch: pa.Table) -> pa.Table:
         return batch.select(["o_orderkey", "cust_nation"])

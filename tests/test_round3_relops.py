@@ -185,3 +185,15 @@ def test_skew_join_matches_shuffle_join(ray_session):
                       hot_threshold=thr).to_pandas()
         a = a[key].sort_values(key).reset_index(drop=True)
         assert a.equals(b)
+
+
+def test_q7_q10_partitioned_match_broadcast(ray_session):
+    """The broadcast-free co-shuffle dim paths of Q7 and Q10 must be
+    bit-equal to their broadcast dim-compose paths."""
+    from cqf_ray.pipelines.relational import (q7_volume_shipping,
+                                              q10_returned_revenue)
+
+    assert q7_volume_shipping(SF_DIR, mode="broadcast").equals(
+        q7_volume_shipping(SF_DIR, mode="partitioned"))
+    assert q10_returned_revenue(SF_DIR, mode="broadcast").equals(
+        q10_returned_revenue(SF_DIR, mode="partitioned"))
