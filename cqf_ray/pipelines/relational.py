@@ -4442,3 +4442,108 @@ def _weighted_sample_sql(k: int = 50, seed: int = 29) -> str:
 
 
 SQL["weighted_sample_events"] = _weighted_sample_sql()
+
+
+def ab_bucket_metrics(sf_dir: str, *, n_buckets: int = 2,
+                      seed: int = 37) -> pa.Table:
+    """Experiment-analysis surface: deterministic murmur A/B bucketing of
+    users + per-bucket conversion metrics in exact basis points. Every
+    event routes to bucket = murmur64(user_id) % n (coordination-free,
+    the same assignment on any machine/shard layout — the property an
+    online experiment needs so a user never switches arms); per-bucket
+    (distinct users, events, purchases, µ-unit value) reduce
+    combiner-first, and the conversion rate is integer floor-division —
+    no float divide. Bit-exact murmur-in-SQL oracle."""
+    from ..hashing import murmur64a_u64
+
+    ev = read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        bucket = (murmur64a_u64(uid.view(np.uint64), seed=seed)
+                  % np.uint64(n_buckets)).astype(np.int64)
+        et = np.asarray(batch.column("event_type").combine_chunks(),
+                        dtype=object)
+        v_s = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        df = pl.DataFrame({
+            "bucket": bucket, "user_id": uid,
+            "is_purchase": (et == "purchase").astype(np.int64),
+            "v_s": v_s,
+        })
+        return (df.group_by(["bucket", "user_id"])
+                .agg(pl.len().cast(pl.Int64).alias("n_events"),
+                     pl.col("is_purchase").sum().alias("n_purch"),
+                     pl.col("v_s").sum().alias("v_s")).to_arrow())
+
+    per_user = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket", "user_id"],
+        [("n_events", "sum", "n_events"), ("n_purch", "sum", "n_purch"),
+         ("v_s", "sum", "v_s")],
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        np_ = np.asarray(batch.column("n_purch").combine_chunks(),
+                         dtype=np.int64)
+        df = pl.DataFrame({
+            "bucket": np.asarray(batch.column("bucket").combine_chunks(),
+                                 dtype=np.int64),
+            "n_users": np.ones(batch.num_rows, dtype=np.int64),
+            "n_converted": (np_ > 0).astype(np.int64),
+            "n_events": np.asarray(batch.column("n_events").combine_chunks(),
+                                   dtype=np.int64),
+            "n_purchases": np_,
+            "v_s": np.asarray(batch.column("v_s").combine_chunks(),
+                              dtype=np.int64),
+        })
+        return (df.group_by("bucket")
+                .agg(pl.col("n_users").sum(), pl.col("n_converted").sum(),
+                     pl.col("n_events").sum(), pl.col("n_purchases").sum(),
+                     pl.col("v_s").sum()).to_arrow())
+
+    out = grouped_aggregate(
+        per_user.map_batches(bucket_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["bucket"],
+        [("n_users", "sum", "n_users"), ("n_converted", "sum", "n_converted"),
+         ("n_events", "sum", "n_events"),
+         ("n_purchases", "sum", "n_purchases"), ("v_s", "sum", "v_s")],
+    ).to_pandas().sort_values("bucket").reset_index(drop=True)
+    conv = out["n_converted"].to_numpy(np.int64)
+    users = np.maximum(out["n_users"].to_numpy(np.int64), 1)
+    out["conversion_bps"] = (conv * 10000 // users).astype(np.float64)
+    out["total_value"] = round_scaled(out.pop("v_s"))
+    return pa.Table.from_pandas(
+        out[["bucket", "n_users", "n_converted", "n_events", "n_purchases",
+             "conversion_bps", "total_value"]], preserve_index=False)
+
+
+def _ab_bucket_sql(n_buckets: int = 2, seed: int = 37) -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u0 AS (SELECT DISTINCT user_id FROM events), "
+        "u AS (SELECT user_id, CAST(user_id AS HUGEINT) AS k64 FROM u0), "
+        + _MURMUR_SQL.format(seed=seed)
+        + f" , asg AS (SELECT user_id, CAST(priority % {n_buckets} AS BIGINT) AS bucket FROM mmf), "
+        "pu AS (SELECT a.bucket, e.user_id, COUNT(*) AS n_events, "
+        "SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch, "
+        "SUM(CAST(e.value AS DECIMAL(18,6))) AS v "
+        "FROM events e JOIN asg a ON e.user_id = a.user_id GROUP BY 1, 2) "
+        "SELECT bucket, COUNT(*) AS n_users, "
+        "CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted, "
+        "CAST(SUM(n_events) AS BIGINT) AS n_events, "
+        "CAST(SUM(n_purch) AS BIGINT) AS n_purchases, "
+        "CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) * 10000 "
+        "// COUNT(*) AS DOUBLE) AS conversion_bps, "
+        "CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total_value "
+        "FROM pu GROUP BY bucket ORDER BY bucket"
+    )
+
+
+SQL["ab_bucket_metrics"] = _ab_bucket_sql()
