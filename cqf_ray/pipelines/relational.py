@@ -4547,3 +4547,74 @@ def _ab_bucket_sql(n_buckets: int = 2, seed: int = 37) -> str:
 
 
 SQL["ab_bucket_metrics"] = _ab_bucket_sql()
+
+
+def winsorized_value_stats(sf_dir: str, *, q_lo: float = 0.05,
+                           q_hi: float = 0.95) -> pa.Table:
+    """Per-group winsorized statistics — robust-mean analytics: exact
+    order-statistic p05/p95 per event_type (DuckDB ``quantile_disc``
+    convention: sorted[⌈q·n⌉−1]), values clipped to that band, mean from
+    exact centi-unit integer sums. ONE keyed exchange on the group key;
+    the kernel sorts each partition once (groups are partition-closed) and
+    walks run boundaries — no per-group Python. Winsorization needs true
+    order statistics, so unlike the moment ops it is irreducibly a sort —
+    the keyed partition keeps that sort per-group-local instead of
+    global."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+
+    def to_centi(batch: pa.Table) -> pa.Table:
+        v_c = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 100.0).astype(np.int64)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "v_c": pa.array(v_c)})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").combine_chunks(), dtype=object)
+        v = np.asarray(t.column("v_c").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((v, et))
+        et, v = et[order], v[order]
+        starts = run_starts(et)
+        lens = np.diff(np.append(starts, len(et)))
+        # order-statistic index per run: ceil(q*n) - 1 (quantile_disc)
+        lo_i = starts + np.maximum(np.ceil(q_lo * lens).astype(np.int64) - 1, 0)
+        hi_i = starts + np.maximum(np.ceil(q_hi * lens).astype(np.int64) - 1, 0)
+        lo_v, hi_v = v[lo_i], v[hi_i]
+        flags = np.zeros(len(et), dtype=bool)
+        flags[starts] = True
+        rid = np.cumsum(flags) - 1
+        clipped = np.clip(v, lo_v[rid], hi_v[rid])
+        sums = np.add.reduceat(clipped, starts)  # exact int64 per run
+        return pa.table({
+            "event_type": pa.array(et[starts], type=pa.string()),
+            "n": pa.array(lens.astype(np.int64)),
+            "p05": pa.array(lo_v.astype(np.float64) / 100.0),
+            "p95": pa.array(hi_v.astype(np.float64) / 100.0),
+            "sum_c": pa.array(sums),
+        })
+
+    out = keyed_partition_map(
+        ev.map_batches(to_centi, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], kernel,
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    n = out["n"].to_numpy(np.int64).astype(np.float64)
+    out["w_mean"] = round_col(
+        out.pop("sum_c").to_numpy(np.int64).astype(np.float64) / (100.0 * n), 6)
+    return pa.Table.from_pandas(
+        out[["event_type", "n", "p05", "p95", "w_mean"]], preserve_index=False)
+
+
+SQL["winsorized_value_stats"] = (
+    "WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c "
+    "FROM events), "
+    "q AS (SELECT event_type, quantile_disc(v_c, 0.05) AS lo_c, "
+    "quantile_disc(v_c, 0.95) AS hi_c FROM c GROUP BY 1) "
+    "SELECT c.event_type, COUNT(*) AS n, "
+    "CAST(lo_c AS DOUBLE) / 100.0 AS p05, "
+    "CAST(hi_c AS DOUBLE) / 100.0 AS p95, "
+    "ROUND(CAST(SUM(GREATEST(LEAST(v_c, hi_c), lo_c)) AS DOUBLE) "
+    "/ (100.0 * COUNT(*)), 6) AS w_mean "
+    "FROM c JOIN q USING (event_type) "
+    "GROUP BY c.event_type, lo_c, hi_c ORDER BY c.event_type"
+)
