@@ -82,6 +82,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dedup_canonical": _dedup.embedding_dedup_canonical,
     "ab_bucket_metrics": _rel.ab_bucket_metrics,
     "winsorized_value_stats": _rel.winsorized_value_stats,
+    "modal_hour_by_type": _rel.modal_hour_by_type,
     "turn_alternation_stats": _tr.turn_alternation_stats,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,

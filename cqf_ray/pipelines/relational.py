@@ -4618,3 +4618,48 @@ SQL["winsorized_value_stats"] = (
     "FROM c JOIN q USING (event_type) "
     "GROUP BY c.event_type, lo_c, hi_c ORDER BY c.event_type"
 )
+
+
+def modal_hour_by_type(sf_dir: str) -> pa.Table:
+    """Grouped MODE with a deterministic tie-break (smallest hour wins) —
+    the statistical-mode aggregate SQL's ``mode()`` leaves tie-undefined.
+    Plan: ONE combiner-first aggregate to (event_type, hour, n) — 5×24
+    rows regardless of input size — then the argmax per group is
+    driver-side arithmetic on that constant-size table."""
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "hour": np.asarray(pc.hour(batch.column("ts")).combine_chunks(),
+                               dtype=np.int64),
+        })
+        return (df.group_by(["event_type", "hour"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    counts = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], [("n", "sum", "n")],
+    ).to_pandas()
+    counts = counts.sort_values(["event_type", "n", "hour"],
+                                ascending=[True, False, True])
+    top = counts.groupby("event_type", as_index=False).head(1)
+    top = top.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        top[["event_type", "hour", "n"]].rename(
+            columns={"hour": "modal_hour", "n": "n_at_mode"}),
+        preserve_index=False)
+
+
+SQL["modal_hour_by_type"] = (
+    "WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, hour, n, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, hour) AS rk "
+    "FROM c) "
+    "SELECT event_type, hour AS modal_hour, n AS n_at_mode "
+    "FROM r WHERE rk = 1 ORDER BY event_type"
+)
