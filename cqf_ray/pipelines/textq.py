@@ -1325,3 +1325,79 @@ SQL = {
         "ORDER BY doc_id"
     ),
 }
+
+
+def term_drift(sf_dir: str, *, k: int = 50) -> pa.Table:
+    """Distribution-shift detection between two corpus halves (even vs
+    odd doc_id — stand-in for old/new snapshots): per high-frequency term,
+    occurrence counts in each half and the drift in exact basis points
+    ((even−odd)·10⁴ // total, integer floor-division — no float). The
+    monitoring surface a production corpus pipeline alarms on. Plan: ONE
+    combiner-first (term, half) count aggregate (vocab-scale partials,
+    token stream never crosses the exchange); the top-k-by-total cut and
+    the bps arithmetic run on the vocabulary-scale result."""
+    import polars as pl  # noqa: F401
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        df = pl.DataFrame({
+            "half": did % 2,
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .str.to_lowercase(),
+        })
+        return (df.with_columns(pl.col("t").str.extract_all(r"\S+")
+                                .alias("term"))
+                .select("half", "term").explode("term").drop_nulls()
+                .group_by(["half", "term"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["half", "term"], [("n", "sum", "n")],
+    ).to_pandas()
+    wide = agg.pivot_table(index="term", columns="half", values="n",
+                           fill_value=0, aggfunc="sum")
+    n_even = wide.get(0, pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    n_odd = wide.get(1, pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    total = n_even + n_odd
+    out = pd.DataFrame({
+        "term": wide.index.to_numpy(object),
+        "n_even": n_even, "n_odd": n_odd,
+        # DuckDB's BIGINT // truncates toward zero; numpy floors — emulate
+        # truncation so negative drifts match the oracle exactly
+        "drift_bps": np.where(n_even >= n_odd,
+                              (n_even - n_odd) * 10000 // total,
+                              -((n_odd - n_even) * 10000 // total)
+                              ).astype(np.float64),
+        "total": total,
+    })
+    out = out.sort_values(["total", "term"],
+                          ascending=[False, True]).head(k)
+    out = out.sort_values("term").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["term", "n_even", "n_odd", "drift_bps"]], preserve_index=False)
+
+
+def _term_drift_sql(k: int = 50) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id % 2 AS half, "
+        "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
+        "c AS (SELECT term, "
+        "CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even, "
+        "CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd "
+        "FROM toks GROUP BY 1), "
+        "r AS (SELECT *, n_even + n_odd AS total, "
+        "ROW_NUMBER() OVER (ORDER BY n_even + n_odd DESC, term) AS rk FROM c) "
+        "SELECT term, n_even, n_odd, "
+        "CAST((n_even - n_odd) * 10000 // total AS DOUBLE) AS drift_bps "
+        f"FROM r WHERE rk <= {k} ORDER BY term"
+    )
+
+
+SQL["term_drift"] = _term_drift_sql()
