@@ -56,6 +56,8 @@ QUERY_SET = [
     "q7_volume_shipping",  # two broadcast dim probes below one big-big join (r3s5)
     "q21_waiting_supplier",  # per-order logic in one keyed_partition_map (r3s5)
     "zorder_layout_stats",  # Morton key + global sort + equal-count split (r3s5)
+    "merge_upsert",  # MERGE INTO: single-pass change tagging + keyed resolve (r3s5)
+    "sft_corpus_build",  # conv-keyed gate→pair-extract fused kernel + dedup (r3s5)
 ]
 
 
