@@ -84,6 +84,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "winsorized_value_stats": _rel.winsorized_value_stats,
     "modal_hour_by_type": _rel.modal_hour_by_type,
     "term_drift": _txt.term_drift,
+    "value_quantiles_cont": _rel.value_quantiles_cont,
     "turn_alternation_stats": _tr.turn_alternation_stats,
     "q12_line_priority": _rel.q12_line_priority,
     "q14_promo_effect": _rel.q14_promo_effect,

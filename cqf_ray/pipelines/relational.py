@@ -4663,3 +4663,77 @@ SQL["modal_hour_by_type"] = (
     "SELECT event_type, hour AS modal_hour, n AS n_at_mode "
     "FROM r WHERE rk = 1 ORDER BY event_type"
 )
+
+
+def value_quantiles_cont(sf_dir: str) -> pa.Table:
+    """Grouped PERCENTILE_CONT (linear interpolation between order
+    statistics) at p50/p90 — completing the quantile family next to the
+    disc-convention winsorize and the t-digest/KLL sketches. The
+    interpolation is computed from the SAME explicit formula on both
+    engines (idx = q·(n−1); v = lo + (idx−⌊idx⌋)·(hi−lo) on centi ints →
+    double), so the oracle matches bit-for-bit where ``quantile_cont``'s
+    internal arithmetic might not. One keyed exchange; per-partition sort
+    + run-offset order-statistic gather, no per-group Python."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+    qs = (0.5, 0.9)
+
+    def to_centi(batch: pa.Table) -> pa.Table:
+        v_c = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 100.0).astype(np.int64)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "v_c": pa.array(v_c)})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").combine_chunks(), dtype=object)
+        v = np.asarray(t.column("v_c").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((v, et))
+        et, v = et[order], v[order]
+        starts = run_starts(et)
+        lens = np.diff(np.append(starts, len(et)))
+        out_t, out_q, out_v = [], [], []
+        for q in qs:  # 2 iterations — over quantiles, not rows
+            idx = q * (lens - 1).astype(np.float64)
+            lo_i = np.floor(idx).astype(np.int64)
+            hi_i = np.ceil(idx).astype(np.int64)
+            frac = idx - lo_i.astype(np.float64)
+            lo_v = v[starts + lo_i].astype(np.float64)
+            hi_v = v[starts + hi_i].astype(np.float64)
+            val = (lo_v + frac * (hi_v - lo_v)) / 100.0
+            out_t.append(et[starts])
+            out_q.append(np.full(len(starts), q))
+            out_v.append(round_col(val, 6))
+        return pa.table({
+            "event_type": pa.array(np.concatenate(out_t), type=pa.string()),
+            "q": pa.array(np.concatenate(out_q)),
+            "quantile_value": pa.array(np.concatenate(out_v)),
+        })
+
+    out = keyed_partition_map(
+        ev.map_batches(to_centi, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], kernel,
+    ).to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["value_quantiles_cont"] = (
+    "WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c "
+    "FROM events), "
+    "r AS (SELECT event_type, v_c, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_c) - 1 AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS n FROM c), "
+    "qv AS (SELECT q FROM (VALUES (0.5), (0.9)) AS t(q)), "
+    "b AS (SELECT event_type, q, n, q * (n - 1) AS idx, "
+    "CAST(FLOOR(q * (n - 1)) AS BIGINT) AS lo_i, "
+    "CAST(CEIL(q * (n - 1)) AS BIGINT) AS hi_i "
+    "FROM (SELECT DISTINCT event_type, n FROM r), qv), "
+    "j AS (SELECT b.event_type, b.q, b.idx, b.lo_i, "
+    "lo.v_c AS lo_c, hi.v_c AS hi_c "
+    "FROM b JOIN r lo ON lo.event_type = b.event_type AND lo.rn = b.lo_i "
+    "JOIN r hi ON hi.event_type = b.event_type AND hi.rn = b.hi_i) "
+    "SELECT event_type, q, "
+    "ROUND((CAST(lo_c AS DOUBLE) + (idx - CAST(lo_i AS DOUBLE)) "
+    "* (CAST(hi_c AS DOUBLE) - CAST(lo_c AS DOUBLE))) / 100.0, 6) AS quantile_value "
+    "FROM j ORDER BY event_type, q"
+)
