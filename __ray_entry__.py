@@ -53,7 +53,68 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
-    # --- newest round-3 operators (Q15/Q17, retrieval, tokenizers) ---
+    # --- round-4 driver window: never-driver-recorded in r1-r3, all with
+    # --- DuckDB oracles (rows-only queries are held below position 50) ---
+    "source_quality_profile": _txt.source_quality_profile,
+    "q5_local_supplier_volume": _rel.q5_local_supplier_volume,
+    "q6_revenue_forecast": _rel.q6_revenue_forecast,
+    "q9_promo_profit": _rel.q9_promo_profit,
+    "q10_returned_revenue": _rel.q10_returned_revenue,
+    "q13_order_count_distribution": _rel.q13_order_count_distribution,
+    "q18_large_volume_customers": _rel.q18_large_volume_customers,
+    "q22_idle_rich_customers": _rel.q22_idle_rich_customers,
+    "edit_distance_pairs": _dedup.edit_distance_pairs,
+    "minmax_normalize": _rel.minmax_normalize,
+    "user_count_skew": _rel.user_count_skew,
+    "daily_type_pivot": _rel.daily_type_pivot,
+    "user_customer_outer": _rel.user_customer_outer,
+    "user_trailing_value": _rel.user_trailing_value,
+    "user_running_value": _rel.user_running_value,
+    "conv_reconstruct": _tr.conv_reconstruct,
+    "redact_terms": _txt.redact_terms,
+    "q3_shipping_priority": _rel.q3_shipping_priority,
+    "range_partition_stats": _rel.range_partition_stats,
+    "f2_moment_users": _sk.f2_moment_users,
+    "jsonl_roundtrip": _si.jsonl_roundtrip,
+    "csv_roundtrip": _si.csv_roundtrip,
+    "kmeans_embeddings": _ann.kmeans_embeddings,
+    "table_checksum": _txt.table_checksum,
+    "orders_monthly_growth": _rel.orders_monthly_growth,
+    "user_value_rank": _rel.user_value_rank,
+    "compact_shards_roundtrip": _si.compact_shards_roundtrip,
+    "streaming_hourly_windows": _w.streaming_hourly_windows,
+    "ann_pq_recall": _ann.ann_pq_recall,
+    "lexical_diversity": _txt.lexical_diversity,
+    "customer_order_stats": _rel.customer_order_stats,
+    "segment_dedup": _co.segment_dedup,
+    "pack_sequences": _co.pack_sequences,
+    "mixture_sample": _co.mixture_sample,
+    "funnel_counts": _rel.funnel_counts,
+    "mad_outliers": _rel.mad_outliers,
+    "rollup_revenue": _rel.rollup_revenue,
+    "hourly_distinct_users_hll": _sk.hourly_distinct_users_hll,
+    "theta_user_sets": _sk.theta_user_sets,
+    "bpe_token_counts": _txt.bpe_token_counts,
+    "event_transition_counts": _rel.event_transition_counts,
+    "retention_cohorts": _rel.retention_cohorts,
+    "epoch_shuffle": _txt.epoch_shuffle,
+    "value_histogram": _rel.value_histogram,
+    "vocab_top_terms": _txt.vocab_top_terms,
+    "corpus_partitioned_roundtrip": _si.corpus_partitioned_roundtrip,
+    "campaign_window_revenue": _w.campaign_window_revenue,
+    "mg_heavy_users": _sk.mg_heavy_users,
+    "hourly_top_users": _rel.hourly_top_users,
+    "length_band_filter": _txt.length_band_filter,
+    "events_profile": _rel.events_profile,
+    "mg_heavy_users_by_type": _sk.mg_heavy_users_by_type,
+    "bigram_top_pairs": _txt.bigram_top_pairs,
+    "embedding_lsh_recall": _dedup.embedding_lsh_recall,
+    "contamination_ngram": _txt.contamination_ngram,
+    "dataset_split": _txt.dataset_split,
+    "media_resize": _mm.media_resize,
+    "repetition_stats": _txt.repetition_stats,
+    # --- below the 50-row recording window: rows-only queries and all
+    # --- previously driver-recorded (r1-r3 green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,
     "q4_order_priority": _rel.q4_order_priority,
     "q7_volume_shipping": _rel.q7_volume_shipping,
@@ -98,62 +159,13 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "event_sessions": _rel.event_sessions,
     "event_type_pagerank": _rel.event_type_pagerank,
     "join_size_estimate": _sk.join_size_estimate,
-    # --- round-3 operators (windows, sampling, moments) ---
     "user_event_gaps": _rel.user_event_gaps,
     "weighted_sample_events": _rel.weighted_sample_events,
     "value_stats_by_type": _rel.value_stats_by_type,
     "brand_supplier_counts": _rel.brand_supplier_counts,
-    # --- round-3 operators (LM-proxy scoring, corpus triage) ---
     "char_entropy": _txt.char_entropy,
     "unigram_logprob": _txt.unigram_logprob,
-    "source_quality_profile": _txt.source_quality_profile,
-    # --- round-3 operators (TPC-H-shaped relational suite) ---
-    "q5_local_supplier_volume": _rel.q5_local_supplier_volume,
-    "q6_revenue_forecast": _rel.q6_revenue_forecast,
-    "q9_promo_profit": _rel.q9_promo_profit,
-    "q10_returned_revenue": _rel.q10_returned_revenue,
-    "q13_order_count_distribution": _rel.q13_order_count_distribution,
-    "q18_large_volume_customers": _rel.q18_large_volume_customers,
-    "q22_idle_rich_customers": _rel.q22_idle_rich_customers,
-    # --- round-3 operators (windows, outer join, corpus prep) ---
-    "edit_distance_pairs": _dedup.edit_distance_pairs,
-    "minmax_normalize": _rel.minmax_normalize,
-    "user_count_skew": _rel.user_count_skew,
-    "daily_type_pivot": _rel.daily_type_pivot,
-    "user_customer_outer": _rel.user_customer_outer,
-    "user_trailing_value": _rel.user_trailing_value,
-    "user_running_value": _rel.user_running_value,
-    "conv_reconstruct": _tr.conv_reconstruct,
-    "redact_terms": _txt.redact_terms,
-    "q3_shipping_priority": _rel.q3_shipping_priority,
-    "range_partition_stats": _rel.range_partition_stats,
-    "f2_moment_users": _sk.f2_moment_users,
-    "jsonl_roundtrip": _si.jsonl_roundtrip,
-    "csv_roundtrip": _si.csv_roundtrip,
     "ann_pq": _ann.ann_pq,
-    "kmeans_embeddings": _ann.kmeans_embeddings,
-    "table_checksum": _txt.table_checksum,
-    "orders_monthly_growth": _rel.orders_monthly_growth,
-    "user_value_rank": _rel.user_value_rank,
-    "compact_shards_roundtrip": _si.compact_shards_roundtrip,
-    "streaming_hourly_windows": _w.streaming_hourly_windows,
-    "ann_pq_recall": _ann.ann_pq_recall,
-    "lexical_diversity": _txt.lexical_diversity,
-    "customer_order_stats": _rel.customer_order_stats,
-    "segment_dedup": _co.segment_dedup,
-    "pack_sequences": _co.pack_sequences,
-    "mixture_sample": _co.mixture_sample,
-    "funnel_counts": _rel.funnel_counts,
-    "mad_outliers": _rel.mad_outliers,
-    "rollup_revenue": _rel.rollup_revenue,
-    "hourly_distinct_users_hll": _sk.hourly_distinct_users_hll,
-    "theta_user_sets": _sk.theta_user_sets,
-    "bpe_token_counts": _txt.bpe_token_counts,
-    "event_transition_counts": _rel.event_transition_counts,
-    "retention_cohorts": _rel.retention_cohorts,
-    "epoch_shuffle": _txt.epoch_shuffle,
-    "value_histogram": _rel.value_histogram,
-    # --- previously unchecked by the driver (round-1 VERDICT item 2) ---
     "transcript_sessions": _w.transcript_sessions,
     "purchase_view_asof": _w.purchase_view_asof,
     "cqf_dump_roundtrip": _si.cqf_dump_roundtrip,
@@ -162,25 +174,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh": _ann.ann_lsh,
     "ann_ivf": _ann.ann_ivf,
     "media_features": _mm.media_features,
-    # --- new round-3 operators ---
-    "vocab_top_terms": _txt.vocab_top_terms,
-    "corpus_partitioned_roundtrip": _si.corpus_partitioned_roundtrip,
-    "campaign_window_revenue": _w.campaign_window_revenue,
-    "mg_heavy_users": _sk.mg_heavy_users,
-    "hourly_top_users": _rel.hourly_top_users,
-    "length_band_filter": _txt.length_band_filter,
-    "events_profile": _rel.events_profile,
-    "mg_heavy_users_by_type": _sk.mg_heavy_users_by_type,
-    "bigram_top_pairs": _txt.bigram_top_pairs,
     "embedding_dup_pairs_lsh": _dedup.embedding_dup_pairs_lsh,
-    "embedding_lsh_recall": _dedup.embedding_lsh_recall,
-    "contamination_ngram": _txt.contamination_ngram,
-    "dataset_split": _txt.dataset_split,
-    "media_resize": _mm.media_resize,
-    "repetition_stats": _txt.repetition_stats,
     "ann_brute_force": _ann.ann_brute_force,  # filtered query read (r3)
     "latest_event_per_user": _rel.latest_event_per_user,  # fallback mode (r3)
-    # --- newly oracled or rewritten this round ---
     "hll_distinct_users": _sk.hll_distinct_users,
     "transcript_hll_text_per_role": _tr.transcript_hll_text_per_role,
     "tdigest_value_quantiles": _sk.tdigest_value_quantiles,
@@ -199,13 +195,11 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh_recall": _ann.ann_lsh_recall,
     "ann_ivf_recall": _ann.ann_ivf_recall,
     "parts_never_ordered": _rel.parts_never_ordered,
-    # --- new round-2 operators ---
     "clean_corpus": _cl.clean_corpus,
     "revenue_by_orderpriority": _rel.revenue_by_orderpriority,
     "sliding_event_windows": _rel.sliding_event_windows,
     "value_quantiles_by_type": _rel.value_quantiles_by_type,
     "tfidf_top_terms": _txt.tfidf_top_terms,
-    # --- CQF core surface (build/enumerate/probe/algebra/delete) ---
     "cqf_user_event_counts": _sk.cqf_user_event_counts,
     "cqf_semijoin_orders": _sk.cqf_semijoin_orders,
     "cqf_inner_product_halves": _sk.cqf_inner_product_halves,
@@ -216,20 +210,17 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_semijoin_count": _sk.bloom_semijoin_count,
     "exact_distinct_users": _sk.exact_distinct_users,
     "cms_top_user_estimates": _sk.cms_top_user_estimates,
-    # --- transcript (north-star) pipelines ---
     "transcript_turns": _tr.transcript_turns,
     "transcript_role_stats": _tr.transcript_role_stats,
     "transcript_conv_lengths": _tr.transcript_conv_lengths,
     "transcript_distinct_text_per_role": _tr.transcript_distinct_text_per_role,
     "transcript_shingle_summary": _tr.transcript_shingle_summary,
     "transcript_shingle_per_role": _tr.transcript_shingle_per_role,
-    # --- text / embeddings / exact analytics ---
     "embedding_dup_pairs": _dedup.embedding_dup_pairs,
     "q1_pricing_summary": _rel.q1_pricing_summary,
     "value_quantiles_exact": _rel.value_quantiles_exact,
     "quality_filter": _txt.quality_filter,
     "token_counts": _txt.token_counts,
-    # --- round-1-green, unchanged (cut first if the driver caps at 50) ---
     "transcript_tool_stats": _tr.transcript_tool_stats,
     "transcript_conv_durations": _tr.transcript_conv_durations,
     "revenue_by_mktsegment": _rel.revenue_by_mktsegment,
