@@ -17,27 +17,26 @@ import pyarrow as pa
 import ray
 
 
-class _BroadcastJoiner:
-    """Actor-pool callable: per-batch ``pyarrow.Table.join`` against a
-    broadcast build side (deserialized once per actor in ``__init__``)."""
+def _broadcast_join_fn(keys, right_keys, join_type: str):
+    """Task-pool probe for ``broadcast_join``: each task ``ray.get``s the
+    broadcast build side (zero-copy plasma view, node-local after the
+    first fetch) and joins the batch against it.  A plain function, NOT
+    an actor pool: ``pyarrow.Table.join`` builds its hash index per call
+    either way (no persistent index to amortize), so an actor buys
+    nothing but ~1 s of pool spin-up per execution — measured on q7 —
+    and risks the concurrent-actor-pool deadlock on small CPU counts."""
+    keys = list(keys) if not isinstance(keys, str) else [keys]
+    right_keys = (
+        list(right_keys) if right_keys is not None and not isinstance(right_keys, str)
+        else ([right_keys] if right_keys else keys)
+    )
 
-    def __init__(self, small_ref, keys, right_keys=None, join_type: str = "inner"):
-        table = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
-        self.small = table.combine_chunks()
-        self.keys = list(keys) if not isinstance(keys, str) else [keys]
-        self.right_keys = (
-            list(right_keys) if right_keys is not None and not isinstance(right_keys, str)
-            else ([right_keys] if right_keys else self.keys)
-        )
-        self.join_type = join_type
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def fn(batch: pa.Table, small_ref) -> pa.Table:
+        small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
         return batch.join(
-            self.small,
-            keys=self.keys,
-            right_keys=self.right_keys,
-            join_type=self.join_type,
-        )
+            small, keys=keys, right_keys=right_keys, join_type=join_type)
+
+    return fn
 
 
 class _BloomPrefilter:
@@ -185,16 +184,19 @@ def broadcast_join(
     """Join the (large, streaming) ``ds`` against a small in-memory Arrow
     table. ``keys`` are the join columns on ``ds``; ``right_keys`` on the
     small side (default: same names). ``join_type``: inner | left outer |
-    left semi | left anti (pyarrow join types, probe side on the left)."""
-    ref = ray.put(small)
+    left semi | left anti (pyarrow join types, probe side on the left).
+
+    Runs as a TASK pool (see ``_broadcast_join_fn``); ``concurrency`` is
+    kept for signature compatibility and as the task-parallelism cap."""
+    ref = ray.put(small.combine_chunks())
+    cap = concurrency[1] if isinstance(concurrency, tuple) else concurrency
     return ds.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_args=(ref, keys),
-        fn_constructor_kwargs={"right_keys": right_keys, "join_type": join_type},
+        _broadcast_join_fn(keys, right_keys, join_type),
+        fn_args=(ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=cap,
     )
 
 
