@@ -53,6 +53,8 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
+    # --- new round-4 operators ---
+    "streaming_late_reconcile": _w.streaming_late_reconcile,
     # --- round-4 driver window: never-driver-recorded in r1-r3, all with
     # --- DuckDB oracles (rows-only queries are held below position 50) ---
     "source_quality_profile": _txt.source_quality_profile,

@@ -122,8 +122,11 @@ class StreamingWindowAggregator:
     accumulator deltas (Python touches windows, never rows); the
     watermark advances to max-event-time − allowed lateness; windows
     whose end ≤ watermark FINALIZE — emitted exactly once, in (window,
-    key) order — and events arriving behind the watermark are counted in
-    ``late_dropped`` rather than silently lost.  With lateness ≥ the
+    key) order — and events arriving behind the watermark land in the
+    LATE SIDE OUTPUT (``late_output()``: per-(window, key) count/sum
+    aggregates, plus the ``late_dropped`` row counter) rather than being
+    silently lost — the downstream reconciliation job can fold them into
+    the finalized results or alert on them.  With lateness ≥ the
     stream's true disorder the finalized+flushed output equals the batch
     aggregate EXACTLY (micro-unit integer sums), which is the
     oracle-checked contract of ``streaming_hourly_windows``.
@@ -143,6 +146,7 @@ class StreamingWindowAggregator:
         os.makedirs(ckpt_dir, exist_ok=True)
         self.open: dict[tuple[int, str], list[int]] = {}
         self.emitted: list[tuple[int, str, int, int]] = []
+        self.late_side: dict[tuple[int, str], list[int]] = {}
         self.batches_done = 0
         self.max_ts = -(1 << 62)
         self.late_dropped = 0
@@ -159,6 +163,8 @@ class StreamingWindowAggregator:
             self.open = {(int(w), k): [int(n), int(s)]
                          for w, k, n, s in m["open"]}
             self.emitted = [(int(w), k, int(n), int(s)) for w, k, n, s in m["emitted"]]
+            self.late_side = {(int(w), k): [int(n), int(s)]
+                              for w, k, n, s in m.get("late_side", [])}
             self.batches_done = m["batches_done"]
             self.max_ts = m["max_ts"]
             self.late_dropped = m["late_dropped"]
@@ -170,6 +176,8 @@ class StreamingWindowAggregator:
             json.dump({
                 "open": [[w, k, n, s] for (w, k), (n, s) in self.open.items()],
                 "emitted": [list(r) for r in self.emitted],
+                "late_side": [[w, k, n, s]
+                              for (w, k), (n, s) in self.late_side.items()],
                 "batches_done": self.batches_done,
                 "max_ts": self.max_ts,
                 "late_dropped": self.late_dropped,
@@ -210,17 +218,18 @@ class StreamingWindowAggregator:
                 win = (ts // self.window_us) * self.window_us
                 late = win + self.window_us <= wm
                 self.late_dropped += int(late.sum())
-                live = ~late
-                if live.any():
+                for sel, sink in ((~late, self.open), (late, self.late_side)):
+                    if not sel.any():
+                        continue
                     part = (
-                        pl.DataFrame({"w": win[live], "k": keys[live],
-                                      "n": np.ones(int(live.sum()), dtype=np.int64),
-                                      "s": v_s[live]})
+                        pl.DataFrame({"w": win[sel], "k": keys[sel],
+                                      "n": np.ones(int(sel.sum()), dtype=np.int64),
+                                      "s": v_s[sel]})
                         .group_by(["w", "k"])
                         .agg(pl.col("n").sum(), pl.col("s").sum())
                     )
                     for w, k, n, s in part.rows():
-                        acc = self.open.setdefault((int(w), k), [0, 0])
+                        acc = sink.setdefault((int(w), k), [0, 0])
                         acc[0] += int(n)
                         acc[1] += int(s)
                 if len(ts):
@@ -246,3 +255,13 @@ class StreamingWindowAggregator:
             self.emitted.append((wk[0], wk[1], n, s))
         self.checkpoint()
         return self.emitted
+
+    def late_output(self) -> list[tuple[int, str, int, int]]:
+        """The late-event side output: (window, key, count, sum_micro)
+        aggregates of every event that arrived behind the watermark,
+        sorted by (window, key).  ``emitted + late_output`` folded
+        together equals the offline batch aggregate exactly, regardless
+        of stream disorder — the reconciliation identity the pytest
+        asserts against a DuckDB oracle."""
+        return [(w, k, n, s)
+                for (w, k), (n, s) in sorted(self.late_side.items())]
