@@ -56,6 +56,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators ---
     "streaming_late_reconcile": _w.streaming_late_reconcile,
     "media_decode": _mm.media_decode,
+    "skew_join_zipf": _rel.skew_join_zipf,
     # --- round-4 driver window: never-driver-recorded in r1-r3, all with
     # --- DuckDB oracles (rows-only queries are held below position 50) ---
     "source_quality_profile": _txt.source_quality_profile,

@@ -58,6 +58,9 @@ QUERY_SET = [
     "zorder_layout_stats",  # Morton key + global sort + equal-count split (r3s5)
     "merge_upsert",  # MERGE INTO: single-pass change tagging + keyed resolve (r3s5)
     "sft_corpus_build",  # conv-keyed gate→pair-extract fused kernel + dedup (r3s5)
+    "skew_join_zipf",  # skew_join: 70% of rows on ONE key, hot broadcast leg (r4)
+    "streaming_late_reconcile",  # late-data side output reconciliation (r4)
+    "media_decode",  # real BMP/WAV encode+decode through actor pool (r4)
 ]
 
 
