@@ -57,6 +57,11 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "streaming_late_reconcile": _w.streaming_late_reconcile,
     "media_decode": _mm.media_decode,
     "skew_join_zipf": _rel.skew_join_zipf,
+    "user_rolling_value_7d": _rel.user_rolling_value_7d,
+    "scd2_history": _rel.scd2_history,
+    "hourly_gap_fill": _rel.hourly_gap_fill,
+    "conv_template_dedup": _tr.conv_template_dedup,
+    "stratified_split_exact": _txt.stratified_split_exact,
     # --- round-4 driver window: never-driver-recorded in r1-r3, all with
     # --- DuckDB oracles (rows-only queries are held below position 50) ---
     "source_quality_profile": _txt.source_quality_profile,

@@ -3825,6 +3825,177 @@ def q14_promo_effect(sf_dir: str, *, lo: str = "1996-01-01",
     })
 
 
+def user_rolling_value_7d(sf_dir: str, *, window_days: int = 7) -> pa.Table:
+    """TIME-RANGE window frame (RANGE BETWEEN 7 DAYS PRECEDING AND CURRENT
+    ROW) — the frame family ``user_trailing_value``'s ROWS frames don't
+    cover: per event, the trailing-7-day value sum over the SAME user,
+    peers (equal timestamps) included on both frame ends exactly like the
+    SQL RANGE spec; emitted per user as the PEAK rolling sum.  ONE keyed
+    exchange on user_id; the kernel lexsorts its partition once and turns
+    the range bounds into two vectorized merge-based two-key searchsorted
+    passes (the ``purchase_view_window_join`` trick) over the per-user
+    prefix sums — no per-row or per-user Python loop."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "value"])
+    win_us = np.int64(window_days) * 86_400_000_000
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        ts = np.asarray(t.column("ts").combine_chunks()) \
+            .astype("datetime64[us]").astype(np.int64)
+        v_s = np.round(np.asarray(t.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        su, st, sv = uid[order], ts[order], v_s[order]
+        cs = np.concatenate([[0], np.cumsum(sv)])
+        n = len(su)
+
+        def insert(qt, side):
+            U = np.concatenate([su, su])
+            T = np.concatenate([st, qt])
+            first = 0.0 if side == "right" else 1.0
+            tag = np.concatenate([np.full(n, first), np.full(n, 1.0 - first)])
+            o = np.lexsort((tag, T, U))
+            is_row = o < n
+            rows_before = np.cumsum(is_row) - is_row
+            res = np.empty(n, dtype=np.int64)
+            res[o[~is_row] - n] = rows_before[~is_row]
+            return res
+
+        hi = insert(st, "right")
+        lo = insert(st - win_us, "left")
+        roll = cs[hi] - cs[lo]
+        df = pl.DataFrame({"user_id": su, "roll": roll})
+        return (df.group_by("user_id")
+                .agg(n_events=pl.len().cast(pl.Int64),
+                     peak_s=pl.col("roll").max()).to_arrow())
+
+    out = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    out["peak_7d_value"] = round_scaled(out.pop("peak_s"))
+    return _finish(out[["user_id", "n_events", "peak_7d_value"]], ["user_id"])
+
+
+def scd2_history(sf_dir: str) -> pa.Table:
+    """SCD-2 history build from a change log (the CDC shape): each user's
+    event stream ordered by (ts, event_id) collapses into validity
+    segments of consecutive equal event_type; a segment's ``valid_to`` is
+    the next segment's ``valid_from`` (open for the last).  Emitted per
+    user: segment count, the longest CLOSED segment's dwell (µs) and the
+    still-open segment's type.  ONE keyed exchange; the kernel detects
+    segment starts with run-boundary masks over the lexsorted partition
+    and reduces per user with ``np.maximum.reduceat`` — no per-row loop."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        ts = np.asarray(t.column("ts").combine_chunks()) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(t.column("event_type").combine_chunks(), dtype=object)
+        if not len(uid):
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_segments": pa.array([], type=pa.int64()),
+                             "longest_closed_us": pa.array([], type=pa.int64()),
+                             "last_type": pa.array([], type=pa.string())})
+        o = np.lexsort((eid, ts, uid))
+        su, st, se = uid[o], ts[o], et[o]
+        seg_start = np.concatenate(
+            [[True], (su[1:] != su[:-1]) | (se[1:] != se[:-1])])
+        starts = np.flatnonzero(seg_start)
+        seg_user = su[starts]
+        vfrom = st[starts]
+        # valid_to = next segment's valid_from when same user, else open
+        vto = np.empty(len(starts), dtype=np.int64)
+        vto[:-1] = vfrom[1:]
+        closed = np.zeros(len(starts), dtype=bool)
+        closed[:-1] = seg_user[:-1] == seg_user[1:]
+        dwell = np.where(closed, vto - vfrom, 0)
+        # per-user reduction over the (user-sorted) segment arrays
+        ustart = np.flatnonzero(
+            np.concatenate([[True], seg_user[1:] != seg_user[:-1]]))
+        n_segments = np.diff(np.concatenate([ustart, [len(starts)]]))
+        longest = np.maximum.reduceat(dwell, ustart)
+        last_idx = np.concatenate([ustart[1:], [len(starts)]]) - 1
+        return pa.table({
+            "user_id": pa.array(seg_user[ustart]),
+            "n_segments": pa.array(n_segments.astype(np.int64)),
+            "longest_closed_us": pa.array(longest.astype(np.int64)),
+            "last_type": pa.array(se[starts][last_idx], type=pa.string()),
+        })
+
+    out = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    return _finish(out, ["user_id"])
+
+
+def hourly_gap_fill(sf_dir: str) -> pa.Table:
+    """Time-series GAP FILL / resample: per event_type, the hourly count
+    series with missing hours ZERO-FILLED between that type's first and
+    last active hour (the step every monitoring/training-telemetry
+    pipeline needs before diffing or windowing a series).  Corpus-sized
+    work is one combiner-first (type, hour) aggregate; the fill itself
+    runs per type over the tiny aggregate — ragged ``arange`` expansion +
+    one searchsorted merge, rows never loop."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = (np.asarray(batch.column("ts").combine_chunks())
+             .astype("datetime64[us]").astype(np.int64)
+             // 3_600_000_000) * 3_600_000_000
+        df = pl.DataFrame({
+            "event_type": np.asarray(batch.column("event_type").combine_chunks(),
+                                     dtype=object),
+            "h": h})
+        return (df.group_by(["event_type", "h"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    counts = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "h"], [("n", "sum", "n")])
+
+    def fill(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").combine_chunks(), dtype=object)
+        h = np.asarray(t.column("h").combine_chunks(), dtype=np.int64)
+        nn = np.asarray(t.column("n").combine_chunks(), dtype=np.int64)
+        if not len(et):
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "hour": pa.array([], type=pa.timestamp("us")),
+                             "n": pa.array([], type=pa.int64())})
+        o = np.lexsort((h, et))
+        et, h, nn = et[o], h[o], nn[o]
+        ustart = np.flatnonzero(np.concatenate([[True], et[1:] != et[:-1]]))
+        uend = np.concatenate([ustart[1:], [len(et)]]) - 1
+        span = (h[uend] - h[ustart]) // 3_600_000_000 + 1
+        total = int(span.sum())
+        heads = np.concatenate([[0], np.cumsum(span)[:-1]])
+        step = np.ones(total, dtype=np.int64)
+        step[heads] = np.concatenate([[0], 1 - span[:-1]])
+        within = np.cumsum(step)
+        hours = np.repeat(h[ustart], span) + within * 3_600_000_000
+        types = np.repeat(et[ustart], span)
+        # merge the observed counts onto the dense grid (both sorted)
+        grid_pos = np.repeat(heads, np.diff(np.concatenate([ustart, [len(et)]]))) \
+            + (h - np.repeat(h[ustart], np.diff(np.concatenate([ustart, [len(et)]])))) // 3_600_000_000
+        filled = np.zeros(total, dtype=np.int64)
+        filled[grid_pos] = nn
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "hour": pa.array(hours.astype("datetime64[us]")),
+            "n": pa.array(filled),
+        })
+
+    out = keyed_partition_map(counts, ["event_type"], fill).to_pandas()
+    return _finish(out, ["event_type", "hour"])
+
+
 SQL = {
     "q7_volume_shipping": (
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
@@ -3865,6 +4036,43 @@ SQL = {
         "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value "
         "FROM events JOIN customer ON user_id = c_custkey "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    "user_rolling_value_7d": (
+        "WITH w AS (SELECT user_id, "
+        "SUM(CAST(value AS DECIMAL(18,6))) OVER ("
+        "PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS roll "
+        "FROM events) "
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(ROUND(MAX(roll), 2) AS DOUBLE) AS peak_7d_value "
+        "FROM w GROUP BY user_id ORDER BY user_id"
+    ),
+    "scd2_history": (
+        "WITH o AS (SELECT user_id, event_type, ts, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+        "CASE WHEN LAG(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) IS DISTINCT FROM event_type THEN 1 ELSE 0 END "
+        "AS chg FROM events), "
+        "s AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) "
+        "AS seg FROM o), "
+        "segs AS (SELECT user_id, seg, MIN(epoch_us(ts)) AS vfrom, "
+        "MIN(event_type) AS etype FROM s GROUP BY 1, 2), "
+        "w AS (SELECT *, LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY seg) "
+        "AS vto FROM segs) "
+        "SELECT user_id, COUNT(*) AS n_segments, "
+        "CAST(COALESCE(MAX(vto - vfrom), 0) AS BIGINT) AS longest_closed_us, "
+        "MAX(CASE WHEN vto IS NULL THEN etype END) AS last_type "
+        "FROM w GROUP BY user_id ORDER BY user_id"
+    ),
+    "hourly_gap_fill": (
+        "WITH c AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) "
+        "AS h, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        "b AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM c GROUP BY 1), "
+        "g AS (SELECT b.event_type, UNNEST(generate_series(b.lo, b.hi, "
+        "INTERVAL 1 HOUR)) AS hour FROM b) "
+        "SELECT g.event_type, g.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n "
+        "FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.hour "
+        "ORDER BY g.event_type, g.hour"
     ),
     "skew_join_zipf": (
         "WITH l AS (SELECT CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id END "

@@ -311,6 +311,161 @@ def dataset_split(sf_dir: str, *, val_permille: int = 10, test_permille: int = 1
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def stratified_split_exact(sf_dir: str, *, train_permille: int = 800,
+                           seed: int = 43) -> pa.Table:
+    """EXACT-count stratified split: every language stratum contributes
+    exactly ``floor(n_lang * 800 / 1000)`` documents to train — the
+    per-stratum rank-based split real eval-set construction needs when
+    proportional hashing (``stratified_sample_langs``) is not allowed to
+    be off-by-a-few.  Members are the quota smallest (murmur(doc_id),
+    doc_id) ranks per stratum, so membership is deterministic and
+    coordination-free.
+
+    Scale shape — distributed exact-rank selection (bucketed radix
+    select), NEVER a per-stratum global sort: (1) one combiner-first
+    (lang, bucket) histogram over the priority hash's top 12 bits (order-
+    aligned, so bucket order == priority order); the driver folds the
+    ≤ |langs|×4096 histogram into each stratum's BOUNDARY bucket and the
+    exact rank still needed inside it; (2) one tagged pass partial-sums
+    the decided rows (bucket strictly below/above the boundary) and
+    forwards ONLY boundary-bucket rows (≈ n/4096 per stratum) to a tiny
+    lang-keyed exchange where the exact intra-bucket ranks resolve.  The
+    output carries per-(lang, split) doc_id sums, so the driver hash
+    proves exact MEMBERSHIP, not just counts."""
+    from ..hashing import murmur64a_u64
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    _SHIFT = np.uint64(52)  # 4096 order-aligned buckets
+    ds = read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        did = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        b = (murmur64a_u64(did.view(np.uint64), seed=seed) >> _SHIFT) \
+            .astype(np.int64)
+        df = pl.DataFrame({
+            "lang": np.asarray(batch.column("lang").combine_chunks(),
+                               dtype=object),
+            "bucket": b})
+        return (df.group_by(["lang", "bucket"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    h = grouped_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "bucket"], [("n", "sum", "n")]).to_pandas()
+
+    bstar: dict[str, int] = {}
+    need: dict[str, int] = {}
+    for lang, g in h.groupby("lang"):
+        g = g.sort_values("bucket")
+        cum = g["n"].cumsum().to_numpy()
+        quota = int(cum[-1]) * train_permille // 1000
+        i = int(np.searchsorted(cum, quota, side="left"))
+        if i >= len(cum):
+            i = len(cum) - 1
+        bstar[lang] = int(g["bucket"].iloc[i])
+        need[lang] = quota - (int(cum[i - 1]) if i > 0 else 0)
+
+    def route(batch: pa.Table) -> pa.Table:
+        # ONE pass emits both legs (memory lesson: don't union two lineages
+        # into an exchange): decided rows collapse to (lang, split)
+        # partials; boundary rows pass through row-level for exact ranking
+        import polars as pl
+
+        did = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        pri = murmur64a_u64(did.view(np.uint64), seed=seed)
+        b = (pri >> _SHIFT).astype(np.int64)
+        lang = np.asarray(batch.column("lang").combine_chunks(), dtype=object)
+        bl = np.array([bstar[x] for x in lang], dtype=np.int64) \
+            if len(lang) else np.empty(0, np.int64)
+        on_boundary = b == bl
+        decided = ~on_boundary
+        df = pl.DataFrame({
+            "lang": lang[decided],
+            "split": np.where(b[decided] < bl[decided], "train", "holdout"),
+            "doc_id": did[decided]},
+            schema_overrides={"lang": pl.Utf8, "split": pl.Utf8,
+                              "doc_id": pl.Int64})
+        partial = (df.group_by(["lang", "split"])
+                   .agg(n_docs=pl.len().cast(pl.Int64),
+                        doc_id_sum=pl.col("doc_id").sum().cast(pl.Int64)))
+        rows = pl.DataFrame({
+            "lang": lang[on_boundary],
+            "split": np.full(int(on_boundary.sum()), "", dtype=object),
+            "doc_id": did[on_boundary],
+            "pri": pri[on_boundary].view(np.int64),
+        }, schema_overrides={"lang": pl.Utf8, "split": pl.Utf8,
+                             "doc_id": pl.Int64, "pri": pl.Int64})
+        partial = partial.with_columns(
+            doc_id=pl.lit(0, dtype=pl.Int64), pri=pl.lit(0, dtype=pl.Int64),
+            is_partial=pl.lit(True))[
+            ["lang", "split", "n_docs", "doc_id_sum", "doc_id", "pri",
+             "is_partial"]]
+        rows = rows.with_columns(
+            n_docs=pl.lit(0, dtype=pl.Int64),
+            doc_id_sum=pl.lit(0, dtype=pl.Int64),
+            is_partial=pl.lit(False))[
+            ["lang", "split", "n_docs", "doc_id_sum", "doc_id", "pri",
+             "is_partial"]]
+        return pl.concat([partial, rows]).to_arrow()
+
+    tagged = ds.map_batches(route, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    import pyarrow.compute as pc
+
+    decided = grouped_aggregate(
+        tagged.map_batches(
+            lambda t: t.filter(t.column("is_partial")).select(
+                ["lang", "split", "n_docs", "doc_id_sum"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "split"],
+        [("n_docs", "sum", "n_docs"), ("doc_id_sum", "sum", "doc_id_sum")],
+    ).to_pandas()
+
+    def rank_boundary(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lang = np.asarray(t.column("lang").combine_chunks(), dtype=object)
+        did = np.asarray(t.column("doc_id").combine_chunks(), dtype=np.int64)
+        pri = np.asarray(t.column("pri").combine_chunks(),
+                         dtype=np.int64).view(np.uint64)
+        out_lang, out_split, out_n, out_sum = [], [], [], []
+        for lg in pd.unique(lang):
+            m = lang == lg
+            d, p = did[m], pri[m]
+            o = np.lexsort((d, p))
+            k = need[lg]
+            for split, sel in (("train", o[:k]), ("holdout", o[k:])):
+                if len(sel):
+                    out_lang.append(lg)
+                    out_split.append(split)
+                    out_n.append(len(sel))
+                    out_sum.append(int(d[sel].sum()))
+        return pa.table({"lang": pa.array(out_lang, type=pa.string()),
+                         "split": pa.array(out_split, type=pa.string()),
+                         "n_docs": pa.array(out_n, type=pa.int64()),
+                         "doc_id_sum": pa.array(out_sum, type=pa.int64())})
+
+    boundary = keyed_partition_map(
+        tagged.map_batches(
+            lambda t: t.filter(pc.invert(
+                t.column("is_partial").combine_chunks())).select(
+                ["lang", "doc_id", "pri"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], rank_boundary).to_pandas()
+
+    out = (pd.concat([decided, boundary], ignore_index=True)
+           .groupby(["lang", "split"], as_index=False)
+           .agg(n_docs=("n_docs", "sum"), doc_id_sum=("doc_id_sum", "sum"))
+           .sort_values(["lang", "split"]).reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["doc_id_sum"] = out["doc_id_sum"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def stratified_sample_langs(sf_dir: str, *, seed: int = 29) -> pa.Table:
     """Stratified deterministic sampling with PER-STRATUM rates — the
     language-rebalancing step of a multilingual corpus mix (downsample the
@@ -340,6 +495,23 @@ def stratified_sample_langs(sf_dir: str, *, seed: int = 29) -> pa.Table:
                         zero_copy_batch=True).to_pandas()
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _stratified_split_exact_sql() -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id, lang "
+        "FROM documents), "
+        + _MURMUR_SQL.format(seed=43)
+        + ", r AS (SELECT doc_id, lang, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY lang) AS tot FROM mmf) "
+        "SELECT lang, CASE WHEN rn <= (tot * 800) // 1000 THEN 'train' "
+        "ELSE 'holdout' END AS split, COUNT(*) AS n_docs, "
+        "CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum "
+        "FROM r GROUP BY 1, 2 ORDER BY lang, split"
+    )
 
 
 def _stratified_sample_sql() -> str:
@@ -1286,6 +1458,7 @@ SQL = {
     ),
     "dataset_split": _dataset_split_sql(),
     "stratified_sample_langs": _stratified_sample_sql(),
+    "stratified_split_exact": _stratified_split_exact_sql(),
     "epoch_shuffle": _epoch_shuffle_sql(),
     "repetition_stats": (
         "SELECT doc_id, CAST(length(text) - 4 AS BIGINT) AS n_total, "

@@ -313,6 +313,80 @@ def conv_reconstruct(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def conv_template_dedup(sf_dir: str, *, prefix_turns: int = 4) -> pa.Table:
+    """Conversation OPENING-template dedup on the north-star payload: two
+    conversations are structural duplicates when their first
+    ``prefix_turns`` ordered (role | tool) turns are identical (the
+    boilerplate-opening near-dup a transcript-mining pipeline removes
+    before SFT sampling — same flow, different surface text).  ONE
+    conv-keyed exchange builds per-conversation prefix fingerprints
+    (vectorized join + one MD5 per CONVERSATION, O(convs) not O(turns));
+    one fingerprint-keyed exchange elects each group's canonical
+    conversation (min conv_id) and sizes the group.  Output: duplicate
+    groups only."""
+    import hashlib
+    import os as _os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.transcripts import _role_of_types
+    from ..stages.keyed import keyed_partition_map
+
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..stages.keyed import run_ids
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        u = uid[order]
+        rid, starts, _ = run_ids(u)
+        turn_idx = np.arange(len(u), dtype=np.int64) - starts[rid]
+        keep = turn_idx < prefix_turns
+        order = order[keep]
+        idx = pa.array(order)
+        role = _role_of_types(t.column("event_type")).take(idx)
+        tool = t.column("event_type").combine_chunks().take(idx)
+        line = pc.binary_join_element_wise(role, tool, "|")
+        df = pl.from_arrow(pa.table({"conv": pa.array(uid[order]), "line": line}))
+        agg = df.group_by("conv").agg(tmpl=pl.col("line").str.join(";"))
+        md5s = [hashlib.md5(s.encode()).hexdigest() for s in agg["tmpl"]]
+        return pa.table({
+            "conv_id": pc.binary_join_element_wise(
+                "c", pc.cast(agg["conv"].to_arrow(), pa.string()), ""),
+            "template_md5": pa.array(md5s, type=pa.string()),
+        })
+
+    fps = keyed_partition_map(ds, ["user_id"], fingerprint)
+
+    def groups(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        return (df.group_by("template_md5")
+                .agg(n_convs=pl.len().cast(pl.Int64),
+                     canonical_conv=pl.col("conv_id").min())
+                .filter(pl.col("n_convs") >= 2)).to_arrow()
+
+    out = keyed_partition_map(fps, ["template_md5"], groups).to_pandas()
+    if out.empty:
+        return pa.table({"template_md5": pa.array([], type=pa.string()),
+                         "n_convs": pa.array([], type=pa.int64()),
+                         "canonical_conv": pa.array([], type=pa.string())})
+    out = out.sort_values("template_md5").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["template_md5", "n_convs", "canonical_conv"]],
+        preserve_index=False)
+
+
 def _ordered_conv_arrays(t: pa.Table):
     """Shared per-partition prologue: lexsort events by (conv, ts, event_id)
     and return (conv int key, turn_idx, role, text) aligned arrays."""
@@ -486,6 +560,14 @@ SQL = {
         "SELECT conv_id, COUNT(*) AS n_turns, "
         "CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_role "
         "FROM l GROUP BY 1 ORDER BY 1"
+    ),
+    "conv_template_dedup": (
+        f"{_CTE}, t AS (SELECT conv_id, "
+        "MD5(STRING_AGG(role || '|' || tool, ';' ORDER BY turn_idx)) "
+        "AS template_md5 FROM transcripts WHERE turn_idx < 4 GROUP BY conv_id) "
+        "SELECT template_md5, COUNT(*) AS n_convs, "
+        "MIN(conv_id) AS canonical_conv "
+        "FROM t GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY template_md5"
     ),
     "conv_reconstruct": (
         f"{_CTE} SELECT conv_id, COUNT(*) AS n_turns, "
