@@ -54,6 +54,11 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators ---
+    "order_top_lines": _rel.order_top_lines,
+    "dedup_keep_best": _dedup.dedup_keep_best,
+    "split_leakage_audit": _dedup.split_leakage_audit,
+    "q7_partitioned": _rel.q7_partitioned,
+    "q10_partitioned": _rel.q10_partitioned,
     "streaming_late_reconcile": _w.streaming_late_reconcile,
     "media_decode": _mm.media_decode,
     "skew_join_zipf": _rel.skew_join_zipf,

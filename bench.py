@@ -61,6 +61,8 @@ QUERY_SET = [
     "skew_join_zipf",  # skew_join: 70% of rows on ONE key, hot broadcast leg (r4)
     "streaming_late_reconcile",  # late-data side output reconciliation (r4)
     "media_decode",  # real BMP/WAV encode+decode through actor pool (r4)
+    "order_top_lines",  # grouped top-k rows, per-block partial below the exchange (r4)
+    "dedup_keep_best",  # quality-priority dedup; consumes shared _lsh_pair_state (r4)
 ]
 
 

@@ -1082,6 +1082,93 @@ def near_dup_canonical(sf_dir: str, *, threshold: float = 0.7,
     )
 
 
+def dedup_keep_best(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
+    """Quality-PRIORITY near-dup dedup — the production variant of
+    ``near_dup_canonical``: instead of keeping each duplicate cluster's
+    minimum doc_id, keep its highest-QUALITY member (longest text —
+    ``n_chars`` DESC, doc_id ASC tie-break), the policy real training-data
+    pipelines use so the fullest copy of a shuffled/truncated near-dup
+    family survives.  Pipeline: cached ``_lsh_pair_state`` (LSH + exact
+    verify, once per corpus) → connected components → a column-pruned,
+    member-filtered ``documents`` read for the quality key (the filter set
+    is pair-endpoint-sized — only clustered docs' metadata ever reaches
+    the driver) → one vectorized per-cluster argmax.  Oracle: recursive-CTE
+    closure + ROW_NUMBER over (n_chars DESC, doc_id)."""
+    import pyarrow.compute as pc
+
+    pairs = _lsh_pair_state(sf_dir, threshold=threshold)["pairs"]
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "cluster_id": pa.array([], type=pa.int64()),
+                      "keep_best": pa.array([], type=pa.bool_())})
+    if len(pairs) == 0:
+        return empty
+    comp = _union_find(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
+    docs = np.array(sorted(comp), dtype=np.int64)
+    clus = np.array([comp[d] for d in docs], dtype=np.int64)
+    member = pa.array(docs)  # pair-endpoint-sized broadcast filter
+
+    meta = (
+        read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=member)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .set_index("doc_id")["n_chars"]
+    )
+    nch = meta.reindex(docs).to_numpy(np.int64)
+    order = np.lexsort((docs, -nch, clus))
+    sc = clus[order]
+    first = np.empty(len(sc), dtype=bool)
+    first[0] = True
+    first[1:] = sc[1:] != sc[:-1]
+    keep = np.empty(len(sc), dtype=bool)
+    keep[order] = first
+    return pa.table({"doc_id": pa.array(docs), "cluster_id": pa.array(clus),
+                     "keep_best": pa.array(keep)})
+
+
+def split_leakage_audit(sf_dir: str, *, threshold: float = 0.7,
+                        train_permille: int = 800, val_permille: int = 100,
+                        seed: int = 17) -> pa.Table:
+    """Near-dup-aware train/val/test LEAKAGE audit — the check a training
+    pipeline runs before shipping a split: exact-text splits can't leak
+    (every doc lands in one split) but near-duplicate CLUSTERS can span
+    splits, contaminating eval.  Composition: cached ``_lsh_pair_state``
+    pairs → connected components → the same deterministic
+    murmur64(doc_id) % 1000 split assignment as ``dataset_split`` →
+    per-cluster distinct-split count.  Emits one row per dup cluster
+    (n_docs, n_splits, leaked); a leaked=true row means an eval doc has a
+    near-dup twin in train.  All post-pair work is pair-endpoint-sized on
+    the driver (the documented ``near_dup_canonical`` design point); the
+    corpus-sized passes are the shared LSH pipeline."""
+    from ..hashing import murmur64a_u64
+
+    pairs = _lsh_pair_state(sf_dir, threshold=threshold)["pairs"]
+    if len(pairs) == 0:
+        return pa.table({"cluster_id": pa.array([], type=pa.int64()),
+                         "n_docs": pa.array([], type=pa.int64()),
+                         "n_splits": pa.array([], type=pa.int64()),
+                         "leaked": pa.array([], type=pa.bool_())})
+    comp = _union_find(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
+    docs = np.array(sorted(comp), dtype=np.int64)
+    clus = np.array([comp[d] for d in docs], dtype=np.int64)
+    bucket = murmur64a_u64(docs.view(np.uint64), seed=seed) % np.uint64(1000)
+    code = ((bucket >= train_permille).astype(np.int64)
+            + (bucket >= train_permille + val_permille))
+    df = pd.DataFrame({"cluster_id": clus, "code": code})
+    agg = (df.groupby("cluster_id")
+           .agg(n_docs=("code", "size"), n_splits=("code", "nunique"))
+           .reset_index())
+    agg["leaked"] = agg["n_splits"] > 1
+    agg = agg.sort_values("cluster_id").reset_index(drop=True)
+    return pa.table({
+        "cluster_id": pa.array(agg["cluster_id"].to_numpy(np.int64)),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+        "n_splits": pa.array(agg["n_splits"].to_numpy(np.int64)),
+        "leaked": pa.array(agg["leaked"].to_numpy(bool)),
+    })
+
+
 def embedding_dup_pairs(sf_dir: str, *, threshold: float = 0.4) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (vec pairs with cosine ≥ t;
     the driver default 0.4 sits in the synthetic embeddings' natural
@@ -1437,6 +1524,37 @@ def entity_resolution(sf_dir: str, *, max_dist: int = 8) -> pa.Table:
     })
 
 
+def _split_leakage_sql(threshold: float = 0.7, train_permille: int = 800,
+                       val_permille: int = 100, seed: int = 17) -> str:
+    """Recursive-CTE dup-cluster closure + the murmur-in-SQL split
+    assignment (the ``dataset_split`` port) → per-cluster split span."""
+    from .sketchq import _MURMUR_SQL
+
+    lim1 = train_permille
+    lim2 = train_permille + val_permille
+    return (
+        "WITH RECURSIVE pairs AS ("
+        + _jaccard_pairs_sql(threshold).replace("ORDER BY doc_a, doc_b", "")
+        + "), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, r) AS ("
+        "  SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "  UNION "
+        "  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r), "
+        "comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node), "
+        "u AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id, cluster_id FROM comp), "
+        + _MURMUR_SQL.format(seed=seed) + ", "
+        "s AS (SELECT cluster_id, CASE WHEN priority % 1000 < " + str(lim1)
+        + " THEN 0 WHEN priority % 1000 < " + str(lim2)
+        + " THEN 1 ELSE 2 END AS code FROM mmf) "
+        "SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT code) AS BIGINT) AS n_splits, "
+        "CAST(COUNT(DISTINCT code) > 1 AS BOOLEAN) AS leaked "
+        "FROM s GROUP BY cluster_id ORDER BY cluster_id"
+    )
+
+
 SQL = {
     "embedding_dedup_canonical": (
         "WITH RECURSIVE p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
@@ -1490,6 +1608,21 @@ SQL = {
         "       CAST(node = MIN(r) AS BOOLEAN) AS keep "
         "FROM reach GROUP BY node ORDER BY doc_id"
     ),
+    "dedup_keep_best": (
+        "WITH RECURSIVE pairs AS (" + _jaccard_pairs_sql(0.7).replace("ORDER BY doc_a, doc_b", "") + "), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, r) AS ("
+        "  SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "  UNION "
+        "  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r), "
+        "comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node) "
+        "SELECT c.doc_id, c.cluster_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id "
+        "ORDER BY d.n_chars DESC, c.doc_id) = 1 AS BOOLEAN) AS keep_best "
+        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id ORDER BY c.doc_id"
+    ),
+    "split_leakage_audit": _split_leakage_sql(),
     "dedup_exact": (
         "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents "
         "GROUP BY text ORDER BY doc_id"

@@ -3996,6 +3996,72 @@ def hourly_gap_fill(sf_dir: str) -> pa.Table:
     return _finish(out, ["event_type", "hour"])
 
 
+def _order_topk_kernel(t: pa.Table, k: int, emit_rank: bool) -> pa.Table:
+    """Per-order top-k lines by (price DESC, linenumber ASC): one lexsort,
+    run-boundary ranks — no per-group Python loop."""
+    if t.num_rows == 0:
+        cols = {"l_orderkey": pa.array([], type=pa.int64()),
+                "l_linenumber": pa.array([], type=pa.int64()),
+                "l_extendedprice": pa.array([], type=pa.float64())}
+        if emit_rank:
+            cols["rnk"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+    okey = np.asarray(t.column("l_orderkey").combine_chunks()).astype(np.int64)
+    lnum = np.asarray(t.column("l_linenumber").combine_chunks()).astype(np.int64)
+    price = np.asarray(t.column("l_extendedprice").combine_chunks(), dtype=np.float64)
+    order = np.lexsort((lnum, -price, okey))
+    so, sl, sp = okey[order], lnum[order], price[order]
+    idx = np.arange(len(so), dtype=np.int64)
+    new = np.empty(len(so), dtype=bool)
+    new[0] = True
+    new[1:] = so[1:] != so[:-1]
+    start = np.maximum.accumulate(np.where(new, idx, np.int64(0)))
+    rnk = idx - start + 1
+    keep = rnk <= k
+    cols = {"l_orderkey": pa.array(so[keep]), "l_linenumber": pa.array(sl[keep]),
+            "l_extendedprice": pa.array(sp[keep])}
+    if emit_rank:
+        cols["rnk"] = pa.array(rnk[keep])
+    return pa.table(cols)
+
+
+def order_top_lines(sf_dir: str, *, k: int = 2) -> pa.Table:
+    """Grouped top-k ROWS (the per-key keep-best-k primitive a training
+    pipeline uses to keep the k best documents per domain): per order, the
+    top-``k`` lineitems by (l_extendedprice DESC, l_linenumber ASC), with
+    their rank.  Combiner-first: a per-BLOCK partial top-k runs below the
+    exchange (each block forwards ≤k candidate rows per order it saw — at
+    scale the shuffle carries O(k·groups) rows, never the fact table),
+    then ONE keyed exchange on the order key and the same vectorized
+    run-boundary kernel emits final ranks.  No global sort anywhere."""
+    from ..stages.keyed import keyed_partition_map
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    partial = li.map_batches(lambda t: _order_topk_kernel(t, k, False),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    out = keyed_partition_map(
+        partial, ["l_orderkey"], lambda t: _order_topk_kernel(t, k, True)
+    ).to_pandas()
+    return _finish(out[["l_orderkey", "rnk", "l_linenumber", "l_extendedprice"]],
+                   ["l_orderkey", "rnk"])
+
+
+def q7_partitioned(sf_dir: str) -> pa.Table:
+    """Driver-level entry for ``q7_volume_shipping(mode='partitioned')`` —
+    the beyond-broadcast-scale plan (customer streams through a second
+    co-shuffle instead of composing into a driver-side broadcast) checked
+    against the SAME oracle as the broadcast plan."""
+    return q7_volume_shipping(sf_dir, mode="partitioned")
+
+
+def q10_partitioned(sf_dir: str) -> pa.Table:
+    """Driver-level entry for ``q10_returned_revenue(mode='partitioned')``
+    — dim enrichment as a co-shuffle on the customer key, same oracle as
+    the broadcast plan."""
+    return q10_returned_revenue(sf_dir, mode="partitioned")
+
+
 SQL = {
     "q7_volume_shipping": (
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
@@ -5022,4 +5088,18 @@ SQL["value_quantiles_cont"] = (
     "ROUND((CAST(lo_c AS DOUBLE) + (idx - CAST(lo_i AS DOUBLE)) "
     "* (CAST(hi_c AS DOUBLE) - CAST(lo_c AS DOUBLE))) / 100.0, 6) AS quantile_value "
     "FROM j ORDER BY event_type, q"
+)
+
+# The partitioned-mode plans answer the SAME question as their broadcast
+# counterparts — one oracle string, two physical plans, both driver-checked.
+SQL["q7_partitioned"] = SQL["q7_volume_shipping"]
+SQL["q10_partitioned"] = SQL["q10_returned_revenue"]
+
+SQL["order_top_lines"] = (
+    "SELECT l_orderkey, rnk, l_linenumber, l_extendedprice FROM ("
+    "SELECT l_orderkey, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey "
+    "ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rnk, "
+    "CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice "
+    "FROM lineitem) WHERE rnk <= 2 ORDER BY l_orderkey, rnk"
 )

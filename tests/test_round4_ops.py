@@ -1,0 +1,86 @@
+"""Round-4 session-2 operators: grouped top-k rows, quality-priority
+dedup, near-dup split-leakage audit, partitioned-plan driver entries.
+(The all-query oracle gate checks each against DuckDB; these tests pin
+the structural claims the oracles can't see — combiner equivalence,
+cross-query cluster consistency, plan equality.)"""
+
+import numpy as np
+import pyarrow as pa
+
+from conftest import SF_DIR
+
+from cqf_ray.pipelines import dedup as D
+from cqf_ray.pipelines import relational as R
+
+
+def test_order_topk_combiner_equivalence(ray_session):
+    """The per-block partial top-k below the exchange must not change the
+    result: running the final kernel directly over the WHOLE lineitem
+    table (no partial stage) gives bit-identical output."""
+    import pyarrow.parquet as pq
+
+    out = R.order_top_lines(SF_DIR, k=2)
+    whole = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    direct = R._order_topk_kernel(whole, 2, True)
+    direct = direct.sort_by([("l_orderkey", "ascending"), ("rnk", "ascending")])
+    assert out.column("l_orderkey").to_pylist() == direct.column("l_orderkey").to_pylist()
+    assert out.column("rnk").to_pylist() == direct.column("rnk").to_pylist()
+    assert out.column("l_linenumber").to_pylist() == direct.column("l_linenumber").to_pylist()
+    assert out.column("l_extendedprice").to_pylist() == direct.column("l_extendedprice").to_pylist()
+    # ranks are 1..k and strictly price-descending within an order
+    rnk = np.asarray(out.column("rnk"))
+    assert rnk.min() == 1 and rnk.max() <= 2
+
+
+def test_dedup_keep_best_consistent_with_canonical(ray_session):
+    """Same pair state, same clusters as ``near_dup_canonical``; exactly
+    one keeper per cluster and the keeper maximizes (n_chars, -doc_id)."""
+    import pyarrow.parquet as pq
+
+    best = D.dedup_keep_best(SF_DIR).to_pandas()
+    canon = D.near_dup_canonical(SF_DIR).to_pandas()
+    assert sorted(best.doc_id) == sorted(canon.doc_id)
+    assert sorted(best.cluster_id.unique()) == sorted(canon.canonical_id.unique())
+    assert best.groupby("cluster_id")["keep_best"].sum().eq(1).all()
+
+    nch = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "n_chars"]).to_pandas() \
+        .set_index("doc_id")["n_chars"]
+    best["n_chars"] = nch.reindex(best.doc_id).to_numpy()
+    for _, g in best.groupby("cluster_id"):
+        kept = g[g.keep_best].iloc[0]
+        top = g.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True]).iloc[0]
+        assert kept.doc_id == top.doc_id
+
+
+def test_split_leakage_matches_components(ray_session):
+    """Cluster ids equal the canonical decision list's; n_docs sums to the
+    clustered-doc count; leaked ⇔ n_splits > 1; split codes re-derived
+    from the same murmur assignment agree."""
+    from cqf_ray.hashing import murmur64a_u64
+
+    audit = D.split_leakage_audit(SF_DIR).to_pandas()
+    canon = D.near_dup_canonical(SF_DIR).to_pandas()
+    assert sorted(audit.cluster_id) == sorted(canon.canonical_id.unique())
+    assert audit.n_docs.sum() == len(canon)
+    assert (audit.leaked == (audit.n_splits > 1)).all()
+    assert audit.n_splits.between(1, 3).all()
+
+    docs = canon.doc_id.to_numpy(np.int64)
+    b = murmur64a_u64(docs.view(np.uint64), seed=17) % np.uint64(1000)
+    code = (b >= 800).astype(int) + (b >= 900)
+    import pandas as pd
+
+    ns = pd.DataFrame({"c": canon.canonical_id, "code": code}) \
+        .groupby("c")["code"].nunique()
+    got = audit.set_index("cluster_id")["n_splits"]
+    assert got.sort_index().equals(ns.sort_index().astype(got.dtype))
+
+
+def test_partitioned_plans_equal_broadcast(ray_session):
+    """q7/q10 partitioned driver entries == the broadcast plans, bitwise."""
+    assert R.q7_partitioned(SF_DIR).equals(R.q7_volume_shipping(SF_DIR))
+    assert R.q10_partitioned(SF_DIR).equals(R.q10_returned_revenue(SF_DIR))
