@@ -54,6 +54,8 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators ---
+    "ann_range_search": _ann.ann_range_search,
+    "rrf_fusion": _txt.rrf_fusion,
     "order_top_lines": _rel.order_top_lines,
     "dedup_keep_best": _dedup.dedup_keep_best,
     "split_leakage_audit": _dedup.split_leakage_audit,

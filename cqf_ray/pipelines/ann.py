@@ -23,6 +23,45 @@ def ann_brute_force(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, qids, qmat, _K)
 
 
+def ann_range_search(sf_dir: str, *, radius: float = 0.30) -> pa.Table:
+    """Cosine RANGE search — all neighbors within a similarity radius, the
+    retrieval mode dedup/recall audits need when "how many" matters more
+    than "the best k": for each query vector, every (query_id, vec_id)
+    with cosine ≥ ``radius`` (self excluded).  Same distributed shape as
+    ``brute_force_topk`` — broadcast query matrix via ``ray.put``, one
+    numpy matmul per batch, only the MATCHING pairs leave each task (the
+    result is output-sized; no per-batch top-k cap because range search
+    must return the full neighborhood).  Oracle: exact
+    ``list_cosine_similarity`` cross join."""
+    import ray
+
+    qids, qmat = load_query_matrix(sf_dir, _N_QUERIES)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ref = ray.put((qids, qmat))
+
+    class RangeScan:
+        def __init__(self, queries_ref, r):
+            q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+            self.qids, self.qmat = q
+            self.r = r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = self.qmat @ emb.T  # (m, n)
+            hit = (sims >= self.r) & (self.qids[:, None] != vid[None, :])
+            qi, ci = np.nonzero(hit)
+            return pa.table({"query_id": pa.array(self.qids[qi]),
+                             "vec_id": pa.array(vid[ci])})
+
+    out = ds.map_batches(RangeScan, fn_constructor_args=(ref, radius),
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=(1, 8)).to_pandas()
+    out = out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """LSH-bucketed approximate variant (the 100 TB path: candidates only
     from matching hyperplane buckets; probes multiple nearby buckets by
@@ -415,6 +454,14 @@ SQL = {
         "CAST(mn AS DOUBLE) / 1000000.0 AS min_v, "
         "CAST(mx AS DOUBLE) / 1000000.0 AS max_v "
         "FROM a ORDER BY dim"
+    ),
+    "ann_range_search": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id < 10) "
+        "SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
+        "WHERE e.vec_id <> q.query_id "
+        "AND list_cosine_similarity(q.embedding, e.embedding) >= 0.30 "
+        "ORDER BY query_id, vec_id"
     ),
     "ann_brute_force": (
         "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10), "

@@ -1321,6 +1321,68 @@ def bm25_search(sf_dir: str, *, k: int = 20) -> pa.Table:
                                 preserve_index=False)
 
 
+def rrf_fusion(sf_dir: str, *, k: int = 20, out_k: int = 10,
+               c: int = 60) -> pa.Table:
+    """Hybrid retrieval by Reciprocal-Rank Fusion — the standard way a
+    RAG / training-data pipeline combines a lexical and a semantic ranker
+    (Cormack et al.: score = Σ 1/(c + rank)).  Legs: the distributed
+    ``bm25_search`` top-k (lexical) and an exact cosine top-k for query
+    vector 0 via ``brute_force_topk`` (semantic; doc_id ≡ vec_id in the
+    corpus).  Both legs are distributed streaming passes; the fusion
+    itself is 2k rows on the driver — output-sized by construction.  The
+    score is ONE double addition per doc (missing leg contributes 0),
+    identical on both engines, rounded at 9 dp for the hash."""
+    from ..stages.ann import brute_force_topk, load_query_matrix
+    from .common import read as _read, round_col
+
+    bm = bm25_search(sf_dir, k=k).to_pandas()
+    bm_rank = pd.Series(np.arange(1, len(bm) + 1, dtype=np.int64),
+                        index=bm["doc_id"].to_numpy())
+
+    qids, qmat = load_query_matrix(sf_dir, 1)  # query vector 0
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ann = brute_force_topk(emb, qids, qmat, k).to_pandas()
+    ann_rank = pd.Series(ann["rank"].to_numpy(np.int64),
+                         index=ann["vec_id"].to_numpy())
+
+    docs = np.union1d(bm_rank.index.to_numpy(), ann_rank.index.to_numpy())
+    rb = bm_rank.reindex(docs)
+    ra = ann_rank.reindex(docs)
+    tb = np.where(rb.notna(), 1.0 / (c + rb.fillna(0).to_numpy()), 0.0)
+    ta = np.where(ra.notna(), 1.0 / (c + ra.fillna(0).to_numpy()), 0.0)
+    score = tb + ta
+    df = pd.DataFrame({"doc_id": docs.astype(np.int64), "s": score,
+                       "in_bm25": rb.notna().to_numpy(),
+                       "in_ann": ra.notna().to_numpy()})
+    df = df.sort_values(["s", "doc_id"], ascending=[False, True],
+                        kind="mergesort").head(out_k).reset_index(drop=True)
+    df["rrf_score"] = round_col(df.pop("s"), 9)
+    return pa.Table.from_pandas(
+        df[["doc_id", "rrf_score", "in_bm25", "in_ann"]], preserve_index=False)
+
+
+def _rrf_fusion_sql(k: int = 20, out_k: int = 10, c: int = 60) -> str:
+    """Both legs re-derived in SQL: the bm25 oracle as a subquery (rank =
+    its own ordering), the ANN leg as an exact cosine ROW_NUMBER with the
+    same 9-dp tie stabilization ``brute_force_topk`` uses."""
+    return (
+        "WITH bm AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY score DESC, doc_id) AS r FROM (" + SQL["bm25_search"] + ")), "
+        "annr AS (SELECT vec_id AS doc_id, r FROM ("
+        "  SELECT e.vec_id, ROW_NUMBER() OVER (ORDER BY "
+        "    ROUND(list_cosine_similarity(q.embedding, e.embedding), 9) DESC, "
+        "    e.vec_id) AS r "
+        "  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+        f"  WHERE e.vec_id <> 0) WHERE r <= {k}), "
+        "f AS (SELECT COALESCE(bm.doc_id, annr.doc_id) AS doc_id, "
+        f"COALESCE(1.0/({c} + bm.r), 0) + COALESCE(1.0/({c} + annr.r), 0) AS s, "
+        "bm.r IS NOT NULL AS in_bm25, annr.r IS NOT NULL AS in_ann "
+        "FROM bm FULL OUTER JOIN annr ON bm.doc_id = annr.doc_id) "
+        "SELECT doc_id, ROUND(s, 9) AS rrf_score, in_bm25, in_ann "
+        f"FROM f ORDER BY s DESC, doc_id LIMIT {out_k}"
+    )
+
+
 def _table_checksum_sql() -> str:
     from .sketchq import _MURMUR_SQL
 
@@ -1574,3 +1636,4 @@ def _term_drift_sql(k: int = 50) -> str:
 
 
 SQL["term_drift"] = _term_drift_sql()
+SQL["rrf_fusion"] = _rrf_fusion_sql()

@@ -84,3 +84,46 @@ def test_partitioned_plans_equal_broadcast(ray_session):
     """q7/q10 partitioned driver entries == the broadcast plans, bitwise."""
     assert R.q7_partitioned(SF_DIR).equals(R.q7_volume_shipping(SF_DIR))
     assert R.q10_partitioned(SF_DIR).equals(R.q10_returned_revenue(SF_DIR))
+
+
+def test_ann_range_search_matches_exact(ray_session):
+    """Distributed range scan == driver-side exact cosine filter."""
+    from cqf_ray.pipelines import ann as A
+    from cqf_ray.stages.ann import load_embedding_matrix
+
+    out = A.ann_range_search(SF_DIR).to_pandas()
+    ids, mat = load_embedding_matrix(SF_DIR)
+    sims = mat[np.isin(ids, np.arange(10))] @ mat.T
+    qids = ids[np.isin(ids, np.arange(10))]
+    hit = (sims >= 0.30) & (qids[:, None] != ids[None, :])
+    qi, ci = np.nonzero(hit)
+    exp = sorted(zip(qids[qi].tolist(), ids[ci].tolist()))
+    assert list(zip(out.query_id, out.vec_id)) == exp
+
+
+def test_rrf_fusion_structure(ray_session):
+    """Every fused doc comes from a leg; scores are the RRF formula on the
+    legs' ranks; descending, out_k rows."""
+    from cqf_ray.pipelines import textq as T
+    from cqf_ray.stages.ann import brute_force_topk, load_query_matrix
+    import ray
+
+    out = T.rrf_fusion(SF_DIR).to_pandas()
+    assert len(out) == 10
+    assert (out.in_bm25 | out.in_ann).all()
+    s = out.rrf_score.to_numpy()
+    assert (np.diff(s) <= 1e-12).all()  # non-increasing
+
+    bm = T.bm25_search(SF_DIR).to_pandas()
+    bm_rank = {int(d): i + 1 for i, d in enumerate(bm.doc_id)}
+    qids, qmat = load_query_matrix(SF_DIR, 1)
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    ann = brute_force_topk(emb, qids, qmat, 20).to_pandas()
+    ann_rank = dict(zip(ann.vec_id.astype(int), ann["rank"].astype(int)))
+    for _, row in out.iterrows():
+        exp = (1.0 / (60 + bm_rank[row.doc_id]) if row.doc_id in bm_rank else 0.0) \
+            + (1.0 / (60 + ann_rank[row.doc_id]) if row.doc_id in ann_rank else 0.0)
+        assert abs(row.rrf_score - exp) < 1e-9
+        assert row.in_bm25 == (row.doc_id in bm_rank)
+        assert row.in_ann == (row.doc_id in ann_rank)
