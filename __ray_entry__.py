@@ -53,6 +53,12 @@ def entry() -> Any:
 # unchecked, newly oracled, or rewritten this round); the tail holds
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
+    # --- new round-4 operators (session 3) ---
+    "knn_graph": _ann.knn_graph,
+    "cross_shard_dedup": _dedup.cross_shard_dedup,
+    "bigram_novelty": _txt.bigram_novelty,
+    "term_cooccurrence": _txt.term_cooccurrence,
+    "hourly_anomaly_zscore": _rel.hourly_anomaly_zscore,
     # --- new round-4 operators ---
     "ann_range_search": _ann.ann_range_search,
     "rrf_fusion": _txt.rrf_fusion,

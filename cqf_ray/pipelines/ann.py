@@ -62,6 +62,60 @@ def ann_range_search(sf_dir: str, *, radius: float = 0.30) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def knn_graph(sf_dir: str, *, k: int = 3) -> pa.Table:
+    """Exact cosine k-NN GRAPH over the embeddings table — every vector's
+    top-k neighbors (self excluded), the primitive under SemDeDup
+    clustering, graph-based ANN index builds (HNSW ground truth) and
+    embedding-space quality audits.  Distributed shape: the normalized
+    matrix is broadcast ONCE via ``ray.put`` and the table streams through
+    ``map_batches`` — each batch computes one (batch × corpus) matmul and
+    emits only its rows' top-k (output-sized; nothing quadratic leaves a
+    task).  The broadcast side is the scale limiter: past ~10⁷ vectors
+    swap candidate generation to the banded LSH index
+    (``dedup.embedding_dup_pairs_lsh``) or the IVF cells (``ann_ivf``) and
+    keep this exact kernel for per-bucket scoring.  Ranking follows the
+    ``ann_brute_force`` convention: sims rounded to 9 dp, ties broken by
+    neighbor_id, so the result equals the SQL oracle row-for-row."""
+    import ray
+
+    from ..stages.ann import load_embedding_matrix
+
+    ids, mat = load_embedding_matrix(sf_dir)
+    ref = ray.put((ids, mat))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class RowTopK:
+        def __init__(self, corpus_ref, k):
+            c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+            self.cids, self.cmat = c
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = np.round(emb @ self.cmat.T, 9)  # (n, corpus)
+            sims[vid[:, None] == self.cids[None, :]] = -np.inf
+            kk = min(self.k, sims.shape[1] - 1)
+            # top-k with (sim desc, neighbor_id asc) tie-break: one row-wise
+            # lexsort — ties at the k-boundary resolve by id, never by
+            # partition order (self rows sit at -inf and sort last)
+            cids2 = np.broadcast_to(self.cids, sims.shape)
+            order = np.lexsort((cids2, -sims), axis=1)[:, :kk]
+            out_n = np.take_along_axis(cids2, order, axis=1)
+            return pa.table({
+                "vec_id": pa.array(np.repeat(vid, kk)),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64), len(vid))),
+                "neighbor_id": pa.array(out_n.reshape(-1)),
+            })
+
+    out = ds.map_batches(RowTopK, fn_constructor_args=(ref, k),
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=(1, 8)).to_pandas()
+    out = out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """LSH-bucketed approximate variant (the 100 TB path: candidates only
     from matching hyperplane buckets; probes multiple nearby buckets by
@@ -462,6 +516,18 @@ SQL = {
         "WHERE e.vec_id <> q.query_id "
         "AND list_cosine_similarity(q.embedding, e.embedding) >= 0.30 "
         "ORDER BY query_id, vec_id"
+    ),
+    "knn_graph": (
+        "WITH sims AS ( "
+        "  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "         ROUND(list_cosine_similarity(a.embedding, b.embedding), 9) AS sim "
+        "  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), "
+        "ranked AS ( "
+        "  SELECT vec_id, neighbor_id, "
+        "         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank "
+        "  FROM sims) "
+        "SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked "
+        "WHERE rank <= 3 ORDER BY vec_id, rank"
     ),
     "ann_brute_force": (
         "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10), "

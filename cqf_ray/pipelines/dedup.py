@@ -1642,3 +1642,75 @@ SQL = {
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
     ),
 }
+
+
+def cross_shard_dedup(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
+    """INCREMENTAL dedup — the "new crawl against the existing corpus"
+    operator every continuously-trained pipeline runs: incoming documents
+    (deterministic shard assignment: odd ``doc_id``) are checked for
+    near-duplication (exact n-gram Jaccard ≥ threshold) against the BASE
+    corpus (even ``doc_id``); output is one row per incoming doc with its
+    base-duplicate count and the keep/drop decision.  Incoming-vs-incoming
+    duplication is deliberately NOT counted — that is
+    ``near_dup_canonical``'s job on the incoming shard itself.
+
+    Physical plan: consumes the cached ``_lsh_pair_state`` (LSH banding +
+    exact verify, computed once per corpus and shared with the whole
+    near-dup family) and filters its verified pair set to cross-shard
+    pairs — a pair-endpoint-sized driver step.  At production scale the
+    base side's band buckets are a PERSISTED index (the
+    ``state/checkpoint`` blob machinery): incoming shards replay only
+    their own signatures against it, so each increment costs
+    O(incoming), not O(corpus) — the banding, verify and prefilter
+    kernels are the ones already measured here."""
+    import pyarrow.compute as pc_
+
+    pairs = _lsh_pair_state(sf_dir, threshold=threshold)["pairs"]
+    if len(pairs):
+        a = pairs["doc_a"].to_numpy().astype(np.int64)
+        b = pairs["doc_b"].to_numpy().astype(np.int64)
+        cross = (a % 2) != (b % 2)
+        inc_hit = np.where(a % 2 == 1, a, b)[cross]
+        hit_ids, hit_counts = np.unique(inc_hit, return_counts=True)
+    else:
+        hit_ids = np.empty(0, np.int64)
+        hit_counts = np.empty(0, np.int64)
+
+    incoming = (
+        read(sf_dir, "documents", ["doc_id"])
+        .map_batches(
+            lambda t: t.filter(
+                pc_.equal(pc_.bit_wise_and(t.column("doc_id"), 1), 1)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    ids = incoming["doc_id"].to_numpy(np.int64)
+    n_dups = np.zeros(len(ids), dtype=np.int64)
+    pos = np.searchsorted(ids, hit_ids)
+    n_dups[pos] = hit_counts.astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "n_base_dups": pa.array(n_dups),
+        "keep": pa.array(n_dups == 0),
+    })
+
+
+SQL["cross_shard_dedup"] = (
+    "WITH sh AS (SELECT DISTINCT doc_id, substring(text, CAST(r AS BIGINT) + 1, 5) AS g "
+    "FROM documents, LATERAL UNNEST(range(length(text) - 4)) AS t(r) "
+    "WHERE length(text) >= 5), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c "
+    "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "good AS (SELECT doc_a, doc_b FROM pairs "
+    "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+    "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7), "
+    "x AS (SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id "
+    "FROM good WHERE (doc_a % 2) <> (doc_b % 2)), "
+    "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_base_dups FROM x GROUP BY 1) "
+    "SELECT d.doc_id, COALESCE(agg.n_base_dups, 0) AS n_base_dups, "
+    "COALESCE(agg.n_base_dups, 0) = 0 AS keep "
+    "FROM documents d LEFT JOIN agg USING (doc_id) "
+    "WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"
+)

@@ -5103,3 +5103,63 @@ SQL["order_top_lines"] = (
     "CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice "
     "FROM lineitem) WHERE rnk <= 2 ORDER BY l_orderkey, rnk"
 )
+
+
+def hourly_anomaly_zscore(sf_dir: str) -> pa.Table:
+    """Hour-of-day traffic anomaly scores per event type: z-score of each
+    (type, hour) count against the type's own across-hour distribution —
+    the monitoring primitive that flags pipeline stalls/bursts in an
+    ingestion feed.  ONE combiner-first distributed aggregate produces the
+    (event_type, hour, n) table (≤ |types|×24 rows regardless of input
+    size); the z arithmetic is driver-side on that constant-size table.
+    Bit-exactness: with H hours observed, S=Σn, SS=Σn², the population
+    z-score algebraically equals (H·n − S)/√(H·SS − S²) — numerator and
+    radicand are exact int64, and int→double conversion, IEEE sqrt and
+    division are all correctly rounded, so numpy and DuckDB produce the
+    SAME double bit-for-bit (the ``grouped_regression`` exact-moments
+    trick, without even needing micro-units).  Zero-variance groups emit
+    z=0 on both sides."""
+    import polars as pl
+
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "hour": np.asarray(pc.hour(batch.column("ts")).combine_chunks(),
+                               dtype=np.int64),
+        })
+        return (df.group_by(["event_type", "hour"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], [("n", "sum", "n")],
+    ).to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    g = c.groupby("event_type")["n"]
+    h = g.transform("count").to_numpy(np.int64)
+    s = g.transform("sum").to_numpy(np.int64)
+    ss = c.assign(n2=c["n"].to_numpy(np.int64) ** 2).groupby(
+        "event_type")["n2"].transform("sum").to_numpy(np.int64)
+    n = c["n"].to_numpy(np.int64)
+    num = (h * n - s).astype(np.float64)
+    rad = (h * ss - s * s).astype(np.float64)
+    z = np.where(rad == 0.0, 0.0, num / np.sqrt(np.where(rad == 0.0, 1.0, rad)))
+    out = pd.DataFrame({"event_type": c["event_type"], "hour": c["hour"].astype(np.int64),
+                        "n": n, "z": z})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["hourly_anomaly_zscore"] = (
+    "WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h, "
+    "CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss "
+    "FROM c GROUP BY 1) "
+    "SELECT c.event_type, c.hour, CAST(c.n AS BIGINT) AS n, "
+    "CASE WHEN m.h * m.ss - m.s * m.s = 0 THEN 0.0 "
+    "ELSE CAST(m.h * c.n - m.s AS DOUBLE) / sqrt(CAST(m.h * m.ss - m.s * m.s AS DOUBLE)) "
+    "END AS z "
+    "FROM c JOIN m USING (event_type) ORDER BY event_type, hour"
+)

@@ -1637,3 +1637,127 @@ def _term_drift_sql(k: int = 50) -> str:
 
 SQL["term_drift"] = _term_drift_sql()
 SQL["rrf_fusion"] = _rrf_fusion_sql()
+
+
+def bigram_novelty(sf_dir: str) -> pa.Table:
+    """Per-document FIRST-OCCURRENCE novelty score over word bigrams: what
+    fraction of a doc's distinct adjacent-word pairs appear in no
+    earlier-id document — the curriculum/value-scoring signal dedup-style
+    pipelines use to rank fresh content (a doc full of already-seen
+    phrasing scores near 0).  Three stages, all distributed: (1) per-batch
+    vectorized bigram explosion to DISTINCT ``(bigram, doc_id)`` rows
+    (docs never span batches, so batch-level distinct is global); (2) ONE
+    keyed shuffle on the bigram string — each partition owns its bigrams
+    wholly, so the per-bigram ``min(doc_id)`` and the per-doc
+    novel/total partial counts are partition-local polars group_bys; (3) a
+    combiner-first grouped sum by doc_id.  Exact integer output
+    (``novelty_bps`` = 10000·novel // total — both engines floor
+    non-negative ints).  Docs with < 2 words have no bigrams and do not
+    appear (matches the oracle's group-by)."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+            "text": pl.from_arrow(batch.column("text").combine_chunks()),
+        }).with_columns(ws=pl.col("text").str.split(" "))
+        df = (df.with_columns(
+                  a=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
+                  b=pl.col("ws").list.slice(1))
+              .select("doc_id", "a", "b")
+              .explode(["a", "b"])
+              .drop_nulls()
+              .with_columns(bg=pl.col("a") + " " + pl.col("b"))
+              .select("doc_id", "bg")
+              .unique())
+        return df.to_arrow()
+
+    def per_bigram_kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        first = df.group_by("bg").agg(mn=pl.col("doc_id").min())
+        j = df.join(first, on="bg")
+        out = j.group_by("doc_id").agg(
+            nb=pl.len().cast(pl.Int64),
+            nn=(pl.col("doc_id") == pl.col("mn")).sum().cast(pl.Int64),
+        )
+        return out.to_arrow()
+
+    rows = ds.map_batches(explode_bigrams, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    partials = keyed_partition_map(rows, ["bg"], per_bigram_kernel)
+    agg = grouped_aggregate(
+        partials, ["doc_id"],
+        [("n_bigrams", "sum", "nb"), ("n_novel", "sum", "nn")],
+    ).to_pandas()
+    agg = agg.sort_values("doc_id").reset_index(drop=True)
+    nb = agg["n_bigrams"].to_numpy(np.int64)
+    nn = agg["n_novel"].to_numpy(np.int64)
+    agg["novelty_bps"] = (10000 * nn) // np.maximum(nb, 1)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def term_cooccurrence(sf_dir: str, *, k: int = 20) -> pa.Table:
+    """Top-k within-document term CO-OCCURRENCE pairs (phrase/topic mining):
+    for every unordered pair of distinct tokens, the number of documents
+    containing both.  Docs never span batches, so pair generation is a
+    batch-local polars self-join on doc_id (distinct terms only) — the
+    all-to-all exchange carries per-batch ``(term_a, term_b, n)`` PARTIALS,
+    never the token stream, and the final top-k runs on the pair-vocabulary
+    aggregate.  At web scale the per-doc distinct-term set must be capped
+    (top-N TF terms per doc) before pairing — the pair count is quadratic
+    in per-doc vocabulary, not in corpus size."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        df = (pl.DataFrame({
+                  "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+                  "text": pl.from_arrow(batch.column("text").combine_chunks()),
+              })
+              .with_columns(term=pl.col("text").str.split(" "))
+              .select("doc_id", "term").explode("term").unique())
+        pairs = df.join(df.rename({"term": "term_b"}), on="doc_id")
+        pairs = pairs.filter(pl.col("term") < pl.col("term_b"))
+        out = (pairs.rename({"term": "term_a"})
+               .group_by(["term_a", "term_b"])
+               .agg(n=pl.len().cast(pl.Int64)))
+        return out.to_arrow()
+
+    partials = ds.map_batches(pair_partials, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = grouped_aggregate(partials, ["term_a", "term_b"],
+                            [("n_docs", "sum", "n")]).to_pandas()
+    agg = agg.sort_values(["n_docs", "term_a", "term_b"],
+                          ascending=[False, True, True]).head(k)
+    return pa.Table.from_pandas(agg.reset_index(drop=True), preserve_index=False)
+
+
+SQL["bigram_novelty"] = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "b AS (SELECT DISTINCT doc_id, "
+    "ws[CAST(i AS BIGINT)] || ' ' || ws[CAST(i AS BIGINT) + 1] AS bg "
+    "FROM w, LATERAL UNNEST(range(1, len(ws))) AS t(i)), "
+    "f AS (SELECT bg, MIN(doc_id) AS first_doc FROM b GROUP BY bg) "
+    "SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+    "CAST(10000 * SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+    "// COUNT(*) AS novelty_bps "
+    "FROM b JOIN f USING (bg) GROUP BY b.doc_id ORDER BY b.doc_id"
+)
+
+SQL["term_cooccurrence"] = (
+    "WITH w AS (SELECT DISTINCT doc_id, t.term "
+    "FROM documents, LATERAL UNNEST(string_split(text, ' ')) AS t(term)), "
+    "p AS (SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n "
+    "FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2) "
+    "SELECT term_a, term_b, CAST(n AS BIGINT) AS n_docs FROM p "
+    "ORDER BY n DESC, term_a, term_b LIMIT 20"
+)

@@ -127,3 +127,66 @@ def test_rrf_fusion_structure(ray_session):
         assert abs(row.rrf_score - exp) < 1e-9
         assert row.in_bm25 == (row.doc_id in bm_rank)
         assert row.in_ann == (row.doc_id in ann_rank)
+
+
+def test_knn_graph_structure_and_mutuality(ray_session):
+    """knn_graph: every vector gets exactly k ranked neighbors, the rank-1
+    neighbor's similarity is the row maximum (cross-checked against the
+    brute-force pair similarity), and no self-edges appear."""
+    from cqf_ray.pipelines import ann as A
+    from cqf_ray.stages.ann import load_embedding_matrix
+
+    g = A.knn_graph(SF_DIR, k=3).to_pandas()
+    assert not (g["vec_id"] == g["neighbor_id"]).any()
+    per = g.groupby("vec_id")["rank"].agg(["count", "min", "max"])
+    assert (per["count"] == 3).all() and (per["min"] == 1).all() and (per["max"] == 3).all()
+    ids, mat = load_embedding_matrix(SF_DIR)
+    sims = np.round(mat @ mat.T, 9)
+    np.fill_diagonal(sims, -np.inf)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    r1 = g[g["rank"] == 1]
+    for v, nb in zip(r1["vec_id"].to_numpy()[:50], r1["neighbor_id"].to_numpy()[:50]):
+        assert sims[idx[v], idx[nb]] == sims[idx[v]].max()
+
+
+def test_cross_shard_dedup_consistent_with_pair_set(ray_session):
+    """cross_shard_dedup's drop set must equal the odd endpoints of the
+    parity-cross pairs in the corpus near-dup pair set."""
+    from cqf_ray.pipelines import dedup as D_
+
+    out = D_.cross_shard_dedup(SF_DIR).to_pandas()
+    pairs = D_.minhash_lsh_pairs(SF_DIR).to_pandas()
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    cross = (a % 2) != (b % 2)
+    expect_drop = set(np.where(a % 2 == 1, a, b)[cross].tolist())
+    got_drop = set(out.loc[~out["keep"], "doc_id"].tolist())
+    assert got_drop == expect_drop
+    assert (out["doc_id"] % 2 == 1).all()
+
+
+def test_bigram_novelty_first_doc_fully_novel(ray_session):
+    """The minimum doc_id can only ever see itself as first occurrence:
+    its novelty must be exactly 10000 bps, and every doc's novel count is
+    bounded by its distinct-bigram count."""
+    from cqf_ray.pipelines import textq as T
+
+    out = T.bigram_novelty(SF_DIR).to_pandas().set_index("doc_id")
+    first = out.index.min()
+    assert out.loc[first, "novelty_bps"] == 10000
+    assert (out["n_novel"] <= out["n_bigrams"]).all()
+    assert (out["novelty_bps"] == (10000 * out["n_novel"]) // out["n_bigrams"]).all()
+
+
+def test_hourly_anomaly_zscore_moments(ray_session):
+    """Within each event type the z column must sum to ~0 and the
+    population-normalized square sum to ~H (the defining moment
+    identities), and zero-variance groups emit z=0."""
+    from cqf_ray.pipelines import relational as R_
+
+    out = R_.hourly_anomaly_zscore(SF_DIR).to_pandas()
+    for _, grp in out.groupby("event_type"):
+        z = grp["z"].to_numpy()
+        assert abs(z.sum()) < 1e-6
+        if (z != 0).any():
+            assert abs((z * z).sum() - len(z)) < 1e-6
