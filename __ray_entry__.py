@@ -54,6 +54,8 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators (session 3) ---
+    "dup_span_stats": _dedup.dup_span_stats,
+    "trigram_paths": _rel.trigram_paths,
     "knn_graph": _ann.knn_graph,
     "cross_shard_dedup": _dedup.cross_shard_dedup,
     "bigram_novelty": _txt.bigram_novelty,

@@ -63,6 +63,9 @@ QUERY_SET = [
     "media_decode",  # real BMP/WAV encode+decode through actor pool (r4)
     "order_top_lines",  # grouped top-k rows, per-block partial below the exchange (r4)
     "dedup_keep_best",  # quality-priority dedup; consumes shared _lsh_pair_state (r4)
+    "knn_graph",  # exact cosine k-NN graph: broadcast matrix, streamed batches (r4s3)
+    "bigram_novelty",  # first-occurrence novelty: bigram-keyed shuffle (r4s3)
+    "cross_shard_dedup",  # incremental shard-vs-base dedup over shared LSH state (r4s3)
 ]
 
 

@@ -5163,3 +5163,49 @@ SQL["hourly_anomaly_zscore"] = (
     "END AS z "
     "FROM c JOIN m USING (event_type) ORDER BY event_type, hour"
 )
+
+
+def trigram_paths(sf_dir: str, *, k: int = 20) -> pa.Table:
+    """Top-k 3-event behavioral paths: for every user's time-ordered event
+    stream, count consecutive (t1 → t2 → t3) event-type triples globally —
+    the sequence-mining extension of ``event_transition_counts`` (session
+    replay / funnel discovery).  One keyed shuffle on user_id; the kernel
+    is a single lexsort + two shifted compares per partition (triples
+    crossing user boundaries masked out) with in-kernel partial counts, so
+    the final exchange carries ≤ |types|³ rows per partition."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsv, uid))
+        uid, et = uid[order], et[order]
+        ok = (uid[2:] == uid[:-2]) & (uid[2:] == uid[1:-1]) \
+            if len(uid) >= 3 else np.empty(0, bool)
+        df = pl.DataFrame({"t1": et[:-2][ok], "t2": et[1:-1][ok],
+                           "t3": et[2:][ok]})
+        return (df.group_by(["t1", "t2", "t3"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    partials = keyed_partition_map(ev, ["user_id"], kernel)
+    agg = grouped_aggregate(partials, ["t1", "t2", "t3"],
+                            [("n", "sum", "n")]).to_pandas()
+    agg = agg.sort_values(["n", "t1", "t2", "t3"],
+                          ascending=[False, True, True, True]).head(k)
+    return pa.Table.from_pandas(agg.reset_index(drop=True), preserve_index=False)
+
+
+SQL["trigram_paths"] = (
+    "WITH s AS (SELECT event_type AS t1, "
+    "LEAD(event_type, 1) OVER w AS t2, LEAD(event_type, 2) OVER w AS t3 "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n FROM s "
+    "WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3 "
+    "ORDER BY n DESC, t1, t2, t3 LIMIT 20"
+)
