@@ -54,6 +54,9 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators (session 3) ---
+    "pareto_front": _rel.pareto_front,
+    "spearman_ts_value": _rel.spearman_ts_value,
+    "last_touch_attribution": _w.last_touch_attribution,
     "dup_span_stats": _dedup.dup_span_stats,
     "trigram_paths": _rel.trigram_paths,
     "knn_graph": _ann.knn_graph,

@@ -5209,3 +5209,151 @@ SQL["trigram_paths"] = (
     "WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3 "
     "ORDER BY n DESC, t1, t2, t3 LIMIT 20"
 )
+
+
+def _skyline_mask(prio: np.ndarray, price: np.ndarray, date_us: np.ndarray,
+                  okey: np.ndarray) -> np.ndarray:
+    """Keep-mask of the 2-D maxima (Pareto front) of (price, date) within
+    each prio group: a row is dominated iff some same-group row is ≥ in
+    both dims and > in one.  O(n log n): sort (prio, price↓, date↓), then a
+    row survives iff its date equals its price-group max (kills same-price
+    higher-date dominators) AND exceeds the running date max over strictly
+    higher prices (kills cross-price dominators).  Comparisons only — no
+    float arithmetic, so block-local and global passes are bit-identical."""
+    _, inv = np.unique(prio, return_inverse=True)
+    n = len(inv)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((okey, -date_us, -price, inv))
+    inv_s, pr_s, dt_s = inv[order], price[order], date_us[order]
+    idx = np.arange(n)
+    new_prio = np.ones(n, bool)
+    new_prio[1:] = inv_s[1:] != inv_s[:-1]
+    new_pg = new_prio.copy()
+    new_pg[1:] |= pr_s[1:] != pr_s[:-1]
+    pg_start = np.maximum.accumulate(np.where(new_pg, idx, 0))
+    prio_start = np.maximum.accumulate(np.where(new_prio, idx, 0))
+    m2 = dt_s[pg_start]  # price-group max date (sorted date-desc)
+    cummax = np.empty(n, np.int64)
+    starts = np.flatnonzero(new_prio)
+    for s, e in zip(starts, np.append(starts[1:], n)):  # ≤ |prios| segments
+        cummax[s:e] = np.maximum.accumulate(dt_s[s:e])
+    prev = pg_start - 1
+    m1 = np.where(prev >= prio_start, cummax[np.maximum(prev, 0)],
+                  np.int64(-(2**62)))
+    keep_s = (dt_s == m2) & (m1 < dt_s)
+    keep = np.zeros(n, bool)
+    keep[order] = keep_s
+    return keep
+
+
+def pareto_front(sf_dir: str) -> pa.Table:
+    """Grouped 2-D skyline: per order priority, the orders no other
+    same-priority order dominates on (o_totalprice, o_orderdate) — the
+    price/recency Pareto front (multi-criteria 'best orders' with no
+    weighting).  Distributed via the classic two-phase skyline: each block
+    keeps only its LOCAL front (dominance is transitive, so every global
+    survivor survives locally — blocks shed ~all rows), then the union of
+    block fronts (O(|groups|·log²) expected rows under independent dims)
+    gets one exact global pass on the driver.  No shuffle at all — the
+    only exchange is the tiny candidate collection."""
+    ds = read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"])
+
+    def local_front(batch: pa.Table) -> pa.Table:
+        keep = _skyline_mask(
+            batch.column("o_orderpriority").to_numpy(zero_copy_only=False),
+            np.asarray(batch.column("o_totalprice").combine_chunks(),
+                       dtype=np.float64),
+            np.asarray(batch.column("o_orderdate").combine_chunks())
+            .astype("datetime64[us]").astype(np.int64),
+            np.asarray(batch.column("o_orderkey").combine_chunks(),
+                       dtype=np.int64),
+        )
+        return batch.filter(pa.array(keep))
+
+    cand = pa.Table.from_pandas(
+        ds.map_batches(local_front, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas(),
+        preserve_index=False)  # block fronts only — candidate-set-sized
+    keep = _skyline_mask(
+        cand.column("o_orderpriority").to_numpy(zero_copy_only=False),
+        np.asarray(cand.column("o_totalprice").combine_chunks(),
+                   dtype=np.float64),
+        np.asarray(cand.column("o_orderdate").combine_chunks())
+        .astype("datetime64[us]").astype(np.int64),
+        np.asarray(cand.column("o_orderkey").combine_chunks(), dtype=np.int64),
+    )
+    df = cand.filter(pa.array(keep)).to_pandas()
+    df = df.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"]],
+        preserve_index=False)
+
+
+SQL["pareto_front"] = (
+    "WITH g AS (SELECT o_orderpriority AS p, o_totalprice AS pr, "
+    "MAX(o_orderdate) AS m2 FROM orders GROUP BY 1, 2), "
+    "w AS (SELECT p, pr, m2, MAX(m2) OVER (PARTITION BY p ORDER BY pr DESC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1 FROM g) "
+    "SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, o.o_orderdate "
+    "FROM orders o JOIN w ON o.o_orderpriority = w.p AND o.o_totalprice = w.pr "
+    "WHERE (w.m1 IS NULL OR w.m1 < o.o_orderdate) AND o.o_orderdate = w.m2 "
+    "ORDER BY o.o_orderpriority, o.o_totalprice DESC, o.o_orderkey"
+)
+
+
+def spearman_ts_value(sf_dir: str) -> pa.Table:
+    """Per-user Spearman rank correlation between event TIME and event
+    VALUE — 'is this user's spend trending up or down?' at scale, with the
+    classic Σd² formula made exact: average ranks are carried as the
+    integer 2·rank_min + |ties| − 1 (twice the average rank), so the
+    shuffled aggregate is pure int64 (sum_d2_x4 = 4·Σd²) and rho's single
+    float expression evaluates bit-identically on both engines.  One keyed
+    shuffle on user_id; ranking is a vectorized polars window over the
+    partition; the driver sees one row per user."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        r2 = (
+            df.with_columns(
+                rv=2 * pl.col("value").rank("min").over("user_id").cast(pl.Int64)
+                + pl.len().over(["user_id", "value"]).cast(pl.Int64) - 1,
+                rt=2 * pl.col("ts").rank("min").over("user_id").cast(pl.Int64)
+                + pl.len().over(["user_id", "ts"]).cast(pl.Int64) - 1,
+            )
+            .with_columns(d=pl.col("rv") - pl.col("rt"))
+            .group_by("user_id")
+            .agg(n_events=pl.len().cast(pl.Int64),
+                 sum_d2_x4=(pl.col("d") * pl.col("d")).sum().cast(pl.Int64))
+        )
+        return r2.to_arrow()
+
+    out = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    out = out[out["n_events"] >= 2].sort_values("user_id").reset_index(drop=True)
+    n = out["n_events"].to_numpy(np.int64)
+    s = out["sum_d2_x4"].to_numpy(np.int64)
+    denom = n.astype(np.float64) * ((n * n).astype(np.float64) - 1.0)
+    out["rho"] = 1.0 - (1.5 * s.astype(np.float64)) / denom
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["spearman_ts_value"] = (
+    "WITH r AS (SELECT user_id, "
+    "2*RANK() OVER (PARTITION BY user_id ORDER BY value) "
+    "+ COUNT(*) OVER (PARTITION BY user_id, value) - 1 AS rv, "
+    "2*RANK() OVER (PARTITION BY user_id ORDER BY ts) "
+    "+ COUNT(*) OVER (PARTITION BY user_id, ts) - 1 AS rt "
+    "FROM events) "
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "CAST(SUM((rv-rt)*(rv-rt)) AS BIGINT) AS sum_d2_x4, "
+    "1.0 - 1.5 * CAST(SUM((rv-rt)*(rv-rt)) AS DOUBLE) "
+    "/ (COUNT(*) * (COUNT(*)*COUNT(*) - 1.0)) AS rho "
+    "FROM r GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id"
+)

@@ -403,3 +403,77 @@ SQL = {
         "ORDER BY purchase_id"
     ),
 }
+
+
+def last_touch_attribution(sf_dir: str) -> pa.Table:
+    """Last-touch revenue attribution: every 'purchase' credits its value
+    to the user's most recent STRICTLY-preceding marketing touch ('view' /
+    'click'); purchases with no prior touch fall in the 'direct' bucket.
+    The as-of carry-forward is one vectorized forward-fill per partition
+    (global np.maximum.accumulate over last-touch indices, invalidated
+    across user boundaries — no per-user loop), and only per-partition
+    (touch_type, n, µ-unit sum) partials leave the kernel, so the final
+    exchange carries ≤ 3 rows per partition.  Value sums ride integer
+    micro-units end-to-end (bit-identical to the DECIMAL(18,6) oracle)."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_scaled
+
+    ds = read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = _col_i64(t, "user_id")
+        tsu = _col_ts_us(t, "ts")
+        eid = _col_i64(t, "event_id")
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        val = np.asarray(t.column("value").combine_chunks(), dtype=np.float64)
+        n = len(uid)
+        empty = pa.table({"touch_type": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "sum_micro": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        order = np.lexsort((eid, tsu, uid))
+        uid, et, val = uid[order], et[order], val[order]
+        idx = np.arange(n)
+        is_touch = (et == "view") | (et == "click")
+        # index of last touch at-or-before each row (self never a purchase+touch)
+        last_touch = np.maximum.accumulate(np.where(is_touch, idx, -1))
+        ustart = np.maximum.accumulate(
+            np.where(np.r_[True, uid[1:] != uid[:-1]], idx, 0))
+        is_p = et == "purchase"
+        valid = is_p & (last_touch >= ustart)
+        touch = np.full(n, "direct", dtype=object)
+        touch[valid] = et[np.maximum(last_touch, 0)][valid]
+        micro = np.round(val * 1e6).astype(np.int64)
+        import polars as pl
+
+        df = pl.DataFrame({"touch_type": pl.Series(touch[is_p].astype(str)),
+                           "v": pl.Series(micro[is_p])})
+        return (df.group_by("touch_type")
+                .agg(n=pl.len().cast(pl.Int64), sum_micro=pl.col("v").sum())
+                .to_arrow())
+
+    partials = keyed_partition_map(ds, ["user_id"], kernel)
+    out = grouped_aggregate(
+        partials, ["touch_type"],
+        [("n_purchases", "sum", "n"), ("sum_micro", "sum", "sum_micro")],
+    ).to_pandas().sort_values("touch_type").reset_index(drop=True)
+    out["attributed_value"] = round_scaled(out["sum_micro"].to_numpy(), 2, 6)
+    return pa.Table.from_pandas(
+        out[["touch_type", "n_purchases", "attributed_value"]],
+        preserve_index=False)
+
+
+SQL["last_touch_attribution"] = (
+    "WITH t AS (SELECT user_id, ts, event_id, event_type, value, "
+    "LAST_VALUE(CASE WHEN event_type IN ('view','click') THEN event_type END "
+    "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch "
+    "FROM events) "
+    "SELECT COALESCE(touch, 'direct') AS touch_type, "
+    "COUNT(*) AS n_purchases, "
+    "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "AS attributed_value "
+    "FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+)
