@@ -54,6 +54,9 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators (session 3) ---
+    "peak_concurrency": _rel.peak_concurrency,
+    "theilsen_user_trend": _rel.theilsen_user_trend,
+    "source_vocab_overlap": _txt.source_vocab_overlap,
     "pareto_front": _rel.pareto_front,
     "spearman_ts_value": _rel.spearman_ts_value,
     "last_touch_attribution": _w.last_touch_attribution,

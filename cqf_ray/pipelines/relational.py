@@ -5357,3 +5357,116 @@ SQL["spearman_ts_value"] = (
     "/ (COUNT(*) * (COUNT(*)*COUNT(*) - 1.0)) AS rho "
     "FROM r GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id"
 )
+
+
+def peak_concurrency(sf_dir: str) -> pa.Table:
+    """Sweep-line interval analytics: treating each event as an active
+    interval [ts, ts+1h), the PEAK number of simultaneously-active events
+    per type (capacity planning / concurrency audit — the operator shape
+    behind 'max concurrent sessions').  One keyed shuffle on event_type
+    (every type's boundaries co-locate), then per partition a single
+    boundary sort + cumsum per type segment — the O(n log n) sweep, no
+    pairwise interval join.  Ties order ends (−1) before starts (+1),
+    making intervals half-open exactly like the oracle's ORDER BY t, d.
+    At extreme per-type volume the sweep time-chunks with a carried
+    running count; at this key cardinality one partition per type is the
+    fast plan."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+    _HOUR_US = 3_600_000_000
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        n = len(tsu)
+        if n == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "peak_concurrency": pa.array([], type=pa.int64())})
+        _, inv = np.unique(et, return_inverse=True)
+        codes = np.concatenate([inv, inv])
+        times = np.concatenate([tsu, tsu + _HOUR_US])
+        delta = np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+        order = np.lexsort((delta, times, codes))  # ends before starts at ties
+        c_s, d_s = codes[order], delta[order]
+        csum = np.cumsum(d_s)
+        new = np.r_[True, c_s[1:] != c_s[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(c_s))
+        # subtract the running total carried in from previous segments
+        base = np.r_[0, csum[starts[1:] - 1]]
+        types, peaks = [], []
+        ut = np.unique(et)
+        for i, (s, e) in enumerate(zip(starts, ends)):  # ≤ |types| segments
+            types.append(ut[c_s[s]])
+            peaks.append(int((csum[s:e] - base[i]).max()))
+        return pa.table({"event_type": pa.array(types, type=pa.string()),
+                         "peak_concurrency": pa.array(peaks, type=pa.int64())})
+
+    out = keyed_partition_map(ev, ["event_type"], kernel).to_pandas()
+    return _finish(out, ["event_type"])
+
+
+SQL["peak_concurrency"] = (
+    "WITH b AS (SELECT event_type, ts AS t, 1 AS d FROM events "
+    "UNION ALL SELECT event_type, ts + INTERVAL 1 HOUR, -1 FROM events), "
+    "c AS (SELECT event_type, SUM(d) OVER (PARTITION BY event_type "
+    "ORDER BY t, d) AS conc FROM b) "
+    "SELECT event_type, CAST(MAX(conc) AS BIGINT) AS peak_concurrency "
+    "FROM c GROUP BY 1 ORDER BY 1"
+)
+
+
+def theilsen_user_trend(sf_dir: str) -> pa.Table:
+    """Per-user Theil–Sen robust trend: the MEDIAN of all pairwise slopes
+    (value per hour) over the user's strictly-time-ordered event pairs —
+    the outlier-proof alternative to least-squares drift
+    (`spearman_ts_value`'s effect-size sibling).  One keyed shuffle on
+    user_id; pairs materialize only inside the partition (a vectorized
+    polars self-join: Σk² rows for per-user k, fine at behavioral
+    cardinalities — past that, Theil–Sen degrades gracefully to sampled
+    pairs, the documented scale knob); the median is one lexsort +
+    run-boundary gather, and every slope is computed with the identical
+    IEEE expression the oracle uses, so doubles match bit-for-bit."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        j = df.join(df, on="user_id", suffix="_b").filter(
+            pl.col("ts") < pl.col("ts_b"))
+        uid = j.get_column("user_id").to_numpy().astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_pairs": pa.array([], type=pa.int64()),
+                             "trend": pa.array([], type=pa.float64())})
+        dv = (j.get_column("value_b") - j.get_column("value")).to_numpy()
+        dt = (j.get_column("ts_b") - j.get_column("ts")).dt.total_microseconds().to_numpy()
+        slope = dv / (dt / 3600000000.0)
+        order = np.lexsort((slope, uid))
+        uid_s, sl_s = uid[order], slope[order]
+        starts = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        counts = np.diff(np.append(starts, len(uid_s)))
+        lo = starts + (counts - 1) // 2
+        hi = starts + counts // 2
+        med = (sl_s[lo] + sl_s[hi]) / 2.0
+        return pa.table({"user_id": pa.array(uid_s[starts]),
+                         "n_pairs": pa.array(counts.astype(np.int64)),
+                         "trend": pa.array(med)})
+
+    out = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    return _finish(out, ["user_id"])
+
+
+SQL["theilsen_user_trend"] = (
+    "WITH p AS (SELECT a.user_id, "
+    "(b.value - a.value) / ((epoch_us(b.ts) - epoch_us(a.ts)) "
+    "/ 3600000000.0) AS slope "
+    "FROM events a JOIN events b ON a.user_id = b.user_id AND a.ts < b.ts) "
+    "SELECT user_id, COUNT(*) AS n_pairs, MEDIAN(slope) AS trend "
+    "FROM p GROUP BY user_id ORDER BY user_id"
+)

@@ -1761,3 +1761,82 @@ SQL["term_cooccurrence"] = (
     "SELECT term_a, term_b, CAST(n AS BIGINT) AS n_docs FROM p "
     "ORDER BY n DESC, term_a, term_b LIMIT 20"
 )
+
+
+def source_vocab_overlap(sf_dir: str) -> pa.Table:
+    """All-pairs vocabulary similarity between sources: for every source
+    pair, the exact Jaccard of their distinct-term vocabularies (shared
+    terms / union, integer bps) — the corpus-mixing diagnostic for 'how
+    redundant are these feeds?'.  Scale shape: per-batch distinct
+    (source, term) partials, then ONE keyed shuffle on the TERM so each
+    partition wholly owns its terms; per-source vocab-size partials and
+    per-pair common-term partials are both partition-local (the within-
+    partition pair explosion is bounded by |sources|² per term), and only
+    |sources|²-sized aggregates reach the final combiner — the pairwise
+    set-similarity plan that never ships a vocabulary anywhere."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "source": pl.from_arrow(batch.column("source").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .str.to_lowercase(),
+        })
+        return (df.with_columns(term=pl.col("t").str.extract_all(r"\S+"))
+                .select("source", "term").explode("term").drop_nulls()
+                .unique().to_arrow())
+
+    def per_term_kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).unique()  # exact distinct: term wholly owned
+        sizes = (df.group_by("source")
+                 .agg(n=pl.len().cast(pl.Int64))
+                 .rename({"source": "a"})
+                 .with_columns(b=pl.lit("", dtype=pl.String),
+                               kind=pl.lit(0, dtype=pl.Int64)))
+        pairs = (df.join(df, on="term", suffix="_b")
+                 .filter(pl.col("source") < pl.col("source_b"))
+                 .group_by(["source", "source_b"])
+                 .agg(n=pl.len().cast(pl.Int64))
+                 .rename({"source": "a", "source_b": "b"})
+                 .with_columns(kind=pl.lit(1, dtype=pl.Int64)))
+        return pl.concat([sizes.select("a", "b", "kind", "n"),
+                          pairs.select("a", "b", "kind", "n")]).to_arrow()
+
+    partials = keyed_partition_map(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["term"], per_term_kernel)
+    agg = grouped_aggregate(partials, ["a", "b", "kind"],
+                            [("n", "sum", "n")]).to_pandas()
+    sz = dict(zip(agg.loc[agg["kind"] == 0, "a"],
+                  agg.loc[agg["kind"] == 0, "n"].astype(np.int64)))
+    out = agg[agg["kind"] == 1].rename(
+        columns={"a": "source_a", "b": "source_b", "n": "n_common"}).copy()
+    na = out["source_a"].map(sz).to_numpy(np.int64)
+    nb = out["source_b"].map(sz).to_numpy(np.int64)
+    nc = out["n_common"].to_numpy(np.int64)
+    out["n_union"] = na + nb - nc
+    out["jaccard_bps"] = (10000 * nc) // (na + nb - nc)
+    out = out[["source_a", "source_b", "n_common", "n_union", "jaccard_bps"]]
+    out = out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+SQL["source_vocab_overlap"] = (
+    "WITH v2 AS (SELECT DISTINCT source, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
+    "sz AS (SELECT source, COUNT(*) AS n FROM (SELECT DISTINCT source, term FROM v2) GROUP BY 1), "
+    "i AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common "
+    "FROM (SELECT DISTINCT source, term FROM v2) a "
+    "JOIN (SELECT DISTINCT source, term FROM v2) b "
+    "ON a.term = b.term AND a.source < b.source GROUP BY 1, 2) "
+    "SELECT i.source_a, i.source_b, CAST(i.n_common AS BIGINT) AS n_common, "
+    "CAST(sa.n + sb.n - i.n_common AS BIGINT) AS n_union, "
+    "CAST(10000 * i.n_common AS BIGINT) // (sa.n + sb.n - i.n_common) AS jaccard_bps "
+    "FROM i JOIN sz sa ON sa.source = i.source_a "
+    "JOIN sz sb ON sb.source = i.source_b ORDER BY 1, 2"
+)
