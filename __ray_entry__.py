@@ -54,6 +54,8 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators (session 3) ---
+    "leakage_free_split": _dedup.leakage_free_split,
+    "user_changepoint": _rel.user_changepoint,
     "peak_concurrency": _rel.peak_concurrency,
     "theilsen_user_trend": _rel.theilsen_user_trend,
     "source_vocab_overlap": _txt.source_vocab_overlap,

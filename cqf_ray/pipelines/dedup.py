@@ -1786,3 +1786,79 @@ SQL["dup_span_stats"] = (
     "CAST(10000 * n_dup_windows AS BIGINT) // n_windows AS dup_bps "
     "FROM j ORDER BY doc_id"
 )
+
+
+def leakage_free_split(sf_dir: str, *, threshold: float = 0.7,
+                       train_permille: int = 800, val_permille: int = 100,
+                       seed: int = 17) -> pa.Table:
+    """Leakage-FREE train/val/test splitter — the constructive counterpart
+    of ``split_leakage_audit``: every near-dup CLUSTER is assigned as a
+    unit (bucket = murmur64(cluster_id) % 1000, cluster_id = the cluster's
+    min doc_id, singletons hash their own id), so no eval document can
+    have a near-dup twin in train BY CONSTRUCTION.  Composition: cached
+    ``_lsh_pair_state`` pairs → driver union-find (pair-endpoint-sized) →
+    a broadcast cluster relabel applied as one vectorized searchsorted per
+    batch over the streamed doc ids.  Per-doc output (doc_id, cluster_id,
+    split); ``split_leakage_audit`` run on THIS assignment would report
+    zero leaked clusters."""
+    from ..hashing import murmur64a_u64
+
+    pairs = _lsh_pair_state(sf_dir, threshold=threshold)["pairs"]
+    if len(pairs):
+        comp = _union_find(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
+        cl_docs = np.array(sorted(comp), dtype=np.int64)
+        cl_ids = np.array([comp[d] for d in cl_docs], dtype=np.int64)
+    else:
+        cl_docs = np.empty(0, np.int64)
+        cl_ids = np.empty(0, np.int64)
+    train_lim = np.uint64(train_permille)
+    val_lim = np.uint64(train_permille + val_permille)
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        pos = np.searchsorted(cl_docs, did)
+        pos = np.minimum(pos, max(len(cl_docs) - 1, 0))
+        in_cl = (len(cl_docs) > 0) & (cl_docs[pos] == did) if len(cl_docs) \
+            else np.zeros(len(did), bool)
+        cluster = np.where(in_cl, cl_ids[pos] if len(cl_ids) else 0, did)
+        bucket = murmur64a_u64(cluster.view(np.uint64), seed=seed) % np.uint64(1000)
+        code = (bucket >= train_lim).astype(np.int64) + (bucket >= val_lim)
+        return pa.table({"doc_id": pa.array(did),
+                         "cluster_id": pa.array(cluster),
+                         "split": pa.array(names[code], type=pa.string())})
+
+    df = (read(sf_dir, "documents", ["doc_id"])
+          .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _leakage_free_split_sql(threshold: float = 0.7, train_permille: int = 800,
+                            val_permille: int = 100, seed: int = 17) -> str:
+    from .sketchq import _MURMUR_SQL
+
+    lim1 = train_permille
+    lim2 = train_permille + val_permille
+    return (
+        "WITH RECURSIVE pairs AS ("
+        + _jaccard_pairs_sql(threshold).replace("ORDER BY doc_a, doc_b", "")
+        + "), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, r) AS ("
+        "  SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "  UNION "
+        "  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r), "
+        "comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node), "
+        "cl AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
+        "       FROM documents d LEFT JOIN comp c USING (doc_id)), "
+        "u AS (SELECT CAST(cluster_id AS HUGEINT) AS k64, doc_id, cluster_id FROM cl), "
+        + _MURMUR_SQL.format(seed=seed) + " "
+        "SELECT doc_id, cluster_id, CASE WHEN priority % 1000 < " + str(lim1)
+        + " THEN 'train' WHEN priority % 1000 < " + str(lim2)
+        + " THEN 'val' ELSE 'test' END AS split FROM mmf ORDER BY doc_id"
+    )
+
+
+SQL["leakage_free_split"] = _leakage_free_split_sql()

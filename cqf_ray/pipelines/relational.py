@@ -5470,3 +5470,75 @@ SQL["theilsen_user_trend"] = (
     "SELECT user_id, COUNT(*) AS n_pairs, MEDIAN(slope) AS trend "
     "FROM p GROUP BY user_id ORDER BY user_id"
 )
+
+
+def user_changepoint(sf_dir: str) -> pa.Table:
+    """Per-user CUSUM change-point detection: the prefix position where
+    the user's cumulative value deviates most from their own mean-rate
+    line — the drift/regime-change screen a behavioral pipeline runs per
+    entity.  Exactness trick: the CUSUM statistic C_k − k·S/n is carried
+    ×n as the INTEGER |n·C_k − k·S| over micro-unit values, so the argmax
+    (earliest ts on ties) needs no float anywhere.  One keyed shuffle on
+    user_id; inside the partition everything is run-boundary vectorized
+    (per-user cumsum via base subtraction, per-user n/S via repeat) — no
+    per-user loop."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "cp_ts": pa.array([], type=pa.timestamp("us")),
+                             "cp_score": pa.array([], type=pa.int64())})
+        tsv = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]"))
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        vmu = np.round(np.asarray(t.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        order = np.lexsort((eid, tsv.astype(np.int64), uid))
+        uid, tsv, vmu = uid[order], tsv[order], vmu[order]
+        n_ = len(uid)
+        idx = np.arange(n_, dtype=np.int64)
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        ustart = np.maximum.accumulate(np.where(new, idx, 0))
+        csum = np.cumsum(vmu)
+        base = np.where(ustart > 0, csum[np.maximum(ustart - 1, 0)], 0)
+        ck = csum - base  # per-user prefix sum
+        k = idx - ustart + 1
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n_))
+        n_u = np.repeat(counts, counts)
+        s_u = np.repeat(ck[np.append(starts[1:], n_) - 1], counts)
+        score = np.abs(n_u * ck - k * s_u)
+        pick = np.lexsort((k, -score, uid))  # per user: max score, earliest k
+        sel = pick[np.searchsorted(uid[pick], uid[starts])]
+        return pa.table({"user_id": pa.array(uid[sel]),
+                         "n_events": pa.array(counts.astype(np.int64)),
+                         "cp_ts": pa.array(tsv[sel]),
+                         "cp_score": pa.array(score[sel])})
+
+    out = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    return _finish(out, ["user_id"])
+
+
+SQL["user_changepoint"] = (
+    "WITH e AS (SELECT user_id, ts, event_id, "
+    "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmu FROM events), "
+    "m AS (SELECT user_id, COUNT(*) AS n, SUM(vmu) AS s FROM e GROUP BY 1), "
+    "c AS (SELECT user_id, ts, "
+    "SUM(vmu) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS ck, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k "
+    "FROM e), "
+    "sc AS (SELECT c.user_id, c.ts, c.k, "
+    "ABS(m.n * c.ck - c.k * m.s) AS score FROM c JOIN m USING (user_id)), "
+    "r AS (SELECT user_id, ts, score, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY score DESC, k ASC) AS rn "
+    "FROM sc) "
+    "SELECT r.user_id, CAST(m.n AS BIGINT) AS n_events, r.ts AS cp_ts, "
+    "CAST(r.score AS BIGINT) AS cp_score "
+    "FROM r JOIN m USING (user_id) WHERE r.rn = 1 ORDER BY r.user_id"
+)

@@ -190,3 +190,52 @@ def test_hourly_anomaly_zscore_moments(ray_session):
         assert abs(z.sum()) < 1e-6
         if (z != 0).any():
             assert abs((z * z).sum() - len(z)) < 1e-6
+
+
+def test_leakage_free_split_has_zero_leakage(ray_session):
+    """The constructive splitter's defining property: every near-dup
+    cluster lands wholly in ONE split (the condition split_leakage_audit
+    flags as leaked=False), clusters agree with near_dup_canonical, and
+    singletons hash exactly like dataset_split would hash their doc_id."""
+    from cqf_ray.hashing import murmur64a_u64
+    from cqf_ray.pipelines import dedup as D
+
+    out = D.leakage_free_split(SF_DIR).to_pandas()
+    assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
+    canon = D.near_dup_canonical(SF_DIR).to_pandas().set_index("doc_id")
+    for doc, cl in zip(out["doc_id"], out["cluster_id"]):
+        if doc in canon.index:
+            assert cl == canon.loc[doc, "canonical_id"]
+        else:
+            assert cl == doc
+    import numpy as np
+
+    singles = out[out["cluster_id"] == out["doc_id"]]
+    b = murmur64a_u64(singles["doc_id"].to_numpy(np.int64).view(np.uint64),
+                      seed=17) % np.uint64(1000)
+    expect = np.where(b < 800, "train", np.where(b < 900, "val", "test"))
+    assert (singles["split"].to_numpy() == expect).all()
+
+
+def test_user_changepoint_brute_force(ray_session):
+    """cp_score/cp_ts match an independent per-user O(n²)-free brute
+    force over the sorted event stream."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cqf_ray.pipelines import relational as R_
+
+    out = R_.user_changepoint(SF_DIR).to_pandas().set_index("user_id")
+    ev = (pq.read_table(f"{SF_DIR}/events.parquet",
+                        columns=["user_id", "ts", "event_id", "value"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"]))
+    for uid, g in ev.groupby("user_id"):
+        vmu = np.round(g["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        n, s = len(vmu), vmu.sum()
+        ck = np.cumsum(vmu)
+        k = np.arange(1, n + 1)
+        score = np.abs(n * ck - k * s)
+        best = int(np.argmax(score))  # np.argmax returns the FIRST max
+        assert out.loc[uid, "cp_score"] == score[best]
+        assert out.loc[uid, "cp_ts"] == g["ts"].iloc[best]
+        assert out.loc[uid, "n_events"] == n
