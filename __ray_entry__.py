@@ -54,6 +54,9 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators (session 3) ---
+    "active_time_per_user": _rel.active_time_per_user,
+    "quantile_normalize_scores": _txt.quantile_normalize_scores,
+    "mutual_nn_pairs": _ann.mutual_nn_pairs,
     "leakage_free_split": _dedup.leakage_free_split,
     "user_changepoint": _rel.user_changepoint,
     "peak_concurrency": _rel.peak_concurrency,

@@ -563,3 +563,37 @@ SQL = {
         "FROM embeddings WHERE vec_id < 10"
     ),
 }
+
+
+def mutual_nn_pairs(sf_dir: str) -> pa.Table:
+    """Mutual (reciprocal) nearest-neighbor pairs: (a, b) where b is a's
+    cosine-NN AND a is b's — the high-precision matching primitive behind
+    MNN batch alignment, bitext mining and safe embedding-dedup seeds.
+    Composition: the distributed exact `knn_graph` at k=1 (broadcast
+    matrix, streamed batches, 9-dp + id tie-break ranking convention) →
+    a driver-side reciprocity join on the |corpus|-row NN table (already
+    output-sized; at larger N the same join is one keyed shuffle on the
+    unordered pair key).  Output is id pairs only — the convention that
+    keeps the ranking float out of the comparison surface."""
+    nn = knn_graph(sf_dir, k=1).to_pandas()[["vec_id", "neighbor_id"]]
+    m = nn.merge(nn, left_on="neighbor_id", right_on="vec_id",
+                 suffixes=("", "_r"))
+    mut = m[(m["neighbor_id_r"] == m["vec_id"])
+            & (m["vec_id"] < m["neighbor_id"])]
+    out = (mut[["vec_id", "neighbor_id"]]
+           .rename(columns={"vec_id": "vec_a", "neighbor_id": "vec_b"})
+           .sort_values("vec_a").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["mutual_nn_pairs"] = (
+    "WITH s AS (SELECT a.vec_id AS va, b.vec_id AS vb, "
+    "ROUND(list_cosine_similarity(a.embedding, b.embedding), 9) AS sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+    "r AS (SELECT va, vb, ROW_NUMBER() OVER (PARTITION BY va "
+    "ORDER BY sim DESC, vb) AS rn FROM s), "
+    "nn AS (SELECT va, vb FROM r WHERE rn = 1) "
+    "SELECT x.va AS vec_a, x.vb AS vec_b "
+    "FROM nn x JOIN nn y ON x.vb = y.va AND y.vb = x.va AND x.va < x.vb "
+    "ORDER BY vec_a"
+)

@@ -5542,3 +5542,63 @@ SQL["user_changepoint"] = (
     "CAST(r.score AS BIGINT) AS cp_score "
     "FROM r JOIN m USING (user_id) WHERE r.rn = 1 ORDER BY r.user_id"
 )
+
+
+def active_time_per_user(sf_dir: str) -> pa.Table:
+    """Interval-UNION measure per user: total seconds covered by the union
+    of the user's [ts, ts+1h) activity intervals (billable/active time —
+    overlaps counted once; `peak_concurrency`'s integral sibling).  Same
+    sweep-line shape: one keyed shuffle on user_id, boundary sort with
+    ends-before-starts ties, per-user running count via cumsum base
+    subtraction, then Σ(t_next − t) over stretches where the count is
+    positive — reduceat per user, integer µs throughout, one final // to
+    seconds exactly like the oracle."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    _HOUR_US = 3_600_000_000
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid0 = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        n = len(uid0)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "active_sec": pa.array([], type=pa.int64())})
+        tsu0 = (np.asarray(t.column("ts").combine_chunks())
+                .astype("datetime64[us]").astype(np.int64))
+        uid = np.concatenate([uid0, uid0])
+        times = np.concatenate([tsu0, tsu0 + _HOUR_US])
+        delta = np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+        order = np.lexsort((delta, times, uid))
+        u_s, t_s, d_s = uid[order], times[order], delta[order]
+        m = len(u_s)
+        idx = np.arange(m, dtype=np.int64)
+        new = np.r_[True, u_s[1:] != u_s[:-1]]
+        starts = np.flatnonzero(new)
+        csum = np.cumsum(d_s)
+        base = np.where(np.maximum.accumulate(np.where(new, idx, 0)) > 0,
+                        csum[np.maximum(
+                            np.maximum.accumulate(np.where(new, idx, 0)) - 1, 0)],
+                        0)
+        conc = csum - base
+        dt = np.r_[t_s[1:] - t_s[:-1], 0]
+        same_next = np.r_[u_s[1:] == u_s[:-1], False]
+        gated = np.where((conc > 0) & same_next, dt, 0)
+        tot = np.add.reduceat(gated, starts)
+        return pa.table({"user_id": pa.array(u_s[starts]),
+                         "active_sec": pa.array(tot // 1_000_000)})
+
+    out = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    return _finish(out, ["user_id"])
+
+
+SQL["active_time_per_user"] = (
+    "WITH b AS (SELECT user_id, ts AS t, 1 AS d FROM events "
+    "UNION ALL SELECT user_id, ts + INTERVAL 1 HOUR, -1 FROM events), "
+    "c AS (SELECT user_id, t, d, "
+    "SUM(d) OVER (PARTITION BY user_id ORDER BY t, d) AS conc, "
+    "LEAD(t) OVER (PARTITION BY user_id ORDER BY t, d) AS tn FROM b) "
+    "SELECT user_id, CAST(SUM(CASE WHEN conc > 0 THEN "
+    "epoch_us(tn) - epoch_us(t) ELSE 0 END) // 1000000 AS BIGINT) "
+    "AS active_sec FROM c GROUP BY user_id ORDER BY user_id"
+)

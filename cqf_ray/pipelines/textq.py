@@ -1840,3 +1840,82 @@ SQL["source_vocab_overlap"] = (
     "FROM i JOIN sz sa ON sa.source = i.source_a "
     "JOIN sz sb ON sb.source = i.source_b ORDER BY 1, 2"
 )
+
+
+def quantile_normalize_scores(sf_dir: str) -> pa.Table:
+    """Cross-source score CALIBRATION by quantile normalization: each
+    document's n_chars is replaced by the GLOBAL length distribution's
+    value at the doc's within-source percentile (linear interpolation
+    between global order statistics) — the standard fix when per-source
+    quality scores aren't comparable and mixing needs one scale.  Exact
+    and fully distributed: the global order-statistic array is never
+    materialized — a combiner-first (value, count) histogram (bounded by
+    the length DOMAIN, not the corpus) plus its cumsum answers g[i] by
+    one searchsorted; within-source ranks come from one keyed shuffle on
+    source.  Every float op (pos, frac, interpolation) mirrors the oracle
+    expression exactly, so doubles match bit-for-bit."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    hist = grouped_aggregate(
+        read(sf_dir, "documents", ["n_chars"]).map_batches(
+            lambda b: pl.from_arrow(b).group_by("n_chars")
+            .agg(cnt=pl.len().cast(pl.Int64)).to_arrow(),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["n_chars"], [("cnt", "sum", "cnt")],
+    ).to_pandas().sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    nn = int(cum[-1])
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        nc = np.asarray(t.column("n_chars").combine_chunks()).astype(np.int64)
+        order = np.lexsort((did, nc, src))
+        src_s, nc_s, did_s = src[order], nc[order], did[order]
+        m = len(src_s)
+        idx = np.arange(m, dtype=np.int64)
+        new = np.r_[True, src_s[1:] != src_s[:-1]]
+        sstart = np.maximum.accumulate(np.where(new, idx, 0))
+        r = idx - sstart + 1
+        counts = np.diff(np.append(np.flatnonzero(new), m))
+        ns = np.repeat(counts, counts)
+        pos = (r - 1).astype(np.float64) / (ns - 1.0) * (nn - 1.0)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, nn - 1)
+        g_lo = vals[np.searchsorted(cum, lo, side="right")]
+        g_hi = vals[np.searchsorted(cum, hi, side="right")]
+        cal = g_lo + (pos - lo) * (g_hi - g_lo)
+        return pa.table({"doc_id": pa.array(did_s),
+                         "source": pa.array(src_s, type=pa.string()),
+                         "n_chars": pa.array(nc_s),
+                         "calibrated": pa.array(cal)})
+
+    out = keyed_partition_map(ds, ["source"], kernel).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["quantile_normalize_scores"] = (
+    "WITH N AS (SELECT COUNT(*) AS nn FROM documents), "
+    "g AS (SELECT n_chars AS v, "
+    "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS i FROM documents), "
+    "pr AS (SELECT doc_id, source, n_chars, "
+    "COUNT(*) OVER (PARTITION BY source) AS ns, "
+    "RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r "
+    "FROM documents), "
+    "p AS (SELECT doc_id, source, n_chars, "
+    "CAST(r - 1 AS DOUBLE) / (ns - 1.0) * (nn - 1.0) AS pos FROM pr, N), "
+    "q AS (SELECT doc_id, source, n_chars, pos, "
+    "CAST(FLOOR(pos) AS BIGINT) AS lo FROM p) "
+    "SELECT q.doc_id, q.source, q.n_chars, "
+    "glo.v + (q.pos - q.lo) * (ghi.v - glo.v) AS calibrated "
+    "FROM q JOIN g glo ON glo.i = q.lo "
+    "JOIN g ghi ON ghi.i = LEAST(q.lo + 1, (SELECT nn FROM N) - 1) "
+    "ORDER BY q.doc_id"
+)
