@@ -54,6 +54,11 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators (session 3) ---
+    "rfm_scores": _rel.rfm_scores,
+    "conversion_wilson": _rel.conversion_wilson,
+    "time_to_convert": _rel.time_to_convert,
+    "source_js_divergence": _txt.source_js_divergence,
+    "term_burstiness": _txt.term_burstiness,
     "active_time_per_user": _rel.active_time_per_user,
     "quantile_normalize_scores": _txt.quantile_normalize_scores,
     "mutual_nn_pairs": _ann.mutual_nn_pairs,

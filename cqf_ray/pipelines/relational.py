@@ -5602,3 +5602,199 @@ SQL["active_time_per_user"] = (
     "epoch_us(tn) - epoch_us(t) ELSE 0 END) // 1000000 AS BIGINT) "
     "AS active_sec FROM c GROUP BY user_id ORDER BY user_id"
 )
+
+
+def conversion_wilson(sf_dir: str) -> pa.Table:
+    """Per-touch-type conversion rate with a 95% Wilson score interval:
+    for each non-purchase event type, the share of its users whose LAST
+    purchase falls strictly after their FIRST event of that type — with
+    the interval a real experimentation pipeline ships instead of a bare
+    ratio.  One keyed shuffle on user_id (first-t per type and last-p are
+    per-user closed), per-partition (type, n, k) partials, |types|-sized
+    final combine; n and k stay exact ints and the Wilson bounds are ONE
+    mirrored float expression each, so doubles match the oracle
+    bit-for-bit."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ft = (df.filter(pl.col("event_type") != "purchase")
+              .group_by(["user_id", "event_type"])
+              .agg(first_t=pl.col("ts").min()))
+        lp = (df.filter(pl.col("event_type") == "purchase")
+              .group_by("user_id").agg(last_p=pl.col("ts").max()))
+        j = ft.join(lp, on="user_id", how="left").with_columns(
+            conv=(pl.col("last_p") > pl.col("first_t"))
+            .fill_null(False).cast(pl.Int64))
+        return (j.group_by("event_type")
+                .agg(n=pl.len().cast(pl.Int64), k=pl.col("conv").sum())
+                .to_arrow())
+
+    agg = grouped_aggregate(
+        keyed_partition_map(ev, ["user_id"], kernel),
+        ["event_type"], [("n", "sum", "n"), ("k", "sum", "k")],
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    k = agg["k"].to_numpy(np.int64).astype(np.float64)
+    z = 1.96
+    ph = k / n
+    center = ph + z * z / (2.0 * n)
+    margin = z * np.sqrt((ph * (1.0 - ph) + z * z / (4.0 * n)) / n)
+    denom = 1.0 + z * z / n
+    agg["rate"] = ph
+    agg["wilson_low"] = (center - margin) / denom
+    agg["wilson_high"] = (center + margin) / denom
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+SQL["conversion_wilson"] = (
+    "WITH ft AS (SELECT user_id, event_type, MIN(ts) AS first_t FROM events "
+    "WHERE event_type <> 'purchase' GROUP BY 1, 2), "
+    "lp AS (SELECT user_id, MAX(ts) AS last_p FROM events "
+    "WHERE event_type = 'purchase' GROUP BY 1), "
+    "j AS (SELECT ft.event_type, COUNT(*) AS n, "
+    "SUM(CASE WHEN lp.last_p > ft.first_t THEN 1 ELSE 0 END) AS k "
+    "FROM ft LEFT JOIN lp USING (user_id) GROUP BY 1), "
+    "w AS (SELECT event_type, n, k, "
+    "CAST(k AS DOUBLE) / n AS ph, "
+    "CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n) AS center, "
+    "1.96 * SQRT(((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) "
+    "+ 1.96 * 1.96 / (4.0 * n)) / n) AS margin, "
+    "1.0 + 1.96 * 1.96 / n AS denom FROM j) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
+    "ph AS rate, (center - margin) / denom AS wilson_low, "
+    "(center + margin) / denom AS wilson_high "
+    "FROM w ORDER BY event_type"
+)
+
+
+def time_to_convert(sf_dir: str) -> pa.Table:
+    """Conversion-latency summary: over users whose first 'purchase' after
+    their first 'view' exists, the count plus exact median and
+    discrete-p90 of (first later purchase − first view) in whole seconds.
+    Per-user deltas are partition-local (one keyed shuffle); only the
+    converted-user-count-sized delta vector reaches the driver for the
+    order statistics (at extreme user counts the same statistics come
+    from the domain-histogram selection `quantile_normalize_scores`
+    uses).  Median = mean of the two central values ((a+b)/2.0, exact for
+    equal ints); p90 = sorted[ceil(0.9·n)−1], the `winsorized_value_stats`
+    quantile_disc convention."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        out = []
+        if len(uid):
+            import polars as pl
+
+            df = pl.DataFrame({"u": pl.Series(uid), "t": pl.Series(tsu),
+                               "e": pl.Series(et.astype(str))})
+            fv = (df.filter(pl.col("e") == "view").group_by("u")
+                  .agg(fv=pl.col("t").min()))
+            fp = (df.filter(pl.col("e") == "purchase").join(fv, on="u")
+                  .filter(pl.col("t") > pl.col("fv")).group_by("u")
+                  .agg(fp=pl.col("t").min(), fv=pl.col("fv").first()))
+            d = (fp.get_column("fp") - fp.get_column("fv")).to_numpy()
+            out = (np.asarray(d, dtype=np.int64) // 1_000_000).tolist()
+        return pa.table({"dsec": pa.array(out, type=pa.int64())})
+
+    d = np.sort(keyed_partition_map(ev, ["user_id"], kernel)
+                .to_pandas()["dsec"].to_numpy(np.int64))
+    n = len(d)
+    med = (float(d[(n - 1) // 2]) + float(d[n // 2])) / 2.0
+    p90 = int(d[int(np.ceil(0.9 * n)) - 1])
+    return pa.table({"n_converted": pa.array([n], type=pa.int64()),
+                     "median_sec": pa.array([med], type=pa.float64()),
+                     "p90_sec": pa.array([p90], type=pa.int64())})
+
+
+SQL["time_to_convert"] = (
+    "WITH v AS (SELECT user_id, MIN(ts) AS fv FROM events "
+    "WHERE event_type = 'view' GROUP BY 1), "
+    "p AS (SELECT v.user_id, v.fv, MIN(e.ts) AS fp FROM v JOIN events e "
+    "ON e.user_id = v.user_id AND e.event_type = 'purchase' "
+    "AND e.ts > v.fv GROUP BY 1, 2), "
+    "d AS (SELECT (epoch_us(fp) - epoch_us(fv)) // 1000000 AS dsec FROM p) "
+    "SELECT COUNT(*) AS n_converted, MEDIAN(dsec) AS median_sec, "
+    "CAST(quantile_disc(dsec, 0.9) AS BIGINT) AS p90_sec FROM d"
+)
+
+
+def rfm_scores(sf_dir: str) -> pa.Table:
+    """Classic RFM segmentation: per user, NTILE(5) quintiles of Recency
+    (last event ts — newer = better), Frequency (event count) and Monetary
+    (µ-unit value sum), composed into the 3-digit RFM code marketers
+    segment on.  The corpus-sized pass is ONE combiner-first per-user
+    aggregate (count / max ts / µ-sum partials below the exchange); the
+    quintile assignment is three argsorts of the already-user-sized
+    result (driver-side here, a rank-select per metric at extreme user
+    counts).  NTILE follows SQL semantics exactly — first (n mod 5)
+    buckets take the extra row — and every rank's tie-break is pinned by
+    a deterministic secondary key, so the oracle matches row-for-row."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        vmu = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        df = df.with_columns(vmu=pl.Series(vmu))
+        return (df.group_by("user_id")
+                .agg(n=pl.len().cast(pl.Int64), last_ts=pl.col("ts").max(),
+                     msum=pl.col("vmu").sum())).to_arrow()
+
+    per_user = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("n", "sum", "n"), ("last_ts", "max", "last_ts"),
+         ("msum", "sum", "msum")],
+    ).to_pandas()
+
+    def ntile5(order_keys: list[np.ndarray]) -> np.ndarray:
+        n = len(order_keys[0])
+        order = np.lexsort(tuple(reversed(order_keys)))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        base, extra = divmod(n, 5)
+        bounds = np.cumsum([base + (i < extra) for i in range(5)])
+        return np.searchsorted(bounds, rank, side="right") + 1
+
+    uid = per_user["user_id"].to_numpy(np.int64)
+    last_ts = per_user["last_ts"].to_numpy("datetime64[us]").astype(np.int64)
+    freq = per_user["n"].to_numpy(np.int64)
+    mon = per_user["msum"].to_numpy(np.int64)
+    r = ntile5([-last_ts, uid])          # newest first
+    f = ntile5([-freq, uid])             # most events first
+    m = ntile5([-mon, uid])              # biggest spend first
+    out = pd.DataFrame({"user_id": uid, "r_quintile": r, "f_quintile": f,
+                        "m_quintile": m, "rfm": 100 * r + 10 * f + m})
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["rfm_scores"] = (
+    "WITH a AS (SELECT user_id, COUNT(*) AS n, MAX(ts) AS last_ts, "
+    "SUM(CAST(value AS DECIMAL(18,6))) AS msum FROM events GROUP BY 1), "
+    "q AS (SELECT user_id, "
+    "NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS r_quintile, "
+    "NTILE(5) OVER (ORDER BY n DESC, user_id) AS f_quintile, "
+    "NTILE(5) OVER (ORDER BY msum DESC, user_id) AS m_quintile FROM a) "
+    "SELECT user_id, CAST(r_quintile AS BIGINT) AS r_quintile, "
+    "CAST(f_quintile AS BIGINT) AS f_quintile, "
+    "CAST(m_quintile AS BIGINT) AS m_quintile, "
+    "CAST(100 * r_quintile + 10 * f_quintile + m_quintile AS BIGINT) AS rfm "
+    "FROM q ORDER BY user_id"
+)

@@ -1919,3 +1919,135 @@ SQL["quantile_normalize_scores"] = (
     "JOIN g ghi ON ghi.i = LEAST(q.lo + 1, (SELECT nn FROM N) - 1) "
     "ORDER BY q.doc_id"
 )
+
+
+def source_js_divergence(sf_dir: str) -> pa.Table:
+    """Per-source Jensen–Shannon divergence between the source's unigram
+    term distribution and the GLOBAL corpus distribution — the standard
+    'how far does this feed drift from the mixture?' diagnostic when
+    composing training corpora.  Distributed shape: one combiner-first
+    (source, term) count aggregate (the exchange carries vocab-scale
+    partials only); the JS itself runs on the driver over the
+    |sources|×|vocab| aggregate in a FIXED term-sorted order, one sum per
+    source (at web vocab sizes the same sum is a keyed partial over term
+    shards).  Values are ROUNDed to 6 dp on both engines — the float-sum
+    order slack (~1e-15) is 9 orders below the rounding grain."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "source": pl.from_arrow(batch.column("source").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .str.to_lowercase(),
+        })
+        return (df.with_columns(term=pl.col("t").str.extract_all(r"\S+"))
+                .select("source", "term").explode("term").drop_nulls()
+                .group_by(["source", "term"])
+                .agg(c=pl.len().cast(pl.Int64))).to_arrow()
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "term"], [("c", "sum", "c")],
+    ).to_pandas().sort_values(["source", "term"]).reset_index(drop=True)
+
+    piv = agg.pivot_table(index="term", columns="source", values="c",
+                          aggfunc="sum", fill_value=0).sort_index()
+    counts = piv.to_numpy(np.float64)           # (vocab, sources), term-sorted
+    tot_s = counts.sum(axis=0)
+    tot_g = tot_s.sum()
+    g = counts.sum(axis=1) / tot_g              # global distribution
+    rows = []
+    for j, src in enumerate(piv.columns):
+        p = counts[:, j] / tot_s[j]
+        m_ = (p + g) / 2.0
+        mask_p = p > 0
+        mask_g = g > 0
+        kl_pm = float(np.sum(p[mask_p] * np.log2(p[mask_p] / m_[mask_p])))
+        kl_gm = float(np.sum(g[mask_g] * np.log2(g[mask_g] / m_[mask_g])))
+        rows.append((src, int(tot_s[j]), round(0.5 * kl_pm + 0.5 * kl_gm, 6)))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "js_divergence"])
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["source_js_divergence"] = (
+    "WITH toks AS (SELECT source, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
+    "sc AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2), "
+    "st AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY 1), "
+    "gt AS (SELECT term, SUM(c) AS cg FROM sc GROUP BY 1), "
+    "g AS (SELECT term, CAST(cg AS DOUBLE) / (SELECT SUM(c) FROM sc) AS pg FROM gt), "
+    "grid AS (SELECT st.source, g.term, g.pg, COALESCE(sc.c, 0) AS c, st.ns "
+    "FROM st CROSS JOIN g LEFT JOIN sc ON sc.source = st.source AND sc.term = g.term), "
+    "px AS (SELECT source, term, CAST(c AS DOUBLE) / ns AS p, pg, ns FROM grid), "
+    "kl AS (SELECT source, MAX(ns) AS n_tokens, "
+    "SUM(CASE WHEN p > 0 THEN p * log2(p / ((p + pg) / 2.0)) ELSE 0 END) AS kl_pm, "
+    "SUM(CASE WHEN pg > 0 THEN pg * log2(pg / ((p + pg) / 2.0)) ELSE 0 END) AS kl_gm "
+    "FROM px GROUP BY source) "
+    "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "ROUND(0.5 * kl_pm + 0.5 * kl_gm, 6) AS js_divergence "
+    "FROM kl ORDER BY source"
+)
+
+
+def term_burstiness(sf_dir: str, *, k: int = 50) -> pa.Table:
+    """Term BURSTINESS (variance-to-mean ratio of per-document counts,
+    zeros included) for the corpus's top-k terms by frequency — the
+    content-vs-function-word separator (bursty terms concentrate in few
+    docs; stopwords spread evenly).  Everything that orders or selects is
+    exact-int (per-(term, doc) counts → Σc, Σc², N docs; top-k by
+    (tf_total DESC, term)); VMR = (N·Σc² − Σc²)/(N·Σc) is ONE mirrored
+    float division at the end.  Combiner-first throughout: the exchange
+    carries (term, doc)-level partials collapsed per batch, then
+    vocab-sized (term, s, q) rows only."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    nd_total = int(read(sf_dir, "documents", ["doc_id"]).count())
+
+    def perdoc(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .str.to_lowercase(),
+        })
+        cnt = (df.with_columns(term=pl.col("t").str.extract_all(r"\S+"))
+               .select("doc_id", "term").explode("term").drop_nulls()
+               .group_by(["doc_id", "term"])
+               .agg(c=pl.len().cast(pl.Int64)))
+        # a doc never spans batches → (term, Σc, Σc²) partials are exact
+        return (cnt.group_by("term")
+                .agg(s=pl.col("c").sum(),
+                     q=(pl.col("c") * pl.col("c")).sum())).to_arrow()
+
+    agg = grouped_aggregate(
+        ds.map_batches(perdoc, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"], [("s", "sum", "s"), ("q", "sum", "q")],
+    ).to_pandas()
+    agg = agg.sort_values(["s", "term"], ascending=[False, True]).head(k)
+    s = agg["s"].to_numpy(np.int64)
+    q = agg["q"].to_numpy(np.int64)
+    agg["vmr"] = (nd_total * q - s * s).astype(np.float64) \
+        / (np.float64(nd_total) * s)
+    out = agg.rename(columns={"s": "tf_total"})[["term", "tf_total", "vmr"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["term_burstiness"] = (
+    "WITH cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM ("
+    "SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term "
+    "FROM documents) GROUP BY 1, 2), "
+    "ag AS (SELECT term, SUM(c) AS s, SUM(c * c) AS q FROM cnt GROUP BY 1), "
+    "nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "top AS (SELECT term, s, q FROM ag ORDER BY s DESC, term LIMIT 50) "
+    "SELECT term, CAST(s AS BIGINT) AS tf_total, "
+    "CAST(nd.n * q - s * s AS DOUBLE) / (CAST(nd.n AS DOUBLE) * s) AS vmr "
+    "FROM top, nd ORDER BY tf_total DESC, term"
+)
