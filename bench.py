@@ -66,6 +66,9 @@ QUERY_SET = [
     "knn_graph",  # exact cosine k-NN graph: broadcast matrix, streamed batches (r4s3)
     "bigram_novelty",  # first-occurrence novelty: bigram-keyed shuffle (r4s3)
     "cross_shard_dedup",  # incremental shard-vs-base dedup over shared LSH state (r4s3)
+    "dup_span_stats",  # ExactSubstr-style window-gram span stats: one gram shuffle (r4s3)
+    "quantile_normalize_scores",  # cross-source calibration via domain histogram (r4s3)
+    "trigram_paths",  # 3-event sequence mining: one user shuffle, in-kernel partials (r4s3)
 ]
 
 
