@@ -54,6 +54,7 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators (session 3) ---
+    "auc_purchase_value": _rel.auc_purchase_value,
     "rfm_scores": _rel.rfm_scores,
     "conversion_wilson": _rel.conversion_wilson,
     "time_to_convert": _rel.time_to_convert,
@@ -206,6 +207,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "char_entropy": _txt.char_entropy,
     "unigram_logprob": _txt.unigram_logprob,
     "ann_pq": _ann.ann_pq,
+    "fd_embedding_sketch": _ann.fd_embedding_sketch,
     "transcript_sessions": _w.transcript_sessions,
     "purchase_view_asof": _w.purchase_view_asof,
     "cqf_dump_roundtrip": _si.cqf_dump_roundtrip,

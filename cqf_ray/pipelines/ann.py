@@ -597,3 +597,48 @@ SQL["mutual_nn_pairs"] = (
     "FROM nn x JOIN nn y ON x.vb = y.va AND y.vb = x.va AND x.va < x.vb "
     "ORDER BY vec_a"
 )
+
+
+def fd_embedding_sketch(sf_dir: str, *, ell: int = 16) -> pa.Table:
+    """Frequent-Directions covariance sketch over the embedding column,
+    with its deterministic guarantee CHECKED at corpus scale: the ℓ×d
+    sketch streams through the standard partial+tree-merge build
+    (``stages/agg.build_sketch`` — FD merges are provably bound-
+    preserving under any merge tree), the exact d×d Gram comes from one
+    combiner-first partial-Gram pass (d is small; the Gram partials are
+    (d², ) rows, never the matrix), and the verdict row reports
+    ‖AᵀA−BᵀB‖₂ against the FD bound ‖A‖_F²/ℓ.  Rows-only by design (the
+    sketch content depends on block partitioning; no SQL SVD) — the
+    bound assertion also runs in pytest at fixed seeds."""
+    import ray
+
+    from ..sketches.fd import FrequentDirections
+    from ..stages.agg import build_sketch
+
+    ds = read(sf_dir, "embeddings", ["embedding"])
+
+    def extract(batch: pa.Table) -> np.ndarray:
+        return batch_embeddings(batch).astype(np.float64)
+
+    dim = len(batch_embeddings(
+        ds.take_batch(1, batch_format="pyarrow"))[0])
+    fd = build_sketch(ds, extract, lambda: FrequentDirections(ell, dim))
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        m = batch_embeddings(batch).astype(np.float64)
+        return pa.table({"g": pa.array([(m.T @ m).ravel()],
+                                       type=pa.list_(pa.float64()))})
+
+    grams = read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        gram_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    exact = np.sum(np.stack(grams["g"].to_numpy()), axis=0).reshape(dim, dim)
+    err = fd.spectral_error_vs(exact)
+    bound = fd.error_bound()
+    return pa.table({
+        "n_vecs": pa.array([fd.n_seen], type=pa.int64()),
+        "ell": pa.array([ell], type=pa.int64()),
+        "fro_sq": pa.array([round(fd.sq_norm, 6)], type=pa.float64()),
+        "spectral_err": pa.array([round(err, 6)], type=pa.float64()),
+        "fd_bound": pa.array([round(bound, 6)], type=pa.float64()),
+        "within_bound": pa.array([bool(err <= bound)], type=pa.bool_()),
+    })

@@ -5798,3 +5798,60 @@ SQL["rfm_scores"] = (
     "CAST(100 * r_quintile + 10 * f_quintile + m_quintile AS BIGINT) AS rfm "
     "FROM q ORDER BY user_id"
 )
+
+
+def auc_purchase_value(sf_dir: str) -> pa.Table:
+    """Exact distributed AUC (Mann–Whitney U): how well event value
+    discriminates purchases from non-purchases — the model-eval primitive
+    computed the scale-correct way: NO global sort and NO pairwise
+    comparison.  Per-batch combiner collapses the stream to a
+    (distinct µ-value, n_pos, n_neg) histogram (domain-bounded, the
+    `quantile_normalize_scores` trick); the driver cumsum over the sorted
+    histogram yields 2U = Σ np·(2·cum_nn< + nn) as an exact integer
+    (ties = the standard 0.5 credit, carried ×2), and AUC is ONE mirrored
+    float division."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                dtype=np.float64) * 1e6).astype(np.int64)
+        pos = pc.equal(batch.column("event_type"), "purchase")
+        p = np.asarray(pos.combine_chunks()).astype(np.int64)
+        df = pl.DataFrame({"v": pl.Series(v), "np_": pl.Series(p)})
+        return (df.group_by("v")
+                .agg(np=pl.col("np_").sum(),
+                     nn=(1 - pl.col("np_")).sum()).to_arrow())
+
+    h = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], [("np", "sum", "np"), ("nn", "sum", "nn")],
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    npos = h["np"].to_numpy(np.int64)
+    nneg = h["nn"].to_numpy(np.int64)
+    cum_nn = np.r_[0, np.cumsum(nneg)[:-1]]
+    tot_p = int(npos.sum())
+    tot_n = int(nneg.sum())
+    u2 = int((npos * (2 * cum_nn + nneg)).sum())
+    auc = float(u2) / (2.0 * tot_p * tot_n)
+    return pa.table({"n_pos": pa.array([tot_p], type=pa.int64()),
+                     "n_neg": pa.array([tot_n], type=pa.int64()),
+                     "u2": pa.array([u2], type=pa.int64()),
+                     "auc": pa.array([auc], type=pa.float64())})
+
+
+SQL["auc_purchase_value"] = (
+    "WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v, "
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events), "
+    "h AS (SELECT v, SUM(pos) AS np, SUM(1 - pos) AS nn FROM e GROUP BY v), "
+    "c AS (SELECT v, np, nn, COALESCE(SUM(nn) OVER (ORDER BY v "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn FROM h), "
+    "t AS (SELECT SUM(np) AS tot_p, SUM(nn) AS tot_n, "
+    "SUM(np * (2 * cum_nn + nn)) AS u2 FROM c) "
+    "SELECT CAST(tot_p AS BIGINT) AS n_pos, CAST(tot_n AS BIGINT) AS n_neg, "
+    "CAST(u2 AS BIGINT) AS u2, "
+    "CAST(u2 AS DOUBLE) / (2.0 * tot_p * tot_n) AS auc FROM t"
+)

@@ -1,5 +1,6 @@
 from .base import Sketch, sketch_from_bytes
 from .ams import AmsSketch
+from .fd import FrequentDirections
 from .bloom import BloomFilter
 from .bottomk import BottomKSample
 from .cms import CountMinSketch
@@ -18,6 +19,7 @@ __all__ = [
     "Sketch",
     "sketch_from_bytes",
     "AmsSketch",
+    "FrequentDirections",
     "BloomFilter",
     "BottomKSample",
     "ThetaSketch",

@@ -388,3 +388,42 @@ def test_ams_merge_bitwise_and_error_bound():
     assert (back.counters == merged.counters).all()
     assert (back.n_hashes, back.bits_per, back.seed) == (
         merged.n_hashes, merged.bits_per, merged.seed)
+
+
+def test_frequent_directions_bound_and_merge():
+    """FD's deterministic guarantee ||A'A - B'B||2 <= ||A||_F^2 / ell must
+    hold for streaming insertion AND for any merge tree over row shards;
+    serialization round-trips the sketch state exactly."""
+    import numpy as np
+
+    from cqf_ray.sketches.fd import FrequentDirections
+    from cqf_ray.sketches.base import sketch_from_bytes
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(500, 32)) @ np.diag(np.linspace(3, 0.1, 32))
+    ell = 8
+    fd = FrequentDirections(ell, 32)
+    for i in range(0, len(a), 37):
+        fd.update(a[i:i + 37])
+    exact = a.T @ a
+    assert fd.n_seen == 500
+    assert abs(fd.sq_norm - float(np.sum(a * a))) < 1e-6
+    assert fd.spectral_error_vs(exact) <= fd.error_bound() + 1e-9
+
+    # arbitrary merge tree over 4 shards
+    shards = np.array_split(a, 4)
+    parts = []
+    for s in shards:
+        f = FrequentDirections(ell, 32)
+        f.update(s)
+        parts.append(f)
+    m = parts[0].merge_in_place(parts[1])
+    m2 = parts[2].merge_in_place(parts[3])
+    m.merge_in_place(m2)
+    assert m.n_seen == 500
+    assert m.spectral_error_vs(exact) <= m.error_bound() + 1e-9
+
+    rt = sketch_from_bytes(m.to_bytes())
+    assert rt.n_seen == m.n_seen
+    assert np.allclose(rt.gram(), m.gram())
+    assert rt.spectral_error_vs(exact) <= rt.error_bound() + 1e-9
