@@ -642,3 +642,92 @@ def fd_embedding_sketch(sf_dir: str, *, ell: int = 16) -> pa.Table:
         "fd_bound": pa.array([round(bound, 6)], type=pa.float64()),
         "within_bound": pa.array([bool(err <= bound)], type=pa.bool_()),
     })
+
+
+def knn_triangle_count(sf_dir: str, *, k: int = 3) -> pa.Table:
+    """Distributed TRIANGLE COUNT over the symmetrized k-NN graph — the
+    clustering-structure audit for an embedding space (triangle-dense
+    neighborhoods = tight semantic clusters; the third graph primitive
+    next to `stages/cc.py` and PageRank).  Classic two-shuffle plan that
+    never builds a global adjacency: (1) undirected edges (u<v, deduped)
+    from the exact `knn_graph`; (2) wedges by CENTER node — one keyed
+    shuffle, per-partition vectorized neighbor-pair explosion (bounded by
+    k² per node); (3) one keyed shuffle co-locating wedges with edges on
+    the closing pair (a,b) — a partition-local polars join counts
+    closures.  Every triangle closes at exactly 3 corners → total/3."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    nn = knn_graph(sf_dir, k=k).to_pandas()
+    a = np.minimum(nn["vec_id"].to_numpy(np.int64),
+                   nn["neighbor_id"].to_numpy(np.int64))
+    b = np.maximum(nn["vec_id"].to_numpy(np.int64),
+                   nn["neighbor_id"].to_numpy(np.int64))
+    edges = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+    import ray
+
+    edge_ds = ray.data.from_pandas(edges)
+    n_edges = len(edges)
+
+    def wedges(t: pa.Table) -> pa.Table:
+        # partition holds every edge touching its center nodes twice
+        # (emitted once per endpoint below); here t IS (c, n) adjacency rows
+        df = pl.from_arrow(t)
+        j = df.join(df, on="c", suffix="_r").filter(pl.col("n") < pl.col("n_r"))
+        return (j.rename({"n": "a", "n_r": "b"})
+                .select("a", "b").with_columns(w=pl.lit(1, dtype=pl.Int64))
+                .group_by(["a", "b"]).agg(w=pl.col("w").sum()).to_arrow())
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        aa = np.asarray(t.column("a").combine_chunks()).astype(np.int64)
+        bb = np.asarray(t.column("b").combine_chunks()).astype(np.int64)
+        return pa.table({"c": pa.array(np.concatenate([aa, bb])),
+                         "n": pa.array(np.concatenate([bb, aa]))})
+
+    adj = edge_ds.map_batches(both_dirs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    wedge_ds = keyed_partition_map(adj, ["c"], wedges)
+
+    def close_kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        w = df.filter(pl.col("kind") == 0)
+        e = df.filter(pl.col("kind") == 1).select("a", "b")
+        closed = w.join(e, on=["a", "b"])
+        return pa.table({"tri3": pa.array(
+            [int(closed.get_column("w").sum()) if closed.height else 0],
+            type=pa.int64())})
+
+    tagged_w = wedge_ds.map_batches(
+        lambda t: t.append_column("kind", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tagged_e = edge_ds.map_batches(
+        lambda t: pa.table({"a": t.column("a"), "b": t.column("b"),
+                            "w": pa.array(np.ones(t.num_rows, np.int64)),
+                            "kind": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    merged = tagged_w.union(tagged_e)
+    parts = keyed_partition_map(merged, ["a", "b"], close_kernel).to_pandas()
+    tri = int(parts["tri3"].sum()) // 3
+    return pa.table({"n_edges": pa.array([n_edges], type=pa.int64()),
+                     "n_triangles": pa.array([tri], type=pa.int64())})
+
+
+SQL["knn_triangle_count"] = (
+    "WITH sims AS ( "
+    "  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+    "         ROUND(list_cosine_similarity(a.embedding, b.embedding), 9) AS sim "
+    "  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), "
+    "ranked AS ( "
+    "  SELECT vec_id, neighbor_id, "
+    "         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank "
+    "  FROM sims), "
+    "e AS (SELECT DISTINCT LEAST(vec_id, neighbor_id) AS a, "
+    "GREATEST(vec_id, neighbor_id) AS b FROM ranked WHERE rank <= 3), "
+    "t AS (SELECT COUNT(*) AS tri FROM e e1 "
+    "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+    "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) "
+    "SELECT (SELECT COUNT(*) FROM e) AS n_edges, "
+    "CAST(tri AS BIGINT) AS n_triangles FROM t"
+)
