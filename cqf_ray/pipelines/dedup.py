@@ -1724,16 +1724,22 @@ def dup_span_stats(sf_dir: str, *, window: int = 50) -> pa.Table:
     (length ≥ window): total window positions, duplicated positions, and
     the duplicated fraction in exact basis points — the signal used to
     cut boilerplate/licence spam before training.  Plan: (1) per-batch
-    vectorized window explosion to ``(gram, doc_id)`` POSITION rows (not
-    distinct — every position counts); (2) ONE keyed shuffle on the gram
-    string — each partition owns its grams wholly, so the per-gram
-    distinct-doc count and the per-doc duplicated-position partials are
-    partition-local; (3) combiner-first grouped sum by doc_id, joined
-    driver-side with the per-doc position totals (a doc-count-sized
-    table).  The reference's suffix-array formulation is sequential; the
-    windowed-gram relaxation is the standard distributed approximation
-    (it flags the same spans at gram granularity)."""
+    vectorized window explosion, with each gram collapsed to its 64-bit
+    fingerprint BEFORE the exchange — the shuffle carries 16-byte
+    ``(gh, doc_id)`` rows, never the ``window``-char strings (a ~7×
+    exchange shrink; a fingerprint collision merging two distinct grams
+    needs ~2⁻⁶⁴ per pair — ≪1e-5 corpus-wide even at 10⁹ positions —
+    and only ever OVER-flags a span, the conservative direction); (2)
+    ONE keyed shuffle on the fingerprint — each partition owns its grams
+    wholly, so the per-gram distinct-doc count and the per-doc
+    duplicated-position partials are partition-local; (3) combiner-first
+    grouped sum by doc_id (a doc-count-sized table).  The reference's
+    suffix-array formulation is sequential; the windowed-gram relaxation
+    is the standard distributed approximation (it flags the same spans
+    at gram granularity)."""
     import polars as pl
+
+    from ..hashing import hash_strings
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1743,26 +1749,28 @@ def dup_span_stats(sf_dir: str, *, window: int = 50) -> pa.Table:
             "text": pl.from_arrow(batch.column("text").combine_chunks()),
         }).filter(pl.col("text").str.len_chars() >= window)
         if df.height == 0:
-            return pa.table({"g": pa.array([], type=pa.string()),
+            return pa.table({"gh": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64())})
         df = (df.with_columns(
                   r=pl.int_ranges(0, pl.col("text").str.len_chars() - (window - 1)))
               .explode("r")
               .with_columns(g=pl.col("text").str.slice(pl.col("r"), window))
               .select("g", "doc_id"))
-        return df.to_arrow()
+        gh = hash_strings(df.get_column("g").to_arrow()).view(np.int64)
+        return pa.table({"gh": pa.array(gh),
+                         "doc_id": df.get_column("doc_id").to_arrow()})
 
     def per_gram_kernel(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
-        nd = df.group_by("g").agg(ndocs=pl.col("doc_id").n_unique())
-        j = df.join(nd, on="g")
+        nd = df.group_by("gh").agg(ndocs=pl.col("doc_id").n_unique())
+        j = df.join(nd, on="gh")
         out = (j.group_by("doc_id")
                .agg(n_win=pl.len().cast(pl.Int64),
                     n_dup=(pl.col("ndocs") >= 2).sum().cast(pl.Int64)))
         return out.to_arrow()
 
     rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    agg = keyed_partition_map(rows, ["g"], per_gram_kernel)
+    agg = keyed_partition_map(rows, ["gh"], per_gram_kernel)
     out = grouped_aggregate(
         agg, ["doc_id"],
         [("n_windows", "sum", "n_win"), ("n_dup_windows", "sum", "n_dup")],
