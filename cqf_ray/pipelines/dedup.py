@@ -1870,3 +1870,121 @@ def _leakage_free_split_sql(threshold: float = 0.7, train_permille: int = 800,
 
 
 SQL["leakage_free_split"] = _leakage_free_split_sql()
+
+
+def cdc_chunk_stats(sf_dir: str, *, modulus: int = 64) -> pa.Table:
+    """Content-defined chunking (CDC — the rsync/LBFS/storage-dedup
+    primitive): each document splits at positions where a 4-byte boundary
+    predicate fires (content-defined, so shared passages align to the
+    SAME chunk boundaries regardless of shift), then chunks are deduped
+    ACROSS documents.  Output per doc: n_chunks, chunks whose exact
+    content occurs in ≥2 distinct docs, and the duplicated fraction in
+    bps.  The boundary predicate is a fixed 4-byte polynomial hash mod
+    ``modulus`` (gear-hash class; production CDC swaps in a gear table /
+    Rabin fingerprint — identical plan shape; expected chunk ≈ modulus
+    bytes).  Distributed shape mirrors ``dup_span_stats``: boundary scan
+    + chunk explosion are one vectorized pass over the Arrow string
+    buffer (no per-doc Python), chunks collapse to 64-bit fingerprints
+    BEFORE the single chunk-keyed shuffle (16-byte exchange rows;
+    collision ~2⁻⁶⁴/pair, over-flagging direction), per-partition
+    distinct-doc counts, combiner-first per-doc rollup.  ASCII corpus
+    assumption (byte==char) keeps the SQL oracle's char-based substring
+    semantics identical to the byte windows."""
+    import polars as pl
+
+    from ..hashing import hash_strings
+    from ..text import string_bytes_and_offsets
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        data, offs = string_bytes_and_offsets(batch.column("text"))
+        starts, ends = offs[:-1], offs[1:]
+        nb = len(data)
+        empty = pa.table({"chh": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64())})
+        if nb == 0 or len(did) == 0:
+            return empty
+        c = data.astype(np.int64)
+        k = np.zeros(nb, np.int64)
+        if nb >= 4:
+            k[: nb - 3] = 131 * c[: nb - 3] + 137 * c[1: nb - 2] \
+                + 139 * c[2: nb - 1] + 149 * c[3:]
+        g = np.arange(nb, dtype=np.int64)
+        doc_of = np.minimum(np.searchsorted(ends, g, side="right"),
+                            len(starts) - 1)
+        # windows must lie wholly inside one doc's byte range (guards
+        # offset/non-compacted buffers where data[0] precedes starts[0])
+        in_doc = (g >= starts[doc_of]) & (g + 4 <= ends[doc_of])
+        cutmask = in_doc & (k % modulus == 0)
+        cut_doc = doc_of[cutmask]
+        cut_pos = g[cutmask] + 4 - starts[cut_doc]       # local 1-based end
+        # add the end-of-doc sentinel cut for every non-empty doc
+        nonempty = np.flatnonzero(ends > starts)
+        cut_doc = np.concatenate([cut_doc, nonempty])
+        cut_pos = np.concatenate([cut_pos, (ends - starts)[nonempty]])
+        order = np.lexsort((cut_pos, cut_doc))
+        cut_doc, cut_pos = cut_doc[order], cut_pos[order]
+        keep = np.r_[True, (cut_doc[1:] != cut_doc[:-1])
+                     | (cut_pos[1:] != cut_pos[:-1])]
+        cut_doc, cut_pos = cut_doc[keep], cut_pos[keep]
+        new_doc = np.r_[True, cut_doc[1:] != cut_doc[:-1]]
+        prev = np.where(new_doc, 0, np.r_[0, cut_pos[:-1]])
+        texts = batch.column("text").combine_chunks()
+        df = pl.DataFrame({
+            "doc_id": pl.Series(did[cut_doc]),
+            "t": pl.from_arrow(texts.take(pa.array(cut_doc))),
+            "start": pl.Series(prev),
+            "len": pl.Series(cut_pos - prev),
+        }).with_columns(chunk=pl.col("t").str.slice(pl.col("start"),
+                                                    pl.col("len")))
+        chh = hash_strings(df.get_column("chunk").to_arrow()).view(np.int64)
+        return pa.table({"chh": pa.array(chh),
+                         "doc_id": df.get_column("doc_id").to_arrow()})
+
+    def per_chunk_kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        nd = df.group_by("chh").agg(ndocs=pl.col("doc_id").n_unique())
+        j = df.join(nd, on="chh")
+        return (j.group_by("doc_id")
+                .agg(n_ch=pl.len().cast(pl.Int64),
+                     n_dup=(pl.col("ndocs") >= 2).sum().cast(pl.Int64))
+                ).to_arrow()
+
+    rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    agg = keyed_partition_map(rows, ["chh"], per_chunk_kernel)
+    out = grouped_aggregate(
+        agg, ["doc_id"],
+        [("n_chunks", "sum", "n_ch"), ("n_dup_chunks", "sum", "n_dup")],
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    nc = out["n_chunks"].to_numpy(np.int64)
+    ndup = out["n_dup_chunks"].to_numpy(np.int64)
+    out["dup_bps"] = (10000 * ndup) // np.maximum(nc, 1)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["cdc_chunk_stats"] = (
+    "WITH pos AS (SELECT doc_id, text, "
+    "CAST(UNNEST(range(length(text) - 3)) AS BIGINT) AS i "
+    "FROM documents WHERE length(text) >= 4), "
+    "k AS (SELECT doc_id, i, (131 * ascii(substring(text, CAST(i+1 AS INT), 1)) "
+    "+ 137 * ascii(substring(text, CAST(i+2 AS INT), 1)) "
+    "+ 139 * ascii(substring(text, CAST(i+3 AS INT), 1)) "
+    "+ 149 * ascii(substring(text, CAST(i+4 AS INT), 1))) % 64 AS b FROM pos), "
+    "cuts AS (SELECT doc_id, i + 4 AS cut FROM k WHERE b = 0), "
+    "c2 AS (SELECT DISTINCT doc_id, cut FROM (SELECT doc_id, cut FROM cuts "
+    "UNION ALL SELECT doc_id, length(text) FROM documents)), "
+    "ch0 AS (SELECT doc_id, cut, "
+    "COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS prev FROM c2), "
+    "ch AS (SELECT c.doc_id, substring(d.text, CAST(c.prev + 1 AS INT), "
+    "CAST(c.cut - c.prev AS INT)) AS chunk "
+    "FROM ch0 c JOIN documents d USING (doc_id)), "
+    "nd AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1), "
+    "j AS (SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+    "CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks "
+    "FROM ch JOIN nd USING (chunk) GROUP BY 1) "
+    "SELECT doc_id, n_chunks, n_dup_chunks, "
+    "CAST(10000 * n_dup_chunks AS BIGINT) // n_chunks AS dup_bps "
+    "FROM j ORDER BY doc_id"
+)
