@@ -15,6 +15,7 @@ from ..sketches import CQF, HyperLogLog
 from ..stages.agg import build_sketch, grouped_sketches
 from ..stages.probe import probe_dataset
 from ..sources.transcripts import TRANSCRIPTS_SQL, transcripts_from_events, transcripts_light
+from .common import read
 
 _CTE = f"WITH transcripts AS ({TRANSCRIPTS_SQL})"
 
@@ -633,3 +634,134 @@ SQL = {
         "TRUE AS est_in_3sigma FROM transcripts GROUP BY role ORDER BY role"
     ),
 }
+
+
+def conv_response_latency(sf_dir: str) -> pa.Table:
+    """Assistant RESPONSE LATENCY per conversation: over every user turn
+    immediately followed by an assistant turn, the count, mean and median
+    of (assistant ts − user ts) in whole seconds — the serving-quality
+    stat a transcript pipeline reports per conversation.  One keyed
+    shuffle on conv_id; the kernel is a single lexsort + shifted role
+    compare (no per-conversation Python); latencies stay integer µs, the
+    mean is ONE mirrored float division of exact ints and the median is
+    the (a+b)/2 central-pair convention, so doubles match the oracle
+    bit-for-bit."""
+    from ..sources.transcripts import _role_of_types
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        role = _role_of_types(t.column("event_type")).to_numpy(zero_copy_only=False)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        if len(uid) == 0:
+            return pa.table({"conv_id": pa.array([], type=pa.string()),
+                             "n_responses": pa.array([], type=pa.int64()),
+                             "mean_latency_sec": pa.array([], type=pa.float64()),
+                             "median_latency_sec": pa.array([], type=pa.float64())})
+        uids, inv = np.unique(uid, return_inverse=True)
+        order = np.lexsort((eid, tsu, inv))  # = turn_idx order per conv
+        inv_s, role_s, ts_s = inv[order], role[order], tsu[order]
+        pair = (inv_s[1:] == inv_s[:-1]) & (role_s[:-1] == "user") \
+            & (role_s[1:] == "assistant")
+        lat = (ts_s[1:] - ts_s[:-1])[pair] // 1_000_000
+        cid = inv_s[:-1][pair]
+        o2 = np.lexsort((lat, cid))
+        cid_s, lat_s = cid[o2], lat[o2]
+        starts = np.flatnonzero(np.r_[True, cid_s[1:] != cid_s[:-1]])
+        counts = np.diff(np.append(starts, len(cid_s)))
+        sums = np.add.reduceat(lat_s, starts)
+        lo = starts + (counts - 1) // 2
+        hi = starts + counts // 2
+        med = (lat_s[lo].astype(np.float64) + lat_s[hi]) / 2.0
+        mean = sums.astype(np.float64) / counts
+        names = np.array([f"c{u}" for u in uids[cid_s[starts]]], dtype=object)
+        return pa.table({"conv_id": pa.array(names, type=pa.string()),
+                         "n_responses": pa.array(counts.astype(np.int64)),
+                         "mean_latency_sec": pa.array(mean),
+                         "median_latency_sec": pa.array(med)})
+
+    out = keyed_partition_map(ds, ["user_id"], kernel).to_pandas()
+    out = out.sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def tool_call_chains(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands over transcript roles: per conversation, how many
+    CONSECUTIVE-tool-turn runs occur and the longest such chain — the
+    agentic-loop depth profile (long tool chains = multi-step tool use).
+    One keyed shuffle on conv_id; islands fall out of one vectorized
+    run-boundary scan per partition (the SQL oracle uses the classic
+    turn_idx − ROW_NUMBER() island key).  Conversations with no tool
+    turns are excluded (the oracle's WHERE does the same)."""
+    from ..sources.transcripts import _role_of_types
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        role = _role_of_types(t.column("event_type")).to_numpy(zero_copy_only=False)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        if len(uid) == 0:
+            return pa.table({"conv_id": pa.array([], type=pa.string()),
+                             "n_chains": pa.array([], type=pa.int64()),
+                             "longest_chain": pa.array([], type=pa.int64())})
+        uids, inv = np.unique(uid, return_inverse=True)
+        order = np.lexsort((eid, tsu, inv))  # = turn_idx order per conv
+        inv_s = inv[order]
+        is_tool = role[order] == "tool"
+        # a tool run starts at a tool turn whose predecessor (same conv,
+        # previous turn) is not a tool turn — rows are consecutive turns
+        prev_tool = np.r_[False, is_tool[:-1] & (inv_s[1:] == inv_s[:-1])]
+        run_start = is_tool & ~prev_tool
+        run_id = np.cumsum(run_start) - 1
+        tool_conv = inv_s[is_tool]
+        tool_run = run_id[is_tool]
+        o2 = np.lexsort((tool_run, tool_conv))
+        tc, tr = tool_conv[o2], tool_run[o2]
+        new_run = np.r_[True, (tc[1:] != tc[:-1]) | (tr[1:] != tr[:-1])]
+        rstart = np.flatnonzero(new_run)
+        rlen = np.diff(np.append(rstart, len(tc)))
+        rconv = tc[rstart]
+        cstart = np.flatnonzero(np.r_[True, rconv[1:] != rconv[:-1]])
+        n_chains = np.diff(np.append(cstart, len(rconv)))
+        longest = np.maximum.reduceat(rlen, cstart)
+        names = np.array([f"c{u}" for u in uids[rconv[cstart]]], dtype=object)
+        return pa.table({"conv_id": pa.array(names, type=pa.string()),
+                         "n_chains": pa.array(n_chains.astype(np.int64)),
+                         "longest_chain": pa.array(longest.astype(np.int64))})
+
+    out = keyed_partition_map(ds, ["user_id"], kernel).to_pandas()
+    out = out.sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["conv_response_latency"] = (
+    f"{_CTE}, nxt AS (SELECT conv_id, role, ts, "
+    "LEAD(role) OVER w AS nrole, LEAD(ts) OVER w AS nts "
+    "FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), "
+    "lat AS (SELECT conv_id, "
+    "(epoch_us(nts) - epoch_us(ts)) // 1000000 AS lsec "
+    "FROM nxt WHERE role = 'user' AND nrole = 'assistant') "
+    "SELECT conv_id, COUNT(*) AS n_responses, "
+    "CAST(SUM(lsec) AS DOUBLE) / COUNT(*) AS mean_latency_sec, "
+    "MEDIAN(lsec) AS median_latency_sec "
+    "FROM lat GROUP BY conv_id ORDER BY conv_id"
+)
+
+SQL["tool_call_chains"] = (
+    f"{_CTE}, tool_turns AS (SELECT conv_id, turn_idx, "
+    "turn_idx - ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp "
+    "FROM transcripts WHERE role = 'tool'), "
+    "runs AS (SELECT conv_id, grp, COUNT(*) AS chain_len "
+    "FROM tool_turns GROUP BY 1, 2) "
+    "SELECT conv_id, COUNT(*) AS n_chains, "
+    "CAST(MAX(chain_len) AS BIGINT) AS longest_chain "
+    "FROM runs GROUP BY conv_id ORDER BY conv_id"
+)
