@@ -5855,3 +5855,104 @@ SQL["auc_purchase_value"] = (
     "CAST(u2 AS BIGINT) AS u2, "
     "CAST(u2 AS DOUBLE) / (2.0 * tot_p * tot_n) AS auc FROM t"
 )
+
+
+def data_quality_audit(sf_dir: str) -> pa.Table:
+    """Declarative data-CONTRACT audit (the dbt-tests/expectations stage a
+    production pipeline runs before training): eight schema/content
+    constraints over four tables — null rates, key uniqueness, value
+    ranges, a cross-column consistency rule, and embedding-dimension
+    uniformity — each evaluated as ONE combiner-first distributed
+    aggregate (violation counts only cross the wire), emitted as a
+    (constraint, table_name, violations, passed) row.  Complements
+    `fk_orphan_audit` (referential integrity lives there).  Checks are
+    independent tiny jobs; datasets build serially (lazy-import safety)
+    and each collapses to a single counter."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    def count_where(table: str, cols: list[str], pred) -> int:
+        ds = read(sf_dir, table, cols)
+
+        def part(batch: pa.Table) -> pa.Table:
+            n = int(pred(batch).sum())
+            return pa.table({"v": pa.array([n], type=pa.int64())})
+
+        out = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+        return int(out["v"].sum())
+
+    def dup_keys(table: str, col: str) -> int:
+        ds = read(sf_dir, table, [col])
+
+        def part(batch: pa.Table) -> pa.Table:
+            return (pl.from_arrow(batch).group_by(col)
+                    .agg(c=pl.len().cast(pl.Int64)).to_arrow())
+
+        agg = grouped_aggregate(
+            ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+            [col], [("c", "sum", "c")]).to_pandas()
+        return int((agg["c"] - 1).clip(lower=0).sum())
+
+    rows = []
+
+    def add(name: str, table: str, violations: int):
+        rows.append((name, table, violations, violations == 0))
+
+    add("user_id_not_null", "events", count_where(
+        "events", ["user_id"],
+        lambda b: np.asarray(b.column("user_id").is_null().combine_chunks())))
+    add("value_in_range_0_1000", "events", count_where(
+        "events", ["value"],
+        lambda b: ~np.isfinite(v := np.asarray(b.column("value").combine_chunks(),
+                                               dtype=np.float64)) | (v < 0)
+        | (v > 1000)))
+    add("doc_id_unique", "documents", dup_keys("documents", "doc_id"))
+    add("n_chars_matches_text", "documents", count_where(
+        "documents", ["text", "n_chars"],
+        lambda b: np.asarray(pa.compute.utf8_length(
+            b.column("text").combine_chunks()), dtype=np.int64)
+        != np.asarray(b.column("n_chars").combine_chunks(), dtype=np.int64)))
+    add("o_totalprice_positive", "orders", count_where(
+        "orders", ["o_totalprice"],
+        lambda b: np.asarray(b.column("o_totalprice").combine_chunks(),
+                             dtype=np.float64) <= 0))
+    add("o_custkey_not_null", "orders", count_where(
+        "orders", ["o_custkey"],
+        lambda b: np.asarray(b.column("o_custkey").is_null().combine_chunks())))
+    add("c_custkey_unique", "customer", dup_keys("customer", "c_custkey"))
+    add("embedding_dim_64", "embeddings", count_where(
+        "embeddings", ["embedding"],
+        lambda b: np.asarray(pa.compute.list_value_length(
+            b.column("embedding").combine_chunks()), dtype=np.int64) != 64))
+
+    out = pd.DataFrame(rows, columns=["check_name", "table_name",
+                                      "violations", "passed"])
+    out["violations"] = out["violations"].astype(np.int64)
+    out = out.sort_values("check_name").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["data_quality_audit"] = (
+    "WITH checks AS ("
+    "SELECT 'user_id_not_null' AS check_name, 'events' AS table_name, "
+    "CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM events "
+    "UNION ALL SELECT 'value_in_range_0_1000', 'events', "
+    "CAST(SUM(CASE WHEN value IS NULL OR isnan(value) OR value < 0 OR value > 1000 "
+    "THEN 1 ELSE 0 END) AS BIGINT) FROM events "
+    "UNION ALL SELECT 'doc_id_unique', 'documents', "
+    "CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'n_chars_matches_text', 'documents', "
+    "CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'o_totalprice_positive', 'orders', "
+    "CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders "
+    "UNION ALL SELECT 'o_custkey_not_null', 'orders', "
+    "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders "
+    "UNION ALL SELECT 'c_custkey_unique', 'customer', "
+    "CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer "
+    "UNION ALL SELECT 'embedding_dim_64', 'embeddings', "
+    "CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings) "
+    "SELECT check_name, table_name, violations, violations = 0 AS passed "
+    "FROM checks ORDER BY check_name"
+)
