@@ -477,3 +477,91 @@ SQL["last_touch_attribution"] = (
     "AS attributed_value "
     "FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
 )
+
+
+def sliding_distinct_users(sf_dir: str) -> pa.Table:
+    """EXACT distinct-user count over a SLIDING 24 h window, per event
+    type and hourly window start — the dashboard primitive ("rolling DAU")
+    that naive per-window COUNT(DISTINCT) recomputes 24× per event.
+    Scale-correct exact plan: each (type, user) contributes INTERVALS of
+    covered window starts (one per merged event cluster — events within
+    24 h fuse, so a user is counted once per window no matter how many
+    events), and the per-type answer is ONE boundary cumsum over the hour
+    grid.  Shapes: a streaming min/max pass pins the global grid; one
+    keyed shuffle on event_type; inside the partition everything is a
+    lexsort + monotone-interval merge (both interval endpoints are
+    monotone in ts, so merging is a single vectorized compare) + bincount.
+    Zero-user windows are omitted exactly like the oracle's inner join."""
+    from ..stages.keyed import keyed_partition_map
+
+    _HOUR = 3_600_000_000
+    mm_ds = read(sf_dir, "events", ["ts"])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        ts = _col_ts_us(batch, "ts")
+        if len(ts) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([int(ts.min())]),
+                         "hi": pa.array([int(ts.max())])})
+
+    mms = mm_ds.map_batches(mm, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    h0 = (int(mms["lo"].min()) // _HOUR) * _HOUR
+    h1 = (int(mms["hi"].max()) // _HOUR) * _HOUR
+    n_win = (h1 - h0) // _HOUR + 1
+
+    ds = read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = _col_i64(t, "user_id")
+        tsu = _col_ts_us(t, "ts")
+        if len(uid) == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "h": pa.array([], type=pa.timestamp("us")),
+                             "n_users": pa.array([], type=pa.int64())})
+        types, tinv = np.unique(et, return_inverse=True)
+        order = np.lexsort((tsu, uid, tinv))
+        tinv, uid, tsu = tinv[order], uid[order], tsu[order]
+        j_hi = (tsu - h0) // _HOUR
+        j_lo = np.maximum((tsu - h0 - 24 * _HOUR) // _HOUR + 1, 0)
+        j_hi = np.minimum(j_hi, n_win - 1)
+        new_ent = np.r_[True, (tinv[1:] != tinv[:-1]) | (uid[1:] != uid[:-1])]
+        # both endpoints are monotone per entity → merge = one compare
+        merge_prev = ~new_ent & (j_lo <= np.r_[0, j_hi[:-1]] + 1)
+        run_start = ~merge_prev
+        starts = np.flatnonzero(run_start)
+        ends = np.append(starts[1:], len(uid)) - 1
+        iv_type = tinv[starts]
+        iv_lo, iv_hi = j_lo[starts], j_hi[ends]
+        out_t, out_h, out_n = [], [], []
+        for ti in np.unique(iv_type):  # ≤ |types in partition| segments
+            m = iv_type == ti
+            delta = np.bincount(iv_lo[m], minlength=n_win + 1).astype(np.int64)
+            np.subtract.at(delta, iv_hi[m] + 1, 1)
+            cnt = np.cumsum(delta)[:n_win]
+            nz = np.flatnonzero(cnt > 0)
+            out_t.append(np.full(len(nz), types[ti], dtype=object))
+            out_h.append((h0 + nz * _HOUR).astype("datetime64[us]"))
+            out_n.append(cnt[nz])
+        return pa.table({
+            "event_type": pa.array(np.concatenate(out_t), type=pa.string()),
+            "h": pa.array(np.concatenate(out_h)),
+            "n_users": pa.array(np.concatenate(out_n).astype(np.int64)),
+        })
+
+    out = keyed_partition_map(ds, ["event_type"], kernel).to_pandas()
+    out = out.sort_values(["event_type", "h"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["sliding_distinct_users"] = (
+    "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS t0, "
+    "date_trunc('hour', MAX(ts)) AS t1 FROM events), "
+    "hours AS (SELECT UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h FROM b) "
+    "SELECT e.event_type, w.h, COUNT(DISTINCT e.user_id) AS n_users "
+    "FROM hours w JOIN events e ON e.ts >= w.h "
+    "AND e.ts < w.h + INTERVAL 24 HOUR "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
