@@ -239,3 +239,50 @@ def test_user_changepoint_brute_force(ray_session):
         assert out.loc[uid, "cp_score"] == score[best]
         assert out.loc[uid, "cp_ts"] == g["ts"].iloc[best]
         assert out.loc[uid, "n_events"] == n
+
+
+def test_pareto_front_brute_force(ray_session):
+    """Skyline output equals O(n²) dominance filtering per priority
+    group (independent of both the window-SQL oracle and the kernel)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cqf_ray.pipelines import relational as R_
+
+    out = R_.pareto_front(SF_DIR).to_pandas()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice",
+                                    "o_orderdate", "o_orderpriority"]).to_pandas()
+    keep = []
+    for _, g in orders.groupby("o_orderpriority"):
+        p = g["o_totalprice"].to_numpy()
+        d = g["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dom = ((p[:, None] <= p[None, :]) & (d[:, None] <= d[None, :])
+               & ((p[:, None] < p[None, :]) | (d[:, None] < d[None, :])))
+        keep.extend(g["o_orderkey"].to_numpy()[~dom.any(axis=1)])
+    assert sorted(out["o_orderkey"].tolist()) == sorted(keep)
+
+
+def test_sliding_distinct_users_brute_force(ray_session):
+    """Sweep-line rolling distinct equals per-window pandas nunique."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cqf_ray.pipelines import windows as W_
+
+    out = W_.sliding_distinct_users(SF_DIR).to_pandas()
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_type", "user_id", "ts"]).to_pandas()
+    h0 = ev["ts"].min().floor("h")
+    h1 = ev["ts"].max().floor("h")
+    got = out.set_index(["event_type", "h"])["n_users"]
+    rng = np.random.default_rng(3)
+    hours = pd.date_range(h0, h1, freq="h")
+    for h in rng.choice(len(hours), size=25, replace=False):
+        w0 = hours[h]
+        sel = ev[(ev["ts"] >= w0) & (ev["ts"] < w0 + pd.Timedelta(hours=24))]
+        for et, n in sel.groupby("event_type")["user_id"].nunique().items():
+            assert got.loc[(et, w0)] == n
+        for et in set(ev["event_type"]) - set(sel["event_type"]):
+            assert (et, w0) not in got.index
