@@ -2051,3 +2051,68 @@ SQL["term_burstiness"] = (
     "CAST(nd.n * q - s * s AS DOUBLE) / (CAST(nd.n AS DOUBLE) * s) AS vmr "
     "FROM top, nd ORDER BY tf_total DESC, term"
 )
+
+
+def ks_drift_by_source(sf_dir: str) -> pa.Table:
+    """Per-source two-sample Kolmogorov–Smirnov drift test: for every
+    source, the exact KS statistic between ITS document-length
+    distribution and the REST of the corpus — the distribution-shift
+    screen run before adding a feed to a training mixture.  Exactness:
+    D is carried as the INTEGER max|cum_s·n_r − cum_r·n_s| over the
+    sorted value domain (no float CDFs), and the statistic is ONE
+    mirrored division.  Distributed shape: one combiner-first
+    (n_chars, source) histogram (domain-bounded, the
+    `quantile_normalize_scores` trick); the cumsum/argmax runs on the
+    |domain|×|sources| driver grid — at web scale the same max is a
+    per-value-shard keyed partial."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    h = grouped_aggregate(
+        read(sf_dir, "documents", ["n_chars", "source"]).map_batches(
+            lambda b: pl.from_arrow(b).group_by(["n_chars", "source"])
+            .agg(c=pl.len().cast(pl.Int64)).to_arrow(),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["n_chars", "source"], [("c", "sum", "c")],
+    ).to_pandas()
+
+    piv = (h.pivot_table(index="n_chars", columns="source", values="c",
+                         aggfunc="sum", fill_value=0).sort_index())
+    counts = piv.to_numpy(np.int64)              # (|domain|, |sources|)
+    cs = counts.cumsum(axis=0)
+    ns = counts.sum(axis=0)
+    n = int(ns.sum())
+    cg = cs.sum(axis=1)                          # global cumsum
+    rows = []
+    for j, src in enumerate(piv.columns):
+        d2 = np.abs(cs[:, j] * (n - ns[j]) - (cg - cs[:, j]) * ns[j])
+        dmax = int(d2.max())
+        rows.append((src, int(ns[j]), dmax,
+                     float(dmax) / (int(ns[j]) * (n - int(ns[j])))))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "d2", "ks_stat"])
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["ks_drift_by_source"] = (
+    "WITH h AS (SELECT n_chars AS v, source, COUNT(*) AS c "
+    "FROM documents GROUP BY 1, 2), "
+    "vals AS (SELECT DISTINCT v FROM h), "
+    "srcs AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1), "
+    "tot AS (SELECT COUNT(*) AS n FROM documents), "
+    "grid AS (SELECT s.source, vals.v, s.ns, COALESCE(h.c, 0) AS c "
+    "FROM srcs s CROSS JOIN vals "
+    "LEFT JOIN h ON h.source = s.source AND h.v = vals.v), "
+    "cums AS (SELECT source, v, ns, "
+    "SUM(c) OVER (PARTITION BY source ORDER BY v) AS cs FROM grid), "
+    "cumg AS (SELECT v, SUM(SUM(c)) OVER (ORDER BY v) AS cgall "
+    "FROM h GROUP BY v), "
+    "j AS (SELECT c.source, c.ns, t.n, "
+    "ABS(c.cs * (t.n - c.ns) - (g.cgall - c.cs) * c.ns) AS d2 "
+    "FROM cums c JOIN cumg g USING (v), tot t) "
+    "SELECT source, CAST(ns AS BIGINT) AS n_docs, "
+    "CAST(MAX(d2) AS BIGINT) AS d2, "
+    "CAST(MAX(d2) AS DOUBLE) / (ns * (n - ns)) AS ks_stat "
+    "FROM j GROUP BY source, ns, n ORDER BY source"
+)
