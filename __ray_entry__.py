@@ -54,6 +54,7 @@ def entry() -> Any:
 # round-1-green queries whose behavior did not change.
 _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- new round-4 operators (session 3) ---
+    "length_gini_by_source": _txt.length_gini_by_source,
     "ks_drift_by_source": _txt.ks_drift_by_source,
     "sliding_distinct_users": _w.sliding_distinct_users,
     "data_quality_audit": _rel.data_quality_audit,

@@ -2116,3 +2116,64 @@ SQL["ks_drift_by_source"] = (
     "CAST(MAX(d2) AS DOUBLE) / (ns * (n - ns)) AS ks_stat "
     "FROM j GROUP BY source, ns, n ORDER BY source"
 )
+
+
+def length_gini_by_source(sf_dir: str) -> pa.Table:
+    """Per-source Gini coefficient of document lengths — the inequality
+    screen for corpus mixing (a source where a few huge docs carry most
+    of the mass behaves very differently under token budgets than a
+    uniform one).  Exact-int formulation: with lengths sorted ascending
+    (doc_id tie-break) and 1-based ranks, G = (2·Σr·x − (n+1)·Σx) /
+    (n·Σx) — both sums are int64, the statistic is ONE mirrored float
+    division.  One keyed shuffle on source; ranks fall out of a single
+    lexsort + run-boundary arange per partition."""
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        did = np.asarray(t.column("doc_id").combine_chunks()).astype(np.int64)
+        x = np.asarray(t.column("n_chars").combine_chunks()).astype(np.int64)
+        if len(src) == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "n_docs": pa.array([], type=pa.int64()),
+                             "s1": pa.array([], type=pa.int64()),
+                             "s0": pa.array([], type=pa.int64())})
+        srcs, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((did, x, inv))
+        inv_s, x_s = inv[order], x[order]
+        idx = np.arange(len(x_s), dtype=np.int64)
+        new = np.r_[True, inv_s[1:] != inv_s[:-1]]
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rn = idx - start + 1
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(x_s)))
+        s0 = np.add.reduceat(x_s, starts)
+        s1 = np.add.reduceat(rn * x_s, starts)
+        return pa.table({"source": pa.array(srcs[inv_s[starts]],
+                                            type=pa.string()),
+                         "n_docs": pa.array(counts.astype(np.int64)),
+                         "s1": pa.array(s1), "s0": pa.array(s0)})
+
+    out = keyed_partition_map(ds, ["source"], kernel).to_pandas()
+    n = out["n_docs"].to_numpy(np.int64)
+    s0 = out["s0"].to_numpy(np.int64)
+    s1 = out["s1"].to_numpy(np.int64)
+    out["gini"] = (2 * s1 - (n + 1) * s0).astype(np.float64) \
+        / (n * s0).astype(np.float64)
+    out = out[["source", "n_docs", "gini"]].sort_values("source")
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["length_gini_by_source"] = (
+    "WITH r AS (SELECT source, n_chars, "
+    "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn "
+    "FROM documents), "
+    "a AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS s0, "
+    "SUM(rn * n_chars) AS s1 FROM r GROUP BY 1) "
+    "SELECT source, CAST(n AS BIGINT) AS n_docs, "
+    "CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini "
+    "FROM a ORDER BY source"
+)
