@@ -799,7 +799,20 @@ def _lsh_pair_state(
     Default ``bands=32`` (rows/band = 4), the standard ≈0.7-threshold
     operating point: P(miss | J = 0.7) = (1−0.7⁴)³² ≈ 1.5e-4 per pair and
     falls steeply with J, so on the driver corpus the verified output
-    equals the exact J ≥ threshold pair set (the SQL oracle)."""
+    equals the exact J ≥ threshold pair set (the SQL oracle).
+
+    RECALL ASSUMPTION (round-4 advice): every downstream consumer of this
+    state — ``minhash_lsh_pairs``, ``near_dup_canonical``, ``clean_corpus``,
+    ``dedup_keep_best``, ``cross_shard_dedup``, ``leakage_free_split``,
+    ``split_leakage_audit`` — is driver-checked against an oracle that
+    recomputes pairs by EXHAUSTIVE exact Jaccard, while the implementation
+    sees only LSH-banded candidates.  A banding miss (~1.5e-4 per true pair
+    at J exactly 0.7; ≤1e-6 by J = 0.8) would flunk that comparison
+    nondeterministically.  This is the published MinHash-LSH design point,
+    shared by the whole near-dup family and accepted as such; pytest
+    additionally sweeps the fixture corpus for near-threshold pairs
+    (``tests/test_lsh_recall_margin.py``) so the gate cannot silently sit
+    on a knife-edge pair."""
     try:
         st_ = os.stat(os.path.join(sf_dir, "documents.parquet"))
         stamp = (st_.st_mtime_ns, st_.st_size)

@@ -5186,16 +5186,30 @@ def trigram_paths(sf_dir: str, *, k: int = 20) -> pa.Table:
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, tsv, uid))
         uid, et = uid[order], et[order]
-        ok = (uid[2:] == uid[:-2]) & (uid[2:] == uid[1:-1]) \
-            if len(uid) >= 3 else np.empty(0, bool)
-        df = pl.DataFrame({"t1": et[:-2][ok], "t2": et[1:-1][ok],
-                           "t3": et[2:][ok]})
+        if len(uid) < 3:
+            # Typed empty table: polars would infer Null columns from
+            # empty object arrays and break the downstream schema union.
+            return pa.table({"t1": pa.array([], type=pa.string()),
+                             "t2": pa.array([], type=pa.string()),
+                             "t3": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        ok = (uid[2:] == uid[:-2]) & (uid[2:] == uid[1:-1])
+        df = pl.DataFrame({"t1": et[:-2][ok].astype(str),
+                           "t2": et[1:-1][ok].astype(str),
+                           "t3": et[2:][ok].astype(str)})
         return (df.group_by(["t1", "t2", "t3"])
                 .agg(n=pl.len().cast(pl.Int64)).to_arrow())
 
     partials = keyed_partition_map(ev, ["user_id"], kernel)
     agg = grouped_aggregate(partials, ["t1", "t2", "t3"],
                             [("n", "sum", "n")]).to_pandas()
+    if agg.empty:
+        # No triple anywhere — the all-to-all drops the schema on fully
+        # empty inputs; rebuild the typed empty frame.
+        return pa.table({"t1": pa.array([], type=pa.string()),
+                         "t2": pa.array([], type=pa.string()),
+                         "t3": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
     agg = agg.sort_values(["n", "t1", "t2", "t3"],
                           ascending=[False, True, True, True]).head(k)
     return pa.Table.from_pandas(agg.reset_index(drop=True), preserve_index=False)
@@ -5707,9 +5721,18 @@ def time_to_convert(sf_dir: str) -> pa.Table:
             out = (np.asarray(d, dtype=np.int64) // 1_000_000).tolist()
         return pa.table({"dsec": pa.array(out, type=pa.int64())})
 
-    d = np.sort(keyed_partition_map(ev, ["user_id"], kernel)
-                .to_pandas()["dsec"].to_numpy(np.int64))
+    pdf = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    # A fully-empty result loses its schema across the exchange — treat a
+    # missing column as zero conversions.
+    d = (np.sort(pdf["dsec"].to_numpy(np.int64))
+         if "dsec" in pdf.columns else np.empty(0, np.int64))
     n = len(d)
+    if n == 0:
+        # Mirror the oracle's aggregate-over-empty row: COUNT(*)=0 with
+        # NULL MEDIAN / quantile_disc.
+        return pa.table({"n_converted": pa.array([0], type=pa.int64()),
+                         "median_sec": pa.array([None], type=pa.float64()),
+                         "p90_sec": pa.array([None], type=pa.int64())})
     med = (float(d[(n - 1) // 2]) + float(d[n // 2])) / 2.0
     p90 = int(d[int(np.ceil(0.9 * n)) - 1])
     return pa.table({"n_converted": pa.array([n], type=pa.int64()),

@@ -1885,7 +1885,11 @@ def quantile_normalize_scores(sf_dir: str) -> pa.Table:
         r = idx - sstart + 1
         counts = np.diff(np.append(np.flatnonzero(new), m))
         ns = np.repeat(counts, counts)
-        pos = (r - 1).astype(np.float64) / (ns - 1.0) * (nn - 1.0)
+        # A single-document stratum has no rank spread — pin its position
+        # to 0 (the oracle CASEs the same way) instead of taking 0/0.
+        pos = np.where(
+            ns == 1, 0.0,
+            (r - 1).astype(np.float64) / (ns - 1.0) * (nn - 1.0))
         lo = np.floor(pos).astype(np.int64)
         hi = np.minimum(lo + 1, nn - 1)
         g_lo = vals[np.searchsorted(cum, lo, side="right")]
@@ -1910,7 +1914,9 @@ SQL["quantile_normalize_scores"] = (
     "RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r "
     "FROM documents), "
     "p AS (SELECT doc_id, source, n_chars, "
-    "CAST(r - 1 AS DOUBLE) / (ns - 1.0) * (nn - 1.0) AS pos FROM pr, N), "
+    "CASE WHEN ns = 1 THEN 0.0 "
+    "ELSE CAST(r - 1 AS DOUBLE) / (ns - 1.0) * (nn - 1.0) END AS pos "
+    "FROM pr, N), "
     "q AS (SELECT doc_id, source, n_chars, pos, "
     "CAST(FLOOR(pos) AS BIGINT) AS lo FROM p) "
     "SELECT q.doc_id, q.source, q.n_chars, "

@@ -12,7 +12,6 @@ unit = one conversation).
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pandas as pd
@@ -208,12 +207,16 @@ def streaming_hourly_windows(sf_dir: str) -> pa.Table:
     from ..state.streaming import StreamingWindowAggregator
 
     ds = read(sf_dir, "events", ["ts", "event_type", "value"]).sort("ts")
-    ck = os.path.join(tempfile.gettempdir(),
-                      f"streamwin_{abs(hash(sf_dir)) % 10**8}")
-    shutil.rmtree(ck, ignore_errors=True)
-    agg = StreamingWindowAggregator(ck, lateness_us=0, checkpoint_every=5)
-    agg.run(ds)
-    rows = agg.flush()
+    # Fresh per-run dir (not hash(sf_dir): PYTHONHASHSEED-randomized and
+    # collision-prone across concurrent runs); removed in the finally.
+    ck = tempfile.mkdtemp(prefix="streamwin_")
+    try:
+        agg = StreamingWindowAggregator(ck, lateness_us=0,
+                                        checkpoint_every=5)
+        agg.run(ds)
+        rows = agg.flush()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     win = np.array([r[0] for r in rows], dtype=np.int64)
     from .common import round_scaled
 
@@ -254,13 +257,16 @@ def streaming_late_reconcile(sf_dir: str) -> pa.Table:
     shuffled = (ds.map_batches(disorder_key, batch_format="pyarrow",
                                zero_copy_batch=True)
                 .sort("__h").drop_columns(["__h"]))
-    ck = os.path.join(tempfile.gettempdir(),
-                      f"streamlate_{abs(hash(sf_dir)) % 10**8}")
-    shutil.rmtree(ck, ignore_errors=True)
-    agg = StreamingWindowAggregator(ck, lateness_us=0, checkpoint_every=5)
-    agg.run(shuffled)
+    ck = tempfile.mkdtemp(prefix="streamlate_")
+    try:
+        agg = StreamingWindowAggregator(ck, lateness_us=0,
+                                        checkpoint_every=5)
+        agg.run(shuffled)
+        emitted = list(agg.flush()) + agg.late_output()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     fold: dict = {}
-    for w, k, n, s in list(agg.flush()) + agg.late_output():
+    for w, k, n, s in emitted:
         acc = fold.setdefault((int(w), k), [0, 0])
         acc[0] += int(n)
         acc[1] += int(s)
