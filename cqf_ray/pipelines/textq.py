@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..text import string_bytes_and_offsets, token_hashes
 from .common import read
@@ -1639,61 +1640,157 @@ SQL["term_drift"] = _term_drift_sql()
 SQL["rrf_fusion"] = _rrf_fusion_sql()
 
 
-def bigram_novelty(sf_dir: str) -> pa.Table:
+def bigram_novelty(sf_dir: str, *, _hash=None) -> pa.Table:
     """Per-document FIRST-OCCURRENCE novelty score over word bigrams: what
     fraction of a doc's distinct adjacent-word pairs appear in no
     earlier-id document — the curriculum/value-scoring signal dedup-style
     pipelines use to rank fresh content (a doc full of already-seen
     phrasing scores near 0).  Three stages, all distributed: (1) per-batch
-    vectorized bigram explosion to DISTINCT ``(bigram, doc_id)`` rows
-    (docs never span batches, so batch-level distinct is global); (2) ONE
-    keyed shuffle on the bigram string — each partition owns its bigrams
-    wholly, so the per-bigram ``min(doc_id)`` and the per-doc
-    novel/total partial counts are partition-local polars group_bys; (3) a
-    combiner-first grouped sum by doc_id.  Exact integer output
-    (``novelty_bps`` = 10000·novel // total — both engines floor
-    non-negative ints).  Docs with < 2 words have no bigrams and do not
-    appear (matches the oracle's group-by)."""
+    vectorized bigram explosion to DISTINCT ``(doc_id, bigram)`` rows
+    (docs never span batches, so batch-level distinct is global), keyed by
+    the 64-BIT FINGERPRINT of the bigram — the exchange moves 16-byte
+    rows, never the strings (the ``dup_span_stats`` precedent: ~7× smaller
+    exchange).  Each batch also emits one ``(bh, bg)`` AUDIT row per
+    distinct bigram (vocab-sized, not corpus-sized) riding the same
+    shuffle; (2) ONE keyed shuffle on ``bh`` — each partition owns its
+    fingerprints wholly, so per-bigram ``min(doc_id)`` and the per-doc
+    novel/total partials are partition-local group_bys, and the audit rows
+    detect hash collisions EXACTLY (two distinct strings under one ``bh``
+    ⇒ min(bg) ≠ max(bg), the ``dedup_exact`` pattern); (3) a
+    combiner-first grouped sum by doc_id.  Colliding fingerprints
+    (expected ~never at 2⁻⁶⁴ rates, but correctness never rides on it —
+    ``_hash`` lets tests inject a weak hash) are EXCLUDED from the hashed
+    pass and patched by a string-keyed second pass over only the colliding
+    rows; partial (nb, nn) counts are additive across the passes, so the
+    result is exact.  Exact integer output (``novelty_bps`` = 10000·novel
+    // total — both engines floor non-negative ints).  Docs with < 2 words
+    have no bigrams and do not appear (matches the oracle's group-by)."""
     import polars as pl
 
+    from ..hashing import hash_strings
     from ..stages.groupagg import grouped_aggregate
     from ..stages.keyed import keyed_partition_map
 
+    hash_fn = _hash or (lambda col: hash_strings(col, seed=17))
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
-    def explode_bigrams(batch: pa.Table) -> pa.Table:
+    def distinct_doc_bigrams(batch: pa.Table) -> pl.DataFrame:
         df = pl.DataFrame({
             "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
             "text": pl.from_arrow(batch.column("text").combine_chunks()),
         }).with_columns(ws=pl.col("text").str.split(" "))
-        df = (df.with_columns(
-                  a=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
-                  b=pl.col("ws").list.slice(1))
-              .select("doc_id", "a", "b")
-              .explode(["a", "b"])
-              .drop_nulls()
-              .with_columns(bg=pl.col("a") + " " + pl.col("b"))
-              .select("doc_id", "bg")
-              .unique())
-        return df.to_arrow()
+        return (df.with_columns(
+                    a=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
+                    b=pl.col("ws").list.slice(1))
+                .select("doc_id", "a", "b")
+                .explode(["a", "b"])
+                .drop_nulls()
+                .with_columns(bg=pl.col("a") + " " + pl.col("b"))
+                .select("doc_id", "bg")
+                .unique())
 
-    def per_bigram_kernel(t: pa.Table) -> pa.Table:
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        df = distinct_doc_bigrams(batch)
+        arr = df.to_arrow()
+        h = hash_fn(arr.column("bg")).view(np.int64)
+        n = len(arr)
+        # main rows: (bh, doc_id, bg=NULL) — the string never ships;
+        # audit rows: (bh, doc_id=-1, bg) once per batch-distinct bigram.
+        vocab = df.select("bg").unique().to_arrow()
+        vh = hash_fn(vocab.column("bg")).view(np.int64)
+        m = len(vocab)
+        return pa.table({
+            "bh": pa.array(np.concatenate([h, vh])),
+            "doc_id": pa.concat_arrays(
+                [arr.column("doc_id").combine_chunks().cast(pa.int64()),
+                 pa.array(np.full(m, -1, dtype=np.int64))]),
+            "bg": pa.concat_arrays(
+                [pa.nulls(n, type=pa.string()),
+                 vocab.column("bg").combine_chunks().cast(pa.string())]),
+        })
+
+    def per_fingerprint_kernel(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
-        first = df.group_by("bg").agg(mn=pl.col("doc_id").min())
-        j = df.join(first, on="bg")
+        audit = df.filter(pl.col("doc_id") < 0)
+        bad = (audit.group_by("bh")
+               .agg(lo=pl.col("bg").min(), hi=pl.col("bg").max())
+               .filter(pl.col("lo") != pl.col("hi"))
+               .get_column("bh"))
+        main = df.filter(pl.col("doc_id") >= 0).drop("bg")
+        parts = []
+        if len(bad):
+            # marker rows: doc_id = -1, nb carries the colliding bh
+            parts.append(pl.DataFrame({
+                "doc_id": pl.Series(np.full(len(bad), -1, dtype=np.int64)),
+                "nb": bad.cast(pl.Int64),
+                "nn": pl.Series(np.zeros(len(bad), dtype=np.int64)),
+            }))
+            main = main.filter(~pl.col("bh").is_in(bad))
+        first = main.group_by("bh").agg(mn=pl.col("doc_id").min())
+        j = main.join(first, on="bh")
         out = j.group_by("doc_id").agg(
             nb=pl.len().cast(pl.Int64),
             nn=(pl.col("doc_id") == pl.col("mn")).sum().cast(pl.Int64),
         )
-        return out.to_arrow()
+        parts.append(out.select("doc_id", "nb", "nn"))
+        res = pl.concat(parts) if len(parts) > 1 else parts[0]
+        if res.is_empty():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "nb": pa.array([], type=pa.int64()),
+                             "nn": pa.array([], type=pa.int64())})
+        return res.to_arrow()
 
     rows = ds.map_batches(explode_bigrams, batch_format="pyarrow",
                           zero_copy_batch=True)
-    partials = keyed_partition_map(rows, ["bg"], per_bigram_kernel)
+    partials = keyed_partition_map(
+        rows, ["bh"], per_fingerprint_kernel).materialize()
+
+    def only_markers(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.less(b.column("doc_id"), 0))
+
+    def only_partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(b.column("doc_id"), 0))
+
+    bad_pdf = partials.map_batches(
+        only_markers, batch_format="pyarrow").to_pandas()
     agg = grouped_aggregate(
-        partials, ["doc_id"],
+        partials.map_batches(only_partials, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["doc_id"],
         [("n_bigrams", "sum", "nb"), ("n_novel", "sum", "nn")],
     ).to_pandas()
+
+    if len(bad_pdf):  # rare path: string-keyed pass over colliding rows
+        bad_ref = ray.put(np.unique(bad_pdf["nb"].to_numpy(np.int64)))
+
+        def explode_only_bad(batch: pa.Table) -> pa.Table:
+            df = distinct_doc_bigrams(batch)
+            arr = df.to_arrow()
+            h = hash_fn(arr.column("bg")).view(np.int64)
+            return arr.filter(pa.array(np.isin(h, ray.get(bad_ref))))
+
+        def per_bigram_kernel(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            first = df.group_by("bg").agg(mn=pl.col("doc_id").min())
+            out = (df.join(first, on="bg").group_by("doc_id")
+                   .agg(nb=pl.len().cast(pl.Int64),
+                        nn=(pl.col("doc_id") == pl.col("mn"))
+                        .sum().cast(pl.Int64)))
+            return out.to_arrow()
+
+        patch = grouped_aggregate(
+            keyed_partition_map(
+                ds.map_batches(explode_only_bad, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                ["bg"], per_bigram_kernel),
+            ["doc_id"],
+            [("n_bigrams", "sum", "nb"), ("n_novel", "sum", "nn")],
+        ).to_pandas()
+        agg = (pd.concat([agg, patch], ignore_index=True)
+               .groupby("doc_id", as_index=False).sum())
+
     agg = agg.sort_values("doc_id").reset_index(drop=True)
     nb = agg["n_bigrams"].to_numpy(np.int64)
     nn = agg["n_novel"].to_numpy(np.int64)
@@ -1701,16 +1798,18 @@ def bigram_novelty(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
-def term_cooccurrence(sf_dir: str, *, k: int = 20) -> pa.Table:
+def term_cooccurrence(sf_dir: str, *, k: int = 20, top_n: int = 32) -> pa.Table:
     """Top-k within-document term CO-OCCURRENCE pairs (phrase/topic mining):
     for every unordered pair of distinct tokens, the number of documents
     containing both.  Docs never span batches, so pair generation is a
-    batch-local polars self-join on doc_id (distinct terms only) — the
-    all-to-all exchange carries per-batch ``(term_a, term_b, n)`` PARTIALS,
-    never the token stream, and the final top-k runs on the pair-vocabulary
-    aggregate.  At web scale the per-doc distinct-term set must be capped
-    (top-N TF terms per doc) before pairing — the pair count is quadratic
-    in per-doc vocabulary, not in corpus size."""
+    batch-local polars self-join on doc_id — the all-to-all exchange
+    carries per-batch ``(term_a, term_b, n)`` PARTIALS, never the token
+    stream, and the final top-k runs on the pair-vocabulary aggregate.
+    The pair count is quadratic in per-doc vocabulary, not in corpus size,
+    so each doc is capped to its ``top_n`` highest-TF terms BEFORE pairing
+    (default ON — a single pathological million-term doc would otherwise
+    emit 10¹² pairs); the tie-break is deterministic (tf DESC, term ASC)
+    and the oracle ranks with the identical ROW_NUMBER window."""
     import polars as pl
 
     from ..stages.groupagg import grouped_aggregate
@@ -1718,12 +1817,18 @@ def term_cooccurrence(sf_dir: str, *, k: int = 20) -> pa.Table:
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def pair_partials(batch: pa.Table) -> pa.Table:
-        df = (pl.DataFrame({
-                  "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
-                  "text": pl.from_arrow(batch.column("text").combine_chunks()),
-              })
-              .with_columns(term=pl.col("text").str.split(" "))
-              .select("doc_id", "term").explode("term").unique())
+        toks = (pl.DataFrame({
+                    "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+                    "text": pl.from_arrow(batch.column("text").combine_chunks()),
+                })
+                .with_columns(term=pl.col("text").str.split(" "))
+                .select("doc_id", "term").explode("term"))
+        tf = toks.group_by(["doc_id", "term"]).agg(tf=pl.len())
+        df = (tf.sort(["doc_id", "tf", "term"],
+                      descending=[False, True, False])
+              .with_columns(rk=pl.int_range(pl.len()).over("doc_id"))
+              .filter(pl.col("rk") < top_n)
+              .select("doc_id", "term"))
         pairs = df.join(df.rename({"term": "term_b"}), on="doc_id")
         pairs = pairs.filter(pl.col("term") < pl.col("term_b"))
         out = (pairs.rename({"term": "term_a"})
@@ -1754,8 +1859,12 @@ SQL["bigram_novelty"] = (
 )
 
 SQL["term_cooccurrence"] = (
-    "WITH w AS (SELECT DISTINCT doc_id, t.term "
+    "WITH tok AS (SELECT doc_id, t.term "
     "FROM documents, LATERAL UNNEST(string_split(text, ' ')) AS t(term)), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
+    "w AS (SELECT doc_id, term FROM (SELECT doc_id, term, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk "
+    "FROM tf) WHERE rk <= 32), "
     "p AS (SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n "
     "FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2) "
     "SELECT term_a, term_b, CAST(n AS BIGINT) AS n_docs FROM p "

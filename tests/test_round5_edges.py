@@ -157,3 +157,48 @@ def test_streaming_checkpoint_dirs_cleaned(ray_session):
     E.queries()["streaming_late_reconcile"](SF_DIR)
     leaked = set(glob.glob(pat)) - before
     assert not leaked, f"checkpoint dirs left behind: {sorted(leaked)}"
+
+
+def test_bigram_novelty_collision_fallback(ray_session):
+    """Force 64-bit fingerprint collisions with a deliberately weak hash:
+    the string-keyed patch pass must reproduce the default result exactly
+    (correctness never rides on hash uniqueness — dedup_exact contract)."""
+    from cqf_ray.hashing import hash_strings
+    from cqf_ray.pipelines.textq import bigram_novelty
+    from conftest import SF_DIR
+
+    ref = bigram_novelty(SF_DIR).to_pandas()
+    weak = bigram_novelty(
+        SF_DIR,
+        _hash=lambda col: hash_strings(col, seed=17) % np.uint64(64),
+    ).to_pandas()
+    pd.testing.assert_frame_equal(ref, weak)
+
+
+def test_term_cooccurrence_cap_bounds_pairs(ray_session, tmp_path):
+    """A pathological long doc (100 distinct terms) must contribute at most
+    C(top_n, 2) pairs — the default-on per-doc top-N TF cap at work."""
+    from cqf_ray.pipelines.textq import term_cooccurrence
+
+    words = " ".join(f"w{i:03d}" for i in range(100))
+    sf = _fixture_dir(tmp_path, documents=_docs([(1, words, "web")]))
+    res = term_cooccurrence(sf, k=10_000_000).to_pandas()
+    assert len(res) == 32 * 31 // 2  # C(32,2), not C(100,2)
+    # cap tie-break is (tf DESC, term ASC): all tf=1 here, so w000..w031
+    terms = sorted(set(res["term_a"]) | set(res["term_b"]))
+    assert terms == [f"w{i:03d}" for i in range(32)]
+
+
+def test_term_cooccurrence_cap_prefers_high_tf(ray_session, tmp_path):
+    """High-TF terms must survive the cap ahead of lexicographically
+    earlier low-TF terms."""
+    from cqf_ray.pipelines.textq import term_cooccurrence
+
+    # 40 singleton terms a000..a039 plus 'zzz' repeated 5 times: zzz must
+    # survive the cap (tf DESC ranks it first) even though it sorts last.
+    words = " ".join(f"a{i:03d}" for i in range(40)) + " zzz zzz zzz zzz zzz"
+    sf = _fixture_dir(tmp_path, documents=_docs([(1, words, "web")]))
+    res = term_cooccurrence(sf, k=10_000_000).to_pandas()
+    terms = sorted(set(res["term_a"]) | set(res["term_b"]))
+    assert "zzz" in terms and len(terms) == 32
+    assert terms[:31] == [f"a{i:03d}" for i in range(31)]
