@@ -216,6 +216,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "unigram_logprob": _txt.unigram_logprob,
     "ann_pq": _ann.ann_pq,
     "fd_embedding_sketch": _ann.fd_embedding_sketch,
+    "fd_sketch_verdict": _ann.fd_sketch_verdict,
     "transcript_sessions": _w.transcript_sessions,
     "purchase_view_asof": _w.purchase_view_asof,
     "cqf_dump_roundtrip": _si.cqf_dump_roundtrip,
@@ -287,6 +288,70 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "users_with_view_then_purchase": _tr.users_with_view_then_purchase,
 }
 
+
+
+# Round-5 driver recording window (COVERAGE.md rotation policy): the driver
+# records only the FIRST 50 queries in dict order, so this round leads with
+# fd_sketch_verdict (the new oracle-backed companion closing the last
+# rows-only gap) followed by 49 of the 55 oracle-backed queries that carry
+# no driver-recorded row from rounds 1-4; every one of the trailing queries
+# stays oracle-gated on each pytest run (tests/test_all_oracles.py).
+_ROUND5_WINDOW = [
+    "fd_sketch_verdict",
+    "q9_promo_profit",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    "edit_distance_pairs",
+    "minmax_normalize",
+    "user_count_skew",
+    "daily_type_pivot",
+    "user_customer_outer",
+    "user_trailing_value",
+    "user_running_value",
+    "conv_reconstruct",
+    "redact_terms",
+    "q3_shipping_priority",
+    "range_partition_stats",
+    "f2_moment_users",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "kmeans_embeddings",
+    "table_checksum",
+    "orders_monthly_growth",
+    "user_value_rank",
+    "compact_shards_roundtrip",
+    "streaming_hourly_windows",
+    "ann_pq_recall",
+    "lexical_diversity",
+    "customer_order_stats",
+    "segment_dedup",
+    "pack_sequences",
+    "mixture_sample",
+    "funnel_counts",
+    "mad_outliers",
+    "rollup_revenue",
+    "hourly_distinct_users_hll",
+    "theta_user_sets",
+    "bpe_token_counts",
+    "event_transition_counts",
+    "retention_cohorts",
+    "epoch_shuffle",
+    "value_histogram",
+    "vocab_top_terms",
+    "corpus_partitioned_roundtrip",
+    "campaign_window_revenue",
+    "mg_heavy_users",
+    "hourly_top_users",
+    "length_band_filter",
+    "events_profile",
+    "mg_heavy_users_by_type",
+]
+
+_QUERIES = {**{n: _QUERIES[n] for n in _ROUND5_WINDOW},
+            **{n: f for n, f in _QUERIES.items()
+               if n not in set(_ROUND5_WINDOW)}}
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return dict(_QUERIES)

@@ -550,6 +550,12 @@ SQL = {
         "SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok "
         "FROM embeddings WHERE vec_id < 10"
     ),
+    "fd_sketch_verdict": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "ROUND(SUM(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS fro_sq, "
+        "TRUE AS within_bound FROM embeddings"
+    ),
     "ann_ivf_recall": (
         "SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok "
         "FROM embeddings WHERE vec_id < 10"
@@ -642,6 +648,19 @@ def fd_embedding_sketch(sf_dir: str, *, ell: int = 16) -> pa.Table:
         "fd_bound": pa.array([round(bound, 6)], type=pa.float64()),
         "within_bound": pa.array([bool(err <= bound)], type=pa.bool_()),
     })
+
+
+def fd_sketch_verdict(sf_dir: str, *, ell: int = 16) -> pa.Table:
+    """Oracle-backed companion for ``fd_embedding_sketch`` (whose sketch
+    content is partition-order-dependent and hence rows-only): the
+    SQL-checkable facts are n_vecs (COUNT) and ``fro_sq`` = ‖A‖_F²
+    (SUM of squared components, 6-dp round absorbing sum-order jitter —
+    the ``char_entropy`` precedent), and ``within_bound`` is the REAL
+    engine-side verdict ‖AᵀA−BᵀB‖₂ ≤ ‖A‖_F²/ℓ against the exact Gram
+    (the FD deterministic guarantee), which the oracle pins TRUE — the
+    ``ann_lsh_recall`` companion pattern."""
+    t = fd_embedding_sketch(sf_dir, ell=ell)
+    return t.select(["n_vecs", "fro_sq", "within_bound"])
 
 
 def knn_triangle_count(sf_dir: str, *, k: int = 3) -> pa.Table:
