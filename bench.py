@@ -106,7 +106,12 @@ def run_flagship(num_cpus: int, n_convs: int = N_CONVS) -> dict:
 
     extract = keys.shingle_keys("text", n=5, seed=11, context_cols=["role", "tool"])
     build_s = float("inf")
-    for _rep in range(2):  # best-of-2: report steady-state (warm cache) rate
+    # best-of-N steady-state rate: 3 reps on the driver path so a single
+    # stolen scheduler window on this shared VM can't depress the recorded
+    # number (round-4: driver read 223k vs 305-620k quiet band); scaling
+    # subprocesses keep 2 reps — they already run best-of-2 processes.
+    n_reps = 2 if os.environ.get("BENCH_SKIP_VERIFY") == "1" else 3
+    for _rep in range(n_reps):
         t0 = time.time()
         cqf = build_sketch(
             ds, extract,
@@ -171,6 +176,66 @@ def run_flagship(num_cpus: int, n_convs: int = N_CONVS) -> dict:
     }
 
 
+def run_resume() -> dict:
+    """Kill-and-resume wall-time evidence over the flagship build (the
+    qf_initfile/usefile checkpoint path, north_rule resumability): build
+    the sketch checkpointed over the 64 transcript shards, inject a crash
+    at the halfway point, resume, and require the resumed blob to be
+    byte-identical to the uninterrupted build.  Reports the
+    resumed-partition skip count and the three wall times."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from cqf_ray import keys
+    from cqf_ray.sketches import CQF
+    from cqf_ray.state.checkpoint import checkpointed_build
+
+    tdir = ensure_transcripts()
+    # 16 of the 64 shards: enough partitions to show real skip-on-resume
+    # without tripling the suite wall (full+crash+resume = 3 builds)
+    paths = sorted(_glob.glob(os.path.join(tdir, "*.parquet")))[:16]
+    cols = ["role", "text", "tool"]
+    extract = keys.shingle_keys("text", n=5, seed=11, context_cols=["role", "tool"])
+    mk = lambda: CQF(q=16, key_bits=44, hash_mode="default", seed=11)  # noqa: E731
+    base = tempfile.mkdtemp(prefix="bench_resume_")
+    k = len(paths) // 2
+    try:
+        t0 = time.time()
+        full, _, _ = checkpointed_build(
+            paths, extract, mk, os.path.join(base, "full"),
+            columns=cols, counted=True, resume=False)
+        full_s = time.time() - t0
+
+        ck = os.path.join(base, "ckpt")
+        t0 = time.time()
+        crashed = False
+        try:
+            checkpointed_build(paths, extract, mk, ck, columns=cols,
+                               counted=True, resume=False, fail_after=k)
+        except RuntimeError as e:
+            crashed = "injected failure" in str(e)
+        interrupted_s = time.time() - t0
+
+        t0 = time.time()
+        resumed, _, metrics = checkpointed_build(
+            paths, extract, mk, ck, columns=cols, counted=True, resume=True)
+        resume_s = time.time() - t0
+        return {
+            "partitions": len(paths),
+            "crash_injected_after": k,
+            "crash_observed": bool(crashed),
+            "partitions_skipped_on_resume": int(metrics["partitions_skipped"]),
+            "blob_equal_to_uninterrupted": bool(
+                resumed.to_bytes() == full.to_bytes()),
+            "full_build_sec": round(full_s, 3),
+            "interrupted_build_sec": round(interrupted_s, 3),
+            "resume_sec": round(resume_s, 3),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as E
 
@@ -193,6 +258,7 @@ def single(num_cpus: int, sf_dir: str, flagship_only: bool) -> dict:
                  log_to_driver=False)
     flag = run_flagship(num_cpus, n_convs=int(os.environ.get("BENCH_CONVS", N_CONVS)))
     queries = {} if flagship_only else run_queries(sf_dir)
+    resume = {} if flagship_only else run_resume()
     ray.shutdown()
     total = flag["build_sec"] + sum(queries.values())
     return {
@@ -201,6 +267,7 @@ def single(num_cpus: int, sf_dir: str, flagship_only: bool) -> dict:
         "unit": "sec",
         "queries": queries,
         "flagship": flag,
+        "resume": resume,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
