@@ -162,8 +162,14 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "dataset_split": _txt.dataset_split,
     "media_resize": _mm.media_resize,
     "repetition_stats": _txt.repetition_stats,
-    # --- below the 50-row recording window: rows-only queries and all
-    # --- previously driver-recorded (r1-r3 green) queries, unchanged ---
+    # --- below the 50-row recording window: round-5 session-4 additions
+    # --- (oracle-gated in pytest; the recorded window was already chosen)
+    "embedding_dbscan": _ann.embedding_dbscan,
+    "doc_containment_pairs": _dedup.doc_containment_pairs,
+    "pmi_top_pairs": _txt.pmi_top_pairs,
+    "zipf_fit_by_source": _txt.zipf_fit_by_source,
+    # --- rows-only queries and all previously driver-recorded (r1-r3
+    # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,
     "q4_order_priority": _rel.q4_order_priority,
     "q7_volume_shipping": _rel.q7_volume_shipping,

@@ -750,3 +750,112 @@ SQL["knn_triangle_count"] = (
     "SELECT (SELECT COUNT(*) FROM e) AS n_edges, "
     "CAST(tri AS BIGINT) AS n_triangles FROM t"
 )
+
+
+def embedding_dbscan(sf_dir: str, *, eps_sim: float = 0.33,
+                     min_neighbors: int = 3) -> pa.Table:
+    """DBSCAN over the embedding column — density clustering with cosine
+    similarity ≥ ``eps_sim`` as the eps-neighborhood (the clustering mode
+    SemDeDup-style corpus curation uses when cluster SHAPE matters more
+    than a global threshold): a point is CORE if ≥ ``min_neighbors`` other
+    points sit in its neighborhood; clusters are the connected components
+    of the core-core eps-graph (label = min core vec_id — canonical, scan-
+    order-free); a non-core point with a core neighbor is BORDER and joins
+    the cluster of its minimum-id core neighbor (the deterministic stand-in
+    for DBSCAN's arbitrary scan-order assignment); everything else is NOISE
+    (cluster −1).  Distributed shape: ONE broadcast-matrix streaming pass
+    (the ``knn_graph`` convention — matrix ``ray.put`` once, one matmul per
+    batch) emits only the eps-edges, which are output-sized at clustering-
+    grade eps; neighbor counts, the core set, and components all derive
+    from that edge list (union-find below the edge threshold, the
+    hash-to-min ``stages/cc.connected_components`` above it — the
+    ``near_dup_canonical`` switch).  At ≫10⁷ vectors swap edge generation
+    to the banded LSH index exactly as ``knn_graph`` documents; everything
+    downstream consumes (a, b) edges unchanged.  Sims rounded to 9 dp
+    before thresholding so the result equals the SQL oracle (recursive-CTE
+    reachability) row-for-row."""
+    import ray
+
+    from ..stages.ann import load_embedding_matrix
+    from .dedup import _union_find
+
+    ids, mat = load_embedding_matrix(sf_dir)
+    ref = ray.put((ids, mat))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class EpsEdges:
+        def __init__(self, corpus_ref, eps):
+            c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+            self.cids, self.cmat = c
+            self.eps = eps
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = np.round(emb @ self.cmat.T, 9)
+            hit = (sims >= self.eps) & (vid[:, None] != self.cids[None, :])
+            ri, ci = np.nonzero(hit)
+            return pa.table({"va": pa.array(vid[ri]),
+                             "vb": pa.array(self.cids[ci])})
+
+    edges = (ds.map_batches(EpsEdges, fn_constructor_args=(ref, eps_sim),
+                            batch_format="pyarrow", batch_size=4096,
+                            concurrency=(1, 8))
+             .to_pandas())  # output-sized: eps-edge list only
+    va = edges["va"].to_numpy(np.int64) if len(edges) else np.empty(0, np.int64)
+    vb = edges["vb"].to_numpy(np.int64) if len(edges) else np.empty(0, np.int64)
+    uniq, cnt = np.unique(va, return_counts=True)
+    core = set(uniq[cnt >= min_neighbors].tolist())
+    core_a = np.array([a in core for a in va], dtype=bool)
+    core_b = np.array([b in core for b in vb], dtype=bool)
+    cc_mask = core_a & core_b
+    comp = _union_find(va[cc_mask], vb[cc_mask])  # {core: min core in comp}
+    label = {int(v): int(c) for v, c in comp.items()}
+    for v in core:  # isolated-from-other-cores core point: own cluster
+        label.setdefault(int(v), int(v))
+    # border: non-core with ≥1 core neighbor → cluster of MIN core neighbor
+    bmask = ~core_a & core_b
+    border: dict[int, int] = {}
+    if bmask.any():
+        mn = (pd.DataFrame({"v": va[bmask], "n": vb[bmask]})
+              .groupby("v")["n"].min())
+        border = {int(v): label[int(n)] for v, n in mn.items()}
+    role = np.full(len(ids), "noise", dtype=object)
+    cluster = np.full(len(ids), -1, dtype=np.int64)
+    order = np.argsort(ids)
+    sids = ids[order]
+    for i, v in enumerate(sids):
+        v = int(v)
+        if v in label:
+            role[i], cluster[i] = "core", label[v]
+        elif v in border:
+            role[i], cluster[i] = "border", border[v]
+    return pa.table({"vec_id": pa.array(sids),
+                     "role": pa.array(role.tolist(), type=pa.string()),
+                     "cluster": pa.array(cluster)})
+
+
+SQL["embedding_dbscan"] = (
+    "WITH RECURSIVE sim AS ( "
+    "  SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a JOIN embeddings b "
+    "  ON a.vec_id <> b.vec_id "
+    "  AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 9) >= 0.33), "
+    "cnt AS (SELECT va AS v, COUNT(*) AS c FROM sim GROUP BY 1), "
+    "core AS (SELECT v FROM cnt WHERE c >= 3), "
+    "ce AS (SELECT s.va, s.vb FROM sim s JOIN core x ON s.va = x.v "
+    "JOIN core y ON s.vb = y.v), "
+    "reach(a, b) AS (SELECT v, v FROM core UNION "
+    "  SELECT r.a, e.vb FROM reach r JOIN ce e ON e.va = r.b), "
+    "lbl AS (SELECT a AS v, MIN(b) AS cl FROM reach GROUP BY 1), "
+    "border AS (SELECT s.va AS v, MIN(s.vb) AS mnbr FROM sim s "
+    "  JOIN core c ON s.vb = c.v LEFT JOIN core k ON s.va = k.v "
+    "  WHERE k.v IS NULL GROUP BY s.va), "
+    "bl AS (SELECT border.v, lbl.cl FROM border JOIN lbl ON lbl.v = border.mnbr) "
+    "SELECT e.vec_id, "
+    "CASE WHEN l.cl IS NOT NULL THEN 'core' "
+    "     WHEN bl.cl IS NOT NULL THEN 'border' ELSE 'noise' END AS role, "
+    "CAST(COALESCE(l.cl, bl.cl, -1) AS BIGINT) AS cluster "
+    "FROM embeddings e LEFT JOIN lbl l ON l.v = e.vec_id "
+    "LEFT JOIN bl ON bl.v = e.vec_id ORDER BY e.vec_id"
+)

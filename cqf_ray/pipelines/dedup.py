@@ -2001,3 +2001,194 @@ SQL["cdc_chunk_stats"] = (
     "CAST(10000 * n_dup_chunks AS BIGINT) // n_chunks AS dup_bps "
     "FROM j ORDER BY doc_id"
 )
+
+
+def doc_containment_pairs(sf_dir: str, *, threshold_bps: int = 8000) -> pa.Table:
+    """Directed word-3-gram-set CONTAINMENT join (PPJoin-style prefix
+    filtering): every ordered pair (src, dst) where C(src→dst) =
+    |G(src) ∩ G(dst)| / |G(src)| ≥ 0.8 over each doc's DISTINCT lowercase
+    word 3-grams — the asymmetric near-dup mode that catches
+    quote-inclusion, boilerplate wrapping and subset documents that
+    symmetric Jaccard misses (a 100-word doc fully quoted inside a
+    10 000-word doc has J ≈ 0.01 but C = 1.0).  3-grams, not unigrams:
+    unigram sets degenerate on small-vocabulary corpora (this fixture's
+    global vocabulary is 31 words — a third of ALL doc pairs share ≥90%
+    of their unigrams), while 3-gram sets only match structural overlap.
+
+    Scale shape (exact, no LSH recall loss):
+
+    1. one pass → per-doc distinct 3-gram fingerprints (docs never span
+       batches, so per-batch distinct is global) and a distributed
+       ``grouped_aggregate`` document-frequency table;
+    2. PREFIX FILTER (the PPJoin/AllPairs bound): order each doc's grams
+       by global rarity (df asc, fp asc — any fixed total order is
+       correct; rarity keeps postings short); if C(A→B) ≥ t then
+       |A \\ B| ≤ |A| − ⌈t·|A|⌉, so among A's first |A| − ⌈t·|A|⌉ + 1
+       grams at least one is in B — only those PREFIX grams generate
+       candidates.  df is broadcast once via ``ray.put`` (gram-vocabulary-
+       sized; at web scale swap to a keyed co-shuffle on the gram);
+    3. candidates: ONE keyed shuffle on the gram fingerprint; per-gram
+       kernels pair prefix entries × postings (directed, src ≠ dst) —
+       bounded by prefix-gram posting lengths, never Σ df²;
+    4. verify: exact |∩| for candidate docs only via the gather+lexsort
+       dup-count kernel over the candidate docs' fingerprint sets
+       (driver-side here — candidate-sized; the ``_verify_pairs_jaccard``
+       broadcast / co-shuffle shapes take over at scale).  The threshold
+       is the exact rational 10000·c ≥ bps·|src| — integer, float-free.
+
+    Gram identity is a 64-bit fingerprint of the three consecutive token
+    hashes (the ``dup_span_stats`` exchange-shrink trick — position-mixed
+    multiply-xor, never the gram string); a collision (~|V|²/2⁶⁵) merges
+    two grams — negligible next to the exact-prefix guarantee and shared
+    with the whole fingerprint-shuffle family.  Oracle: exact
+    distinct-3-gram SQL (``bigram_novelty``'s list-slicing construction).
+    """
+    import polars as pl
+
+    from ..text import token_hashes
+
+    tb_bps = int(threshold_bps)
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    _M1, _M2, _M3 = (np.uint64(0x9E3779B97F4A7C15),
+                     np.uint64(0xC2B2AE3D27D4EB4F),
+                     np.uint64(0x165667B19E3779F9))
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        h, offs = token_hashes(batch.column("text"), seed=7, lowercase=True)
+        doc_of = np.repeat(did, np.diff(offs))
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "fp": pa.array([], type=pa.int64())})
+        if len(h) < 3:
+            return empty
+        hu = h.astype(np.uint64)
+        g = (hu[:-2] * _M1) ^ (hu[1:-1] * _M2) ^ (hu[2:] * _M3)
+        same = doc_of[:-2] == doc_of[2:]  # gram wholly inside one doc
+        if not same.any():
+            return empty
+        d, v = doc_of[:-2][same], g[same].view(np.int64)
+        order = np.lexsort((v, d))
+        d, v = d[order], v[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        return pa.table({"doc_id": pa.array(d[keep]),
+                         "fp": pa.array(v[keep])})
+
+    toks = ds.map_batches(doc_tokens, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    df_tbl = grouped_aggregate(
+        toks.map_batches(
+            lambda b: pa.table({"fp": b.column("fp"),
+                                "one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"], [("df", "sum", "one")]).to_pandas()
+    df_fp = np.sort(df_tbl["fp"].to_numpy(np.int64))
+    df_n = df_tbl.set_index("fp")["df"].reindex(df_fp).to_numpy(np.int64)
+    df_ref = ray.put((df_fp, df_n))
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        fp_keys, fp_df = ray.get(df_ref)
+        tb = doc_tokens(batch)
+        d = np.asarray(tb.column("doc_id")).astype(np.int64)
+        v = np.asarray(tb.column("fp")).astype(np.int64)
+        dfv = fp_df[np.searchsorted(fp_keys, v)]
+        # per-doc sizes and rarity order (df asc, fp asc) within each doc
+        order = np.lexsort((v, dfv, d))
+        d, v = d[order], v[order]
+        ids, starts = np.unique(d, return_index=True)
+        sz = np.diff(np.concatenate([starts, [len(d)]]))
+        ce = -((-tb_bps * sz) // 10000)    # ceil(t*|A|), exact integer
+        plen = sz - ce + 1                 # prefix length
+        pos = np.arange(len(d)) - np.repeat(starts, sz)
+        is_prefix = pos < np.repeat(plen, sz)
+        return pa.table({"fp": pa.array(v), "doc_id": pa.array(d),
+                         "pref": pa.array(is_prefix),
+                         "sz": pa.array(np.repeat(sz, sz))})
+
+    def cand_kernel(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        pref = df.filter(pl.col("pref")).select("fp", "doc_id")
+        if pref.height == 0:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64())})
+        j = (pref.join(df.select("fp", dst=pl.col("doc_id")), on="fp")
+             .filter(pl.col("doc_id") != pl.col("dst"))
+             .select(src=pl.col("doc_id"), dst=pl.col("dst")).unique())
+        return j.to_arrow()
+
+    pref_ds = ds.map_batches(prefix_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cand = (keyed_partition_map(pref_ds, ["fp"], cand_kernel)
+            .to_pandas().drop_duplicates())  # candidate-pair-sized
+    if cand.empty:
+        return pa.table({"src_doc": pa.array([], type=pa.int64()),
+                         "dst_doc": pa.array([], type=pa.int64()),
+                         "n_common": pa.array([], type=pa.int64()),
+                         "src_size": pa.array([], type=pa.int64()),
+                         "containment_bps": pa.array([], type=pa.int64())})
+
+    # exact verify over candidate docs' fingerprint sets (gather + lexsort
+    # dup-count — the _verify_pairs_jaccard kernel, driver-run because the
+    # candidate list is output-sized at this scale)
+    need = np.unique(np.concatenate([cand["src"].to_numpy(np.int64),
+                                     cand["dst"].to_numpy(np.int64)]))
+    need_ref = ray.put(need)
+
+    def filter_sets(batch: pa.Table) -> pa.Table:
+        tb = doc_tokens(batch)
+        d = np.asarray(tb.column("doc_id")).astype(np.int64)
+        keep = np.isin(d, ray.get(need_ref))
+        return tb.filter(pa.array(keep))
+
+    sets = (ds.map_batches(filter_sets, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+            .sort_values(["doc_id", "fp"]))
+    sdoc = sets["doc_id"].to_numpy(np.int64)
+    sval = sets["fp"].to_numpy(np.int64)
+    doc_ids, starts = np.unique(sdoc, return_index=True)
+    offs = np.concatenate([starts, [len(sdoc)]]).astype(np.int64)
+    ia = np.searchsorted(doc_ids, cand["src"].to_numpy(np.int64))
+    ib = np.searchsorted(doc_ids, cand["dst"].to_numpy(np.int64))
+    la, lb = offs[ia + 1] - offs[ia], offs[ib + 1] - offs[ib]
+    npairs = len(cand)
+    seg = np.empty(2 * npairs, dtype=np.int64)
+    seg[0::2], seg[1::2] = la, lb
+    src_start = np.empty(2 * npairs, dtype=np.int64)
+    src_start[0::2], src_start[1::2] = offs[ia], offs[ib]
+    from ..stages.keyed import _segmented_arange
+
+    pair_of = np.repeat(np.arange(npairs), la + lb)
+    vals = sval[np.repeat(src_start, seg) + _segmented_arange(seg)]
+    order = np.lexsort((vals, pair_of))
+    p, v = pair_of[order], vals[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[1:][dup], minlength=npairs)
+    ok = (10000 * inter >= tb_bps * la) & (la > 0)
+    out = pd.DataFrame({
+        "src_doc": cand["src"].to_numpy(np.int64)[ok],
+        "dst_doc": cand["dst"].to_numpy(np.int64)[ok],
+        "n_common": inter[ok],
+        "src_size": la[ok],
+    })
+    out["containment_bps"] = (10000 * out["n_common"].to_numpy(np.int64)) \
+        // out["src_size"].to_numpy(np.int64)
+    out = out.sort_values(["src_doc", "dst_doc"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["doc_containment_pairs"] = (
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws "
+    "FROM documents), "
+    "tok AS (SELECT DISTINCT doc_id, ws[CAST(i AS BIGINT)] || ' ' || "
+    "ws[CAST(i AS BIGINT) + 1] || ' ' || ws[CAST(i AS BIGINT) + 2] AS term "
+    "FROM w, LATERAL UNNEST(range(1, len(ws) - 1)) AS t(i)), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1), "
+    "i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c "
+    "FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id <> b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT i.da AS src_doc, i.db AS dst_doc, CAST(i.c AS BIGINT) AS n_common, "
+    "CAST(sa.n AS BIGINT) AS src_size, "
+    "CAST(10000 * i.c AS BIGINT) // sa.n AS containment_bps "
+    "FROM i JOIN sz sa ON sa.doc_id = i.da "
+    "WHERE 10 * i.c >= 8 * sa.n ORDER BY src_doc, dst_doc"
+)

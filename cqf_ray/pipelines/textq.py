@@ -2292,3 +2292,177 @@ SQL["length_gini_by_source"] = (
     "CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini "
     "FROM a ORDER BY source"
 )
+
+
+def pmi_top_pairs(sf_dir: str, *, k: int = 20, top_n: int = 32,
+                  min_docs: int = 3) -> pa.Table:
+    """Top-k within-document term pairs by POINTWISE MUTUAL INFORMATION —
+    the collocation/phrase-mining score that normalizes raw co-occurrence
+    by term popularity (``term_cooccurrence``'s top pairs are dominated by
+    corpus-frequent terms; PMI surfaces the pairs that co-occur far above
+    chance).  PMI(a,b) = ln( n_ab · N / (n_a · n_b) ) over DOCUMENT
+    frequencies, with the same per-doc ``top_n``-by-TF cap (deterministic
+    tf DESC, term ASC tie-break) applied to pair generation AND to the
+    unary frequencies — one definition, mirrored exactly by the oracle.
+    Distributed shape: ONE ``map_batches`` pass emits kind-tagged partials
+    (per-batch pair counts, per-batch unary counts, batch doc counts —
+    docs never span batches), one combiner-first ``grouped_aggregate``
+    folds them, and only the pair-vocabulary aggregate reaches the final
+    top-k; the exchange never carries the token stream.  Pairs below
+    ``min_docs`` co-occurrences are noise-suppressed (standard PMI
+    practice — a 1-doc pair has unbounded sample PMI)."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = (pl.DataFrame({
+                    "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+                    "text": pl.from_arrow(batch.column("text").combine_chunks()),
+                })
+                .with_columns(term=pl.col("text").str.split(" "))
+                .select("doc_id", "term").explode("term"))
+        tf = toks.group_by(["doc_id", "term"]).agg(tf=pl.len())
+        w = (tf.sort(["doc_id", "tf", "term"], descending=[False, True, False])
+             .with_columns(rk=pl.int_range(pl.len()).over("doc_id"))
+             .filter(pl.col("rk") < top_n).select("doc_id", "term"))
+        pairs = (w.join(w.rename({"term": "term_b"}), on="doc_id")
+                 .filter(pl.col("term") < pl.col("term_b"))
+                 .rename({"term": "term_a"})
+                 .group_by(["term_a", "term_b"])
+                 .agg(n=pl.len().cast(pl.Int64))
+                 .with_columns(kind=pl.lit(0, dtype=pl.Int64)))
+        unary = (w.group_by("term").agg(n=pl.len().cast(pl.Int64))
+                 .rename({"term": "term_a"})
+                 .with_columns(term_b=pl.lit("", dtype=pl.String),
+                               kind=pl.lit(1, dtype=pl.Int64)))
+        ndoc = pl.DataFrame({"term_a": [""], "term_b": [""],
+                             "kind": pl.Series([2], dtype=pl.Int64),
+                             "n": pl.Series([tf["doc_id"].n_unique()],
+                                            dtype=pl.Int64)})
+        cols = ["term_a", "term_b", "kind", "n"]
+        return pl.concat([pairs.select(cols), unary.select(cols),
+                          ndoc.select(cols)]).to_arrow()
+
+    agg = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["term_a", "term_b", "kind"], [("n", "sum", "n")]).to_pandas()
+    n_total = int(agg.loc[agg["kind"] == 2, "n"].sum())
+    una = dict(zip(agg.loc[agg["kind"] == 1, "term_a"],
+                   agg.loc[agg["kind"] == 1, "n"].astype(np.int64)))
+    p = agg[(agg["kind"] == 0) & (agg["n"] >= min_docs)].copy()
+    na = p["term_a"].map(una).to_numpy(np.float64)
+    nb = p["term_b"].map(una).to_numpy(np.float64)
+    nab = p["n"].to_numpy(np.float64)
+    # same float expression as the oracle: (n_ab * N) / (n_a * n_b), one LN
+    p["pmi"] = np.round(np.log(nab * float(n_total) / (na * nb)), 6)
+    p = (p.rename(columns={"n": "n_docs"})
+         .sort_values(["pmi", "term_a", "term_b"],
+                      ascending=[False, True, True]).head(k))
+    p["n_docs"] = p["n_docs"].astype(np.int64)
+    return pa.Table.from_pandas(
+        p[["term_a", "term_b", "n_docs", "pmi"]].reset_index(drop=True),
+        preserve_index=False)
+
+
+SQL["pmi_top_pairs"] = (
+    "WITH tok AS (SELECT doc_id, t.term "
+    "FROM documents, LATERAL UNNEST(string_split(text, ' ')) AS t(term)), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
+    "w AS (SELECT doc_id, term FROM (SELECT doc_id, term, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk "
+    "FROM tf) WHERE rk <= 32), "
+    "nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w), "
+    "ta AS (SELECT term, COUNT(*) AS na FROM w GROUP BY 1), "
+    "p AS (SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n "
+    "FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.term < b.term "
+    "GROUP BY 1, 2) "
+    "SELECT p.term_a, p.term_b, CAST(p.n AS BIGINT) AS n_docs, "
+    "ROUND(LN(CAST(p.n AS DOUBLE) * nd.n / "
+    "(CAST(x.na AS DOUBLE) * CAST(y.na AS DOUBLE))), 6) AS pmi "
+    "FROM p CROSS JOIN nd "
+    "JOIN ta x ON x.term = p.term_a JOIN ta y ON y.term = p.term_b "
+    "WHERE p.n >= 3 "
+    "ORDER BY pmi DESC, term_a, term_b LIMIT 20"
+)
+
+
+def zipf_fit_by_source(sf_dir: str, *, top: int = 100) -> pa.Table:
+    """Zipf-law FIT per source: the OLS slope of ln(term frequency) on
+    ln(rank) over each source's ``top`` most frequent terms — the standard
+    power-law health check for a corpus feed (natural language sits near
+    slope −1; templated/machine output flattens or steepens it).  This is
+    the distributed analog of the reference's Zipfian workload generator
+    (`/root/reference/src/zipf.c` hardcodes theta = 1.0; here the exponent
+    is MEASURED per source).  Shape: per-batch (source, term) TF partials
+    → one combiner-first ``grouped_aggregate`` → ONE keyed shuffle on
+    source (each source wholly owned by a partition) where the kernel
+    ranks (tf DESC, term ASC — deterministic), keeps ``top``, and computes
+    the closed-form slope (m·Σxy − Σx·Σy)/(m·Σx² − (Σx)²) — the same
+    explicit expression as the oracle, 6-dp rounded (sum-order jitter
+    precedent: ``char_entropy``)."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def tf_partials(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "source": pl.from_arrow(batch.column("source").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .str.to_lowercase(),
+        })
+        return (df.with_columns(term=pl.col("t").str.extract_all(r"\S+"))
+                .select("source", "term").explode("term").drop_nulls()
+                .group_by(["source", "term"])
+                .agg(f=pl.len().cast(pl.Int64)).to_arrow())
+
+    tf = grouped_aggregate(
+        ds.map_batches(tf_partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source", "term"], [("f", "sum", "f")])
+
+    def fit_kernel(tbl: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(tbl)
+              .sort(["source", "f", "term"], descending=[False, True, False])
+              .with_columns(rk=pl.int_range(pl.len()).over("source") + 1)
+              .filter(pl.col("rk") <= top))
+        src = df["source"].to_numpy()
+        x = np.log(df["rk"].to_numpy().astype(np.float64))
+        y = np.log(df["f"].to_numpy().astype(np.float64))
+        out_s, out_m, out_sl = [], [], []
+        for s in np.unique(src):
+            m = src == s
+            n = int(m.sum())
+            sx, sy = x[m].sum(), y[m].sum()
+            sxy, sxx = (x[m] * y[m]).sum(), (x[m] * x[m]).sum()
+            out_s.append(s)
+            out_m.append(n)
+            out_sl.append(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+        return pa.table({"source": pa.array(out_s, type=pa.string()),
+                         "n_terms": pa.array(out_m, type=pa.int64()),
+                         "slope": pa.array(out_sl, type=pa.float64())})
+
+    out = keyed_partition_map(tf, ["source"], fit_kernel).to_pandas()
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["zipf_fit_by_source"] = (
+    "WITH tok AS (SELECT source, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM documents), "
+    "tf AS (SELECT source, term, COUNT(*) AS f FROM tok GROUP BY 1, 2), "
+    "r AS (SELECT source, f, ROW_NUMBER() OVER "
+    "(PARTITION BY source ORDER BY f DESC, term) AS rk FROM tf), "
+    "t AS (SELECT source, LN(CAST(rk AS DOUBLE)) AS x, "
+    "LN(CAST(f AS DOUBLE)) AS y FROM r WHERE rk <= 100), "
+    "a AS (SELECT source, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM t GROUP BY 1) "
+    "SELECT source, CAST(m AS BIGINT) AS n_terms, "
+    "ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope "
+    "FROM a ORDER BY source"
+)
