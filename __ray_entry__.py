@@ -165,8 +165,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- below the 50-row recording window: round-5 session-4 additions
     # --- (oracle-gated in pytest; the recorded window was already chosen)
     "embedding_dbscan": _ann.embedding_dbscan,
+    "label_similarity_stats": _ann.label_similarity_stats,
     "doc_containment_pairs": _dedup.doc_containment_pairs,
     "pmi_top_pairs": _txt.pmi_top_pairs,
+    "turn_repetition_stats": _tr.turn_repetition_stats,
     "zipf_fit_by_source": _txt.zipf_fit_by_source,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---

@@ -859,3 +859,82 @@ SQL["embedding_dbscan"] = (
     "FROM embeddings e LEFT JOIN lbl l ON l.v = e.vec_id "
     "LEFT JOIN bl ON bl.v = e.vec_id ORDER BY e.vec_id"
 )
+
+
+def label_similarity_stats(sf_dir: str) -> pa.Table:
+    """Exact mean pairwise cosine WITHIN and BETWEEN embedding labels —
+    the cluster-cohesion / separation audit (are labels tight? which two
+    bleed into each other?) — computed WITHOUT materializing a single
+    pair: for L2-normalized vectors, Σᵢ∈A Σⱼ∈B cos(vᵢ,vⱼ) = S_A · S_B
+    where S_X is X's vector SUM, so mean intra-label cosine over distinct
+    pairs is (‖S_A‖² − n_A)/(n_A² − n_A) and mean inter-label cosine is
+    S_A·S_B/(n_A·n_B).  The distributed plan is therefore ONE
+    combiner-first pass: per-batch (label, count, partial sum vector)
+    rows — |labels|·d floats per batch, never a pair — folded driver-side
+    (label-count-sized).  O(N·d) total for what naive pair enumeration
+    makes O(N²·d); the identity is exact, 6-dp rounded only to absorb
+    sum-order jitter vs the SQL mirror (``char_entropy`` precedent)."""
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label")).astype(np.int64)
+        emb = batch_embeddings(batch)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), emb.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, emb)
+        return pa.table({"label": pa.array(ul),
+                         "n": pa.array(np.bincount(inv).astype(np.int64)),
+                         "s": pa.array(list(sums),
+                                       type=pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    labs = np.sort(parts["label"].unique()).astype(np.int64)
+    d = len(parts["s"].iloc[0])
+    S = np.zeros((len(labs), d))
+    n = np.zeros(len(labs), dtype=np.int64)
+    for _, row in parts.iterrows():  # label-count-sized fold
+        i = int(np.searchsorted(labs, row["label"]))
+        S[i] += np.asarray(row["s"])
+        n[i] += int(row["n"])
+    out_a, out_b, out_np, out_c = [], [], [], []
+    for i in range(len(labs)):
+        for j in range(i, len(labs)):
+            dot = float(S[i] @ S[j])
+            if i == j:
+                npairs = int(n[i]) * (int(n[i]) - 1) // 2
+                mc = (dot - n[i]) / (int(n[i]) ** 2 - int(n[i])) if n[i] > 1 else 0.0
+            else:
+                npairs = int(n[i]) * int(n[j])
+                mc = dot / (int(n[i]) * int(n[j]))
+            out_a.append(int(labs[i]))
+            out_b.append(int(labs[j]))
+            out_np.append(npairs)
+            out_c.append(round(mc, 6))
+    return pa.table({"label_a": pa.array(out_a, type=pa.int64()),
+                     "label_b": pa.array(out_b, type=pa.int64()),
+                     "n_pairs": pa.array(out_np, type=pa.int64()),
+                     "mean_cos": pa.array(out_c, type=pa.float64())})
+
+
+SQL["label_similarity_stats"] = (
+    "WITH v AS (SELECT vec_id, label, embedding, "
+    "SQRT(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings), "
+    "u AS (SELECT vec_id, label, CAST(g.i AS BIGINT) AS dim, "
+    "CAST(embedding[CAST(g.i AS BIGINT)] AS DOUBLE) / nrm AS x "
+    "FROM v, LATERAL UNNEST(range(1, len(embedding) + 1)) AS g(i)), "
+    "s AS (SELECT label, dim, SUM(x) AS sx FROM u GROUP BY 1, 2), "
+    "c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1), "
+    "dot AS (SELECT a.label AS la, b.label AS lb, SUM(a.sx * b.sx) AS d "
+    "FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label GROUP BY 1, 2) "
+    "SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b, "
+    "CAST(CASE WHEN la = lb THEN ca.n * (ca.n - 1) // 2 "
+    "ELSE ca.n * cb.n END AS BIGINT) AS n_pairs, "
+    "ROUND(CASE WHEN la = lb THEN "
+    "CASE WHEN ca.n > 1 THEN (d - ca.n) / (ca.n * ca.n - ca.n) ELSE 0.0 END "
+    "ELSE d / (ca.n * cb.n) END, 6) AS mean_cos "
+    "FROM dot JOIN c ca ON ca.label = dot.la JOIN c cb ON cb.label = dot.lb "
+    "ORDER BY label_a, label_b"
+)

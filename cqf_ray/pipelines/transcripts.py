@@ -765,3 +765,118 @@ SQL["tool_call_chains"] = (
     "CAST(MAX(chain_len) AS BIGINT) AS longest_chain "
     "FROM runs GROUP BY conv_id ORDER BY conv_id"
 )
+
+
+def turn_repetition_stats(sf_dir: str) -> pa.Table:
+    """Assistant SELF-REPETITION audit: per conversation, the exact token-
+    set Jaccard between each pair of CONSECUTIVE assistant turns (integer
+    bps), aggregated to (n_pairs, mean, max) — the transcript-quality
+    check for models that repeat themselves turn over turn (high adjacent
+    Jaccard = near-identical responses).  ONE keyed shuffle on conv_id;
+    the kernel is fully vectorized: one lexsort recovers turn order, one
+    ``token_hashes`` pass + per-row dedup builds the distinct token sets,
+    and the gather+lexsort dup-count kernel (the ``_verify_pairs_jaccard``
+    intersection trick) scores every adjacent pair in a single pass — no
+    per-conversation Python.  All outputs are integers (bps = 10000·|∩|
+    // |∪|, mean = Σbps // n), so the oracle comparison is float-free;
+    pairs with an empty union are skipped in both (the SQL WHERE)."""
+    from ..sources.transcripts import _role_of_types
+    from ..stages.keyed import _segmented_arange, keyed_partition_map
+    from ..text import token_hashes
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type",
+                                 "props"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"conv_id": pa.array([], type=pa.string()),
+                          "n_pairs": pa.array([], type=pa.int64()),
+                          "mean_jaccard_bps": pa.array([], type=pa.int64()),
+                          "max_jaccard_bps": pa.array([], type=pa.int64())})
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return empty
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        role = _role_of_types(t.column("event_type")).to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(uid, return_inverse=True)
+        order = np.lexsort((eid, tsu, inv))  # = turn_idx order per conv
+        is_a = role[order] == "assistant"
+        aconv = inv[order][is_a]
+        if len(aconv) < 2:
+            return empty
+        pair = aconv[1:] == aconv[:-1]  # consecutive assistant turns, same conv
+        if not pair.any():
+            return empty
+        texts = t.column("props").combine_chunks().take(pa.array(order[is_a]))
+        h, offs = token_hashes(texts, seed=7, lowercase=True)
+        row_of = np.repeat(np.arange(len(aconv), dtype=np.int64), np.diff(offs))
+        o = np.lexsort((h, row_of))
+        r, v = row_of[o], h[o].view(np.int64)
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+        r, v = r[keep], v[keep]
+        sz = np.bincount(r, minlength=len(aconv)).astype(np.int64)
+        u_offs = np.concatenate([[0], np.cumsum(sz)]).astype(np.int64)
+        ia = np.flatnonzero(pair)
+        ib = ia + 1
+        la, lb = sz[ia], sz[ib]
+        npairs = len(ia)
+        seg = np.empty(2 * npairs, dtype=np.int64)
+        seg[0::2], seg[1::2] = la, lb
+        src = np.empty(2 * npairs, dtype=np.int64)
+        src[0::2], src[1::2] = u_offs[ia], u_offs[ib]
+        pair_of = np.repeat(np.arange(npairs), la + lb)
+        vals = v[np.repeat(src, seg) + _segmented_arange(seg)]
+        o2 = np.lexsort((vals, pair_of))
+        p_, v_ = pair_of[o2], vals[o2]
+        dup = (p_[1:] == p_[:-1]) & (v_[1:] == v_[:-1])
+        inter = np.bincount(p_[1:][dup], minlength=npairs).astype(np.int64)
+        union = la + lb - inter
+        ok = union > 0
+        bps = (10000 * inter[ok]) // union[ok]
+        pconv = aconv[ia][ok]
+        if len(pconv) == 0:
+            return empty
+        o3 = np.argsort(pconv, kind="stable")
+        pc_, bps_ = pconv[o3], bps[o3]
+        starts = np.flatnonzero(np.r_[True, pc_[1:] != pc_[:-1]])
+        cnts = np.diff(np.append(starts, len(pc_))).astype(np.int64)
+        sums = np.add.reduceat(bps_, starts)
+        mx = np.maximum.reduceat(bps_, starts)
+        names = np.array([f"c{u}" for u in uids[pc_[starts]]], dtype=object)
+        return pa.table({"conv_id": pa.array(names, type=pa.string()),
+                         "n_pairs": pa.array(cnts),
+                         "mean_jaccard_bps": pa.array(sums // cnts),
+                         "max_jaccard_bps": pa.array(mx)})
+
+    out = keyed_partition_map(ds, ["user_id"], kernel).to_pandas()
+    out = out.sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["turn_repetition_stats"] = (
+    f"{_CTE}, "
+    "a AS (SELECT conv_id, text, "
+    "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn "
+    "FROM transcripts WHERE role = 'assistant'), "
+    "tok AS (SELECT DISTINCT conv_id, rn, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS term FROM a), "
+    "sz AS (SELECT conv_id, rn, COUNT(*) AS n FROM tok GROUP BY 1, 2), "
+    "p AS (SELECT x.conv_id, x.rn AS r1, y.rn AS r2 FROM a x "
+    "JOIN a y ON y.conv_id = x.conv_id AND y.rn = x.rn + 1), "
+    "ints AS (SELECT p.conv_id, p.r1, p.r2, COUNT(tb.term) AS c "
+    "FROM p LEFT JOIN tok ta ON ta.conv_id = p.conv_id AND ta.rn = p.r1 "
+    "LEFT JOIN tok tb ON tb.conv_id = p.conv_id AND tb.rn = p.r2 "
+    "AND tb.term = ta.term GROUP BY 1, 2, 3), "
+    "j AS (SELECT i.conv_id, "
+    "(10000 * i.c) // (COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - i.c) AS bps "
+    "FROM ints i "
+    "LEFT JOIN sz sa ON sa.conv_id = i.conv_id AND sa.rn = i.r1 "
+    "LEFT JOIN sz sb ON sb.conv_id = i.conv_id AND sb.rn = i.r2 "
+    "WHERE COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - i.c > 0) "
+    "SELECT conv_id, COUNT(*) AS n_pairs, "
+    "CAST(SUM(bps) // COUNT(*) AS BIGINT) AS mean_jaccard_bps, "
+    "CAST(MAX(bps) AS BIGINT) AS max_jaccard_bps "
+    "FROM j GROUP BY conv_id ORDER BY conv_id"
+)
