@@ -166,7 +166,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     # --- (oracle-gated in pytest; the recorded window was already chosen)
     "embedding_dbscan": _ann.embedding_dbscan,
     "label_similarity_stats": _ann.label_similarity_stats,
+    "embedding_outliers": _ann.embedding_outliers,
+    "bigram_logprob": _txt.bigram_logprob,
     "doc_containment_pairs": _dedup.doc_containment_pairs,
+    "near_dup_cluster_sizes": _dedup.near_dup_cluster_sizes,
     "pmi_top_pairs": _txt.pmi_top_pairs,
     "turn_repetition_stats": _tr.turn_repetition_stats,
     "zipf_fit_by_source": _txt.zipf_fit_by_source,

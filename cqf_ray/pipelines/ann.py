@@ -938,3 +938,85 @@ SQL["label_similarity_stats"] = (
     "FROM dot JOIN c ca ON ca.label = dot.la JOIN c cb ON cb.label = dot.lb "
     "ORDER BY label_a, label_b"
 )
+
+
+def embedding_outliers(sf_dir: str, *, k: int = 3) -> pa.Table:
+    """Per-label OUTLIER detection — the mislabeled-point / junk-vector
+    audit: each vector's cosine to its own label's centroid direction
+    (cos(v̂, S_L) = v̂·S_L/‖S_L‖ over the label's normalized-vector sum
+    S_L), flagging the ``k`` LOWEST per label.  Two passes, no pairs:
+    (1) the combiner-first (label, n, Σv̂) partials (shared shape with
+    ``label_similarity_stats``) folded driver-side and broadcast once via
+    ``ray.put``; (2) a streaming scoring pass — one gather + row-wise dot
+    per batch, emitting (label, vec_id, cos) — followed by an
+    output-sized bottom-k per label (a grouped top-k at scale).  Cosines
+    are 6-dp rounded BEFORE ranking with a vec_id tie-break, so the
+    ranking is the oracle's row-for-row."""
+    import ray
+
+    ds = read(sf_dir, "embeddings", ["label", "vec_id", "embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label")).astype(np.int64)
+        emb = batch_embeddings(batch)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), emb.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, emb)
+        return pa.table({"label": pa.array(ul),
+                         "s": pa.array(list(sums),
+                                       type=pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    labs = np.sort(parts["label"].unique()).astype(np.int64)
+    d = len(parts["s"].iloc[0])
+    S = np.zeros((len(labs), d))
+    for _, row in parts.iterrows():  # label-count-sized fold
+        S[int(np.searchsorted(labs, row["label"]))] += np.asarray(row["s"])
+    ref = ray.put((labs, S, np.linalg.norm(S, axis=1)))
+
+    class ScoreCos:
+        def __init__(self, r):
+            self.labs, self.S, self.norms = ray.get(r) \
+                if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lab = np.asarray(batch.column("label")).astype(np.int64)
+            vid = np.asarray(batch.column("vec_id")).astype(np.int64)
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            idx = np.searchsorted(self.labs, lab)
+            cos = np.round(
+                np.einsum("ij,ij->i", emb, self.S[idx]) / self.norms[idx], 6)
+            return pa.table({"label": pa.array(lab), "vec_id": pa.array(vid),
+                             "cos_to_centroid": pa.array(cos)})
+
+    cos = ds.map_batches(ScoreCos, fn_constructor_args=(ref,),
+                         batch_format="pyarrow",
+                         concurrency=(1, 8)).to_pandas()
+    cos = cos.sort_values(["label", "cos_to_centroid", "vec_id"])
+    cos["rk"] = cos.groupby("label").cumcount() + 1
+    out = cos[cos["rk"] <= k].reset_index(drop=True)
+    out["rk"] = out["rk"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["embedding_outliers"] = (
+    "WITH v AS (SELECT vec_id, label, embedding, "
+    "SQRT(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings), "
+    "u AS (SELECT vec_id, label, CAST(g.i AS BIGINT) AS dim, "
+    "CAST(embedding[CAST(g.i AS BIGINT)] AS DOUBLE) / nrm AS x "
+    "FROM v, LATERAL UNNEST(range(1, len(embedding) + 1)) AS g(i)), "
+    "s AS (SELECT label, dim, SUM(x) AS sx FROM u GROUP BY 1, 2), "
+    "sn AS (SELECT label, SQRT(SUM(sx * sx)) AS snorm FROM s GROUP BY 1), "
+    "dt AS (SELECT u.vec_id, u.label, SUM(u.x * s.sx) AS dot "
+    "FROM u JOIN s ON s.label = u.label AND s.dim = u.dim GROUP BY 1, 2), "
+    "c AS (SELECT dt.vec_id, dt.label, ROUND(dot / snorm, 6) AS cos_to_centroid "
+    "FROM dt JOIN sn ON sn.label = dt.label), "
+    "r AS (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY label ORDER BY cos_to_centroid, vec_id) AS rk FROM c) "
+    "SELECT CAST(label AS BIGINT) AS label, vec_id, cos_to_centroid, "
+    "CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3 ORDER BY label, rk"
+)

@@ -2192,3 +2192,42 @@ SQL["doc_containment_pairs"] = (
     "FROM i JOIN sz sa ON sa.doc_id = i.da "
     "WHERE 10 * i.c >= 8 * sa.n ORDER BY src_doc, dst_doc"
 )
+
+
+def near_dup_cluster_sizes(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
+    """Near-dup CLUSTER SIZE HISTOGRAM — the corpus-health summary a dedup
+    run reports before deleting anything (a few huge clusters vs many
+    pairs changes the dedup strategy and the token-loss estimate):
+    (cluster_size, n_clusters) over the connected components of the exact
+    J ≥ 0.7 near-dup graph.  Consumes the cached ``_lsh_pair_state``
+    (LSH + exact verify once per corpus — the shared-state design the
+    whole near-dup family uses) → union-find → one bincount; everything
+    past the pair list is output-sized.  Oracle: the
+    ``near_dup_canonical`` recursive-CTE closure aggregated twice."""
+    pairs = _lsh_pair_state(sf_dir, threshold=threshold)["pairs"]
+    if len(pairs) == 0:
+        return pa.table({"cluster_size": pa.array([], type=pa.int64()),
+                         "n_clusters": pa.array([], type=pa.int64())})
+    comp = _union_find(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
+    canon = np.array(list(comp.values()), dtype=np.int64)
+    _, sizes = np.unique(canon, return_counts=True)
+    size_vals, n_clusters = np.unique(sizes, return_counts=True)
+    return pa.table({"cluster_size": pa.array(size_vals.astype(np.int64)),
+                     "n_clusters": pa.array(n_clusters.astype(np.int64))})
+
+
+SQL["near_dup_cluster_sizes"] = (
+    "WITH RECURSIVE pairs AS ("
+    + _jaccard_pairs_sql(0.7).replace("ORDER BY doc_a, doc_b", "") + "), "
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "reach(node, r) AS ("
+    "  SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+    "  UNION "
+    "  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r), "
+    "lbl AS (SELECT node, MIN(r) AS cl FROM reach GROUP BY node), "
+    "cs AS (SELECT cl, COUNT(*) AS cluster_size FROM lbl GROUP BY cl) "
+    "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, "
+    "CAST(COUNT(*) AS BIGINT) AS n_clusters "
+    "FROM cs GROUP BY cluster_size ORDER BY cluster_size"
+)

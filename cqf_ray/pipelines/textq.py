@@ -2466,3 +2466,102 @@ SQL["zipf_fit_by_source"] = (
     "ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope "
     "FROM a ORDER BY source"
 )
+
+
+def bigram_logprob(sf_dir: str) -> pa.Table:
+    """CCNet-style LM-proxy scoring at BIGRAM order: fit a corpus bigram
+    model with add-one smoothing (distributed combiner-first bigram
+    counts — pass 1), broadcast it once (``ray.put``), and score every
+    document by its mean log2 P(wᵢ | wᵢ₋₁) = log2((c(a,b)+1)/(c(a)+V))
+    over its bigram positions (pass 2, an actor-pool stage holding the
+    model) — the step up from ``unigram_logprob`` that actually penalizes
+    scrambled word order (shuffled near-dups score identically under a
+    unigram model, far lower here).  c(a) is derived FROM the bigram
+    table (Σ_b c(a,b) — no second count pass); V is the corpus distinct-
+    token count (one tiny distinct aggregate).  Unseen bigrams never
+    occur (the model is fit on the same corpus), so the join is total.
+    Scale note: at web scale the broadcast bigram table is capped to
+    top-K with the smoothing floor as OOV — same plumbing."""
+    import ray
+
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["text"]))
+              .select(ws=pl.col("text").str.split(" ")))
+        df = df.with_columns(
+            a=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
+            b=pl.col("ws").list.slice(1),
+        ).select("a", "b").explode("a", "b").drop_nulls()
+        return (df.group_by(["a", "b"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch.select(["text"]))
+                .select(tok=pl.col("text").str.split(" ")).explode("tok")
+                .drop_nulls().unique()
+                .with_columns(one=pl.lit(1, dtype=pl.Int64))).to_arrow()
+
+    cb = grouped_aggregate(
+        ds.map_batches(bigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["a", "b"], [("n", "sum", "n")]).to_pandas()
+    vocab_n = grouped_aggregate(
+        ds.map_batches(tok_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["tok"], [("one", "max", "one")]).count()
+    ca = cb.groupby("a", sort=False)["n"].sum()
+    na = ca.reindex(cb["a"]).to_numpy(np.float64)
+    # same float expression as the oracle: (c_ab + 1) / (c_a + V), one LOG2
+    lp = np.log2((cb["n"].to_numpy(np.float64) + 1.0) / (na + float(vocab_n)))
+    model = pl.DataFrame({"a": cb["a"].to_numpy(object),
+                          "b": cb["b"].to_numpy(object), "lp": lp})
+    ref = ray.put(model)
+
+    class Score:
+        def __init__(self, r):
+            self.model = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = (pl.from_arrow(batch.select(["doc_id", "text"]))
+                  .select("doc_id", ws=pl.col("text").str.split(" ")))
+            df = df.with_columns(
+                a=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
+                b=pl.col("ws").list.slice(1),
+            ).select("doc_id", "a", "b").explode("a", "b").drop_nulls()
+            scored = df.join(self.model, on=["a", "b"], how="left")
+            return (scored.group_by("doc_id")
+                    .agg(n_bigrams=pl.len().cast(pl.Int64),
+                         avg_logprob2=pl.col("lp").mean()).to_arrow())
+
+    out = ds.map_batches(Score, fn_constructor_args=(ref,),
+                         batch_format="pyarrow",
+                         concurrency=(1, 8)).to_pandas()
+    from .common import round_col
+
+    out["avg_logprob2"] = round_col(out["avg_logprob2"], 6)
+    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["bigram_logprob"] = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "b AS (SELECT doc_id, ws[CAST(i AS BIGINT)] AS a, "
+    "ws[CAST(i AS BIGINT) + 1] AS b "
+    "FROM w, LATERAL UNNEST(range(1, len(ws))) AS t(i)), "
+    "cb AS (SELECT a, b, COUNT(*) AS n FROM b GROUP BY 1, 2), "
+    "ca AS (SELECT a, SUM(n) AS na FROM cb GROUP BY 1), "
+    "v AS (SELECT COUNT(DISTINCT tok) AS vn FROM "
+    "(SELECT UNNEST(ws) AS tok FROM w)), "
+    "sc AS (SELECT x.doc_id, "
+    "LOG2((CAST(cb.n AS DOUBLE) + 1) / (CAST(ca.na AS DOUBLE) + vn)) AS lp "
+    "FROM b x JOIN cb ON cb.a = x.a AND cb.b = x.b "
+    "JOIN ca ON ca.a = x.a CROSS JOIN v) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "ROUND(AVG(lp), 6) AS avg_logprob2 "
+    "FROM sc GROUP BY doc_id ORDER BY doc_id"
+)
