@@ -69,6 +69,10 @@ QUERY_SET = [
     "dup_span_stats",  # ExactSubstr-style window-gram span stats: one gram shuffle (r4s3)
     "quantile_normalize_scores",  # cross-source calibration via domain histogram (r4s3)
     "trigram_paths",  # 3-event sequence mining: one user shuffle, in-kernel partials (r4s3)
+    "embedding_dbscan",  # density clustering: eps-edge broadcast pass + CC (r5s4)
+    "doc_containment_pairs",  # PPJoin prefix-filter 3-gram containment join (r5s4)
+    "pmi_top_pairs",  # PMI collocations over capped per-doc term sets (r5s4)
+    "bigram_logprob",  # bigram-LM quality scoring, broadcast model actor pool (r5s4)
 ]
 
 

@@ -2030,11 +2030,12 @@ def doc_containment_pairs(sf_dir: str, *, threshold_bps: int = 8000) -> pa.Table
     3. candidates: ONE keyed shuffle on the gram fingerprint; per-gram
        kernels pair prefix entries × postings (directed, src ≠ dst) —
        bounded by prefix-gram posting lengths, never Σ df²;
-    4. verify: exact |∩| for candidate docs only via the gather+lexsort
-       dup-count kernel over the candidate docs' fingerprint sets
-       (driver-side here — candidate-sized; the ``_verify_pairs_jaccard``
-       broadcast / co-shuffle shapes take over at scale).  The threshold
-       is the exact rational 10000·c ≥ bps·|src| — integer, float-free.
+    4. verify: exact |∩| via the ``_verify_pairs_jaccard`` broadcast
+       shape — candidate docs' fingerprint sets broadcast once, the pair
+       list STREAMS through ``map_batches``, each task scoring its slice
+       with one vectorized gather+lexsort dup-count (the co-shuffle
+       variant takes over past the broadcast limit).  The threshold is
+       the exact rational 10000·c ≥ bps·|src| — integer, float-free.
 
     Gram identity is a 64-bit fingerprint of the three consecutive token
     hashes (the ``dup_span_stats`` exchange-shrink trick — position-mixed
@@ -2107,12 +2108,16 @@ def doc_containment_pairs(sf_dir: str, *, threshold_bps: int = 8000) -> pa.Table
 
     def cand_kernel(tbl: pa.Table) -> pa.Table:
         df = pl.from_arrow(tbl)
-        pref = df.filter(pl.col("pref")).select("fp", "doc_id")
+        pref = df.filter(pl.col("pref")).select("fp", "doc_id", "sz")
         if pref.height == 0:
             return pa.table({"src": pa.array([], type=pa.int64()),
                              "dst": pa.array([], type=pa.int64())})
-        j = (pref.join(df.select("fp", dst=pl.col("doc_id")), on="fp")
-             .filter(pl.col("doc_id") != pl.col("dst"))
+        # PPJoin size filter: C(A→B) ≥ t needs |B| ≥ ⌈t·|A|⌉ — prunes
+        # candidates whose dst is too small to possibly contain src
+        j = (pref.join(df.select("fp", dst=pl.col("doc_id"),
+                                 dsz=pl.col("sz")), on="fp")
+             .filter((pl.col("doc_id") != pl.col("dst"))
+                     & (10000 * pl.col("dsz") >= tb_bps * pl.col("sz")))
              .select(src=pl.col("doc_id"), dst=pl.col("dst")).unique())
         return j.to_arrow()
 
@@ -2127,9 +2132,12 @@ def doc_containment_pairs(sf_dir: str, *, threshold_bps: int = 8000) -> pa.Table
                          "src_size": pa.array([], type=pa.int64()),
                          "containment_bps": pa.array([], type=pa.int64())})
 
-    # exact verify over candidate docs' fingerprint sets (gather + lexsort
-    # dup-count — the _verify_pairs_jaccard kernel, driver-run because the
-    # candidate list is output-sized at this scale)
+    # exact verify over candidate docs' fingerprint sets — the
+    # _verify_pairs_jaccard broadcast shape: candidate-doc sets broadcast
+    # once (flat array + offsets), the PAIR LIST streams through
+    # map_batches, each task scoring its slice with one vectorized
+    # gather + lexsort dup-count (the 300k-pair verify at sf0.1 took ~30 s
+    # single-threaded on the driver; distributed it is ~2 s)
     need = np.unique(np.concatenate([cand["src"].to_numpy(np.int64),
                                      cand["dst"].to_numpy(np.int64)]))
     need_ref = ray.put(need)
@@ -2144,34 +2152,52 @@ def doc_containment_pairs(sf_dir: str, *, threshold_bps: int = 8000) -> pa.Table
                            zero_copy_batch=True).to_pandas()
             .sort_values(["doc_id", "fp"]))
     sdoc = sets["doc_id"].to_numpy(np.int64)
-    sval = sets["fp"].to_numpy(np.int64)
     doc_ids, starts = np.unique(sdoc, return_index=True)
-    offs = np.concatenate([starts, [len(sdoc)]]).astype(np.int64)
-    ia = np.searchsorted(doc_ids, cand["src"].to_numpy(np.int64))
-    ib = np.searchsorted(doc_ids, cand["dst"].to_numpy(np.int64))
-    la, lb = offs[ia + 1] - offs[ia], offs[ib + 1] - offs[ib]
-    npairs = len(cand)
-    seg = np.empty(2 * npairs, dtype=np.int64)
-    seg[0::2], seg[1::2] = la, lb
-    src_start = np.empty(2 * npairs, dtype=np.int64)
-    src_start[0::2], src_start[1::2] = offs[ia], offs[ib]
-    from ..stages.keyed import _segmented_arange
+    sets_ref = ray.put((doc_ids,
+                        np.concatenate([starts, [len(sdoc)]]).astype(np.int64),
+                        sets["fp"].to_numpy(np.int64)))
 
-    pair_of = np.repeat(np.arange(npairs), la + lb)
-    vals = sval[np.repeat(src_start, seg) + _segmented_arange(seg)]
-    order = np.lexsort((vals, pair_of))
-    p, v = pair_of[order], vals[order]
-    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
-    inter = np.bincount(p[1:][dup], minlength=npairs)
-    ok = (10000 * inter >= tb_bps * la) & (la > 0)
-    out = pd.DataFrame({
-        "src_doc": cand["src"].to_numpy(np.int64)[ok],
-        "dst_doc": cand["dst"].to_numpy(np.int64)[ok],
-        "n_common": inter[ok],
-        "src_size": la[ok],
-    })
-    out["containment_bps"] = (10000 * out["n_common"].to_numpy(np.int64)) \
-        // out["src_size"].to_numpy(np.int64)
+    def verify_pairs(batch: pa.Table) -> pa.Table:
+        from ..stages.keyed import _segmented_arange
+
+        doc_ids, offs, flat = ray.get(sets_ref)
+        a = np.asarray(batch.column("src").combine_chunks()).astype(np.int64)
+        b = np.asarray(batch.column("dst").combine_chunks()).astype(np.int64)
+        ia = np.searchsorted(doc_ids, a)
+        ib = np.searchsorted(doc_ids, b)
+        la, lb = offs[ia + 1] - offs[ia], offs[ib + 1] - offs[ib]
+        npairs = len(a)
+        seg = np.empty(2 * npairs, dtype=np.int64)
+        seg[0::2], seg[1::2] = la, lb
+        src_start = np.empty(2 * npairs, dtype=np.int64)
+        src_start[0::2], src_start[1::2] = offs[ia], offs[ib]
+        pair_of = np.repeat(np.arange(npairs), la + lb)
+        vals = flat[np.repeat(src_start, seg) + _segmented_arange(seg)]
+        order = np.lexsort((vals, pair_of))
+        p, v = pair_of[order], vals[order]
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[1:][dup], minlength=npairs)
+        ok = (10000 * inter >= tb_bps * la) & (la > 0)
+        return pa.table({
+            "src_doc": pa.array(a[ok]), "dst_doc": pa.array(b[ok]),
+            "n_common": pa.array(inter[ok].astype(np.int64)),
+            "src_size": pa.array(la[ok].astype(np.int64)),
+            "containment_bps": pa.array(
+                (10000 * inter[ok].astype(np.int64)) // la[ok]),
+        })
+
+    pairs_ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(cand["src"].to_numpy(np.int64)),
+                  "dst": pa.array(cand["dst"].to_numpy(np.int64))})
+    ).repartition(max(1, min(64, len(cand) // 4096)))
+    out = pairs_ds.map_batches(verify_pairs, batch_format="pyarrow",
+                               batch_size=4096).to_pandas()
+    if out.empty:  # a fully-empty result loses its schema across the exchange
+        return pa.table({"src_doc": pa.array([], type=pa.int64()),
+                         "dst_doc": pa.array([], type=pa.int64()),
+                         "n_common": pa.array([], type=pa.int64()),
+                         "src_size": pa.array([], type=pa.int64()),
+                         "containment_bps": pa.array([], type=pa.int64())})
     out = out.sort_values(["src_doc", "dst_doc"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
