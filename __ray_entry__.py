@@ -167,6 +167,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dbscan": _ann.embedding_dbscan,
     "label_similarity_stats": _ann.label_similarity_stats,
     "embedding_outliers": _ann.embedding_outliers,
+    "knn_label_purity": _ann.knn_label_purity,
+    "transition_entropy": _rel.transition_entropy,
     "bigram_logprob": _txt.bigram_logprob,
     "doc_containment_pairs": _dedup.doc_containment_pairs,
     "near_dup_cluster_sizes": _dedup.near_dup_cluster_sizes,

@@ -1020,3 +1020,54 @@ SQL["embedding_outliers"] = (
     "SELECT CAST(label AS BIGINT) AS label, vec_id, cos_to_centroid, "
     "CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3 ORDER BY label, rk"
 )
+
+
+def knn_label_purity(sf_dir: str, *, k: int = 3) -> pa.Table:
+    """k-NN LABEL PURITY per class — the standard embedding-space quality
+    metric (does the space cluster by label?): for every vector, the
+    fraction of its exact cosine k-NN sharing its label, aggregated per
+    label as integer bps (10000·matches // (n·k)) — float-free, so the
+    oracle comparison is exact.  Composition: the distributed
+    ``knn_graph`` (broadcast matrix, streamed batches, 9-dp ranking
+    convention) → one label join on the |corpus|·k-row NN table (pandas
+    here — output-sized; a keyed co-shuffle at scale, exactly like
+    ``mutual_nn_pairs``'s reciprocity join)."""
+    nn = knn_graph(sf_dir, k=k).to_pandas()
+    lab = read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    lab["label"] = lab["label"].astype(np.int64)
+    m = (nn.merge(lab, on="vec_id")
+         .merge(lab.rename(columns={"vec_id": "neighbor_id",
+                                    "label": "nlabel"}), on="neighbor_id"))
+    m["match"] = (m["label"] == m["nlabel"]).astype(np.int64)
+    agg = (m.groupby("label", sort=True)
+           .agg(n_edges=("match", "size"), n_matches=("match", "sum"))
+           .reset_index())
+    agg["purity_bps"] = (10000 * agg["n_matches"].to_numpy(np.int64)) \
+        // agg["n_edges"].to_numpy(np.int64)
+    agg["n_vecs"] = (agg["n_edges"] // k).astype(np.int64)
+    out = agg[["label", "n_vecs", "n_matches", "purity_bps"]]
+    out = out.astype({"label": np.int64, "n_matches": np.int64})
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["knn_label_purity"] = (
+    "WITH sims AS ( "
+    "  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+    "         ROUND(list_cosine_similarity(a.embedding, b.embedding), 9) AS sim "
+    "  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), "
+    "ranked AS ( "
+    "  SELECT vec_id, neighbor_id, "
+    "         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank "
+    "  FROM sims), "
+    "nn AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= 3), "
+    "j AS (SELECT la.label, "
+    "CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS m "
+    "FROM nn JOIN embeddings la ON la.vec_id = nn.vec_id "
+    "JOIN embeddings lb ON lb.vec_id = nn.neighbor_id) "
+    "SELECT CAST(label AS BIGINT) AS label, "
+    "CAST(COUNT(*) // 3 AS BIGINT) AS n_vecs, "
+    "CAST(SUM(m) AS BIGINT) AS n_matches, "
+    "CAST(10000 * SUM(m) AS BIGINT) // COUNT(*) AS purity_bps "
+    "FROM j GROUP BY 1 ORDER BY label"
+)

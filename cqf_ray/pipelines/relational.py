@@ -5979,3 +5979,48 @@ SQL["data_quality_audit"] = (
     "SELECT check_name, table_name, violations, violations = 0 AS passed "
     "FROM checks ORDER BY check_name"
 )
+
+
+def transition_entropy(sf_dir: str) -> pa.Table:
+    """Markov TRANSITION ENTROPY per event type: the Shannon entropy (log2)
+    of the next-event distribution given each previous event — the
+    behavioral-predictability profile (entropy ≈ 0: scripted flows;
+    high: exploratory behavior).  Consumes ``event_transition_counts``'s
+    distributed plan (one user-keyed shuffle with in-kernel partial
+    counts); the entropy fold runs on the ≤|types|² aggregate — always
+    driver-sized.  −Σ p·log2 p computed with the SAME expression shape as
+    the oracle (per-row n·log2 n folded against the row total), 6-dp
+    rounded for sum-order jitter (``char_entropy`` precedent)."""
+    t = event_transition_counts(sf_dir).to_pandas()
+    n = t["n"].to_numpy(np.float64)
+    tot = t.groupby("prev_type", sort=False)["n"].transform("sum") \
+        .to_numpy(np.float64)
+    # H = log2(total) − Σ n·log2(n) / total, mirrored exactly in SQL
+    term = n * np.log2(n)
+    agg = (t.assign(term=term, tot=tot)
+           .groupby("prev_type", sort=True)
+           .agg(n_events=("n", "sum"), n_next_types=("n", "count"),
+                s=("term", "sum"), tot=("tot", "first"))
+           .reset_index())
+    agg["entropy_bits"] = np.round(
+        np.log2(agg["tot"].to_numpy(np.float64))
+        - agg["s"].to_numpy(np.float64) / agg["tot"].to_numpy(np.float64), 6)
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["n_next_types"] = agg["n_next_types"].astype(np.int64)
+    out = agg[["prev_type", "n_events", "n_next_types", "entropy_bits"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["transition_entropy"] = (
+    "WITH s AS (SELECT event_type AS next_type, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+    "FROM events), "
+    "c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM s "
+    "WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+    "a AS (SELECT prev_type, SUM(n) AS tot, COUNT(*) AS k, "
+    "SUM(CAST(n AS DOUBLE) * LOG2(CAST(n AS DOUBLE))) AS sl FROM c GROUP BY 1) "
+    "SELECT prev_type, CAST(tot AS BIGINT) AS n_events, "
+    "CAST(k AS BIGINT) AS n_next_types, "
+    "ROUND(LOG2(CAST(tot AS DOUBLE)) - sl / CAST(tot AS DOUBLE), 6) "
+    "AS entropy_bits FROM a ORDER BY prev_type"
+)
