@@ -172,6 +172,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "bigram_logprob": _txt.bigram_logprob,
     "doc_containment_pairs": _dedup.doc_containment_pairs,
     "near_dup_cluster_sizes": _dedup.near_dup_cluster_sizes,
+    "near_dup_source_matrix": _dedup.near_dup_source_matrix,
     "pmi_top_pairs": _txt.pmi_top_pairs,
     "turn_repetition_stats": _tr.turn_repetition_stats,
     "zipf_fit_by_source": _txt.zipf_fit_by_source,

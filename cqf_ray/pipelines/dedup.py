@@ -2257,3 +2257,53 @@ SQL["near_dup_cluster_sizes"] = (
     "CAST(COUNT(*) AS BIGINT) AS n_clusters "
     "FROM cs GROUP BY cluster_size ORDER BY cluster_size"
 )
+
+
+def near_dup_source_matrix(sf_dir: str, *, threshold: float = 0.7) -> pa.Table:
+    """Cross-SOURCE near-duplication matrix — which feeds copy each other:
+    for every (source_a ≤ source_b) pair, how many exact-J ≥ 0.7 near-dup
+    doc pairs span them (the mixing/licensing diagnostic that tells a
+    corpus operator which feed to drop before paying for dedup).
+    Consumes the cached ``_lsh_pair_state`` pair list (LSH + exact verify
+    once per corpus) + a column-pruned, pair-endpoint-filtered
+    ``documents`` read for the source lookup (the ``dedup_keep_best``
+    broadcast-filter pattern) — nothing non-aggregated reaches the
+    driver beyond the output-sized pair list.  Oracle: the exact
+    ``_jaccard_pairs_sql`` pair set joined to sources twice."""
+    import pyarrow.compute as pc
+
+    pairs = _lsh_pair_state(sf_dir, threshold=threshold)["pairs"]
+    empty = pa.table({"source_a": pa.array([], type=pa.string()),
+                      "source_b": pa.array([], type=pa.string()),
+                      "n_pairs": pa.array([], type=pa.int64())})
+    if len(pairs) == 0:
+        return empty
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    member = pa.array(np.unique(np.concatenate([a, b])))
+    src = (read(sf_dir, "documents", ["doc_id", "source"])
+           .map_batches(
+               lambda t: t.filter(pc.is_in(t.column("doc_id"),
+                                           value_set=member)),
+               batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas().set_index("doc_id")["source"])
+    sa = src.reindex(a).to_numpy(object)
+    sb = src.reindex(b).to_numpy(object)
+    lo = np.minimum(sa, sb)
+    hi = np.maximum(sa, sb)
+    out = (pd.DataFrame({"source_a": lo, "source_b": hi})
+           .groupby(["source_a", "source_b"], sort=True)
+           .size().rename("n_pairs").astype(np.int64).reset_index())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["near_dup_source_matrix"] = (
+    "WITH pairs AS ("
+    + _jaccard_pairs_sql(0.7).replace("ORDER BY doc_a, doc_b", "") + ") "
+    "SELECT LEAST(da.source, db.source) AS source_a, "
+    "GREATEST(da.source, db.source) AS source_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pairs "
+    "FROM pairs JOIN documents da ON da.doc_id = pairs.doc_a "
+    "JOIN documents db ON db.doc_id = pairs.doc_b "
+    "GROUP BY 1, 2 ORDER BY source_a, source_b"
+)
