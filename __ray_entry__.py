@@ -176,6 +176,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "pmi_top_pairs": _txt.pmi_top_pairs,
     "turn_repetition_stats": _tr.turn_repetition_stats,
     "zipf_fit_by_source": _txt.zipf_fit_by_source,
+    "doc_chunking": _co.doc_chunking,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

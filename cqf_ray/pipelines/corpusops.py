@@ -557,3 +557,91 @@ SQL = {
     "mixture_sample": _mixture_sql(),
     "segment_dedup": _segment_dedup_sql(),
 }
+
+
+def doc_chunking(sf_dir: str, *, chunk_tokens: int = 64,
+                 overlap: int = 16) -> "pa.Table":
+    """RAG-prep CHUNKING: split every document into fixed-size token
+    windows with overlap (stride = chunk − overlap), emitting
+    (doc_id, chunk_idx, start_tok, n_toks, n_chars) — the retrieval-
+    corpus layout step between cleaning and embedding.  The last chunk is
+    the remainder (kept if it starts before the token count — standard
+    stride semantics: ⌈max(n−overlap, 1)/stride⌉ chunks per doc, so
+    overlap-only tails are never emitted twice).  Fully vectorized: one
+    whitespace token pass per batch (Arrow offsets, no Python row loop),
+    chunk explosion by ``np.repeat`` + segmented arange; integer columns
+    end-to-end so the oracle comparison is exact.  n_chars is the length
+    of the chunk's single-space-joined text (Σ token lengths + n−1 —
+    what an embedding stage downstream actually feeds the model)."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    from ..stages.keyed import _segmented_arange
+    from .common import read
+
+    stride = chunk_tokens - overlap
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        s = pl.from_arrow(batch.column("text").combine_chunks()).fill_null("")
+        toks = pl.DataFrame({"t": s}).with_row_index("d").with_columns(
+            w=pl.col("t").str.extract_all(r"\S+")).select("d", "w")
+        ntok = toks.with_columns(n=pl.col("w").list.len().cast(pl.Int64))["n"] \
+            .to_numpy().astype(np.int64)
+        # token byte lengths per doc for n_chars (join tokens with 1 space)
+        tlen = toks.explode("w").drop_nulls()
+        nchunks = np.maximum(ntok - overlap, 1)
+        nchunks = -(-nchunks // stride)
+        nchunks[ntok == 0] = 0
+        doc_of = np.repeat(np.arange(len(did)), nchunks)
+        cidx = _segmented_arange(nchunks)
+        start = cidx * stride
+        ntoks = np.minimum(np.int64(chunk_tokens), ntok[doc_of] - start)
+        # byte length of each chunk = sum of its tokens' lengths + gaps
+        if tlen.height:
+            wlen = tlen["w"].str.len_chars().to_numpy().astype(np.int64)
+            csum = np.zeros(len(wlen) + 1, dtype=np.int64)
+            np.cumsum(wlen, out=csum[1:])
+            doc_tok0 = np.zeros(len(did), dtype=np.int64)
+            doc_tok0[1:] = np.cumsum(ntok)[:-1]
+            a = doc_tok0[doc_of] + start
+            b = a + ntoks
+            n_chars = (csum[b] - csum[a]) + (ntoks - 1)
+        else:
+            n_chars = np.zeros(len(doc_of), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(did[doc_of]),
+            "chunk_idx": pa.array(cidx.astype(np.int64)),
+            "start_tok": pa.array(start.astype(np.int64)),
+            "n_toks": pa.array(ntoks.astype(np.int64)),
+            "n_chars": pa.array(n_chars.astype(np.int64)),
+        })
+
+    out = ds.map_batches(kernel, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["doc_chunking"] = (
+    "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws "
+    "FROM documents), "
+    "n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS ntok FROM w "
+    "WHERE len(ws) > 0), "
+    "k AS (SELECT doc_id, ws, ntok, "
+    "CAST(CEIL(CAST(GREATEST(ntok - 16, 1) AS DOUBLE) / 48) AS BIGINT) "
+    "AS nchunks FROM n), "
+    "c AS (SELECT doc_id, ws, ntok, CAST(g.i AS BIGINT) AS chunk_idx "
+    "FROM k, LATERAL UNNEST(range(0, nchunks)) AS g(i)), "
+    "e AS (SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok, "
+    "LEAST(64, ntok - chunk_idx * 48) AS n_toks, ws FROM c), "
+    "h AS (SELECT doc_id, chunk_idx, start_tok, n_toks, "
+    "CAST(length(array_to_string(ws[CAST(start_tok + 1 AS BIGINT):"
+    "CAST(start_tok + n_toks AS BIGINT)], ' ')) AS BIGINT) AS n_chars "
+    "FROM e) "
+    "SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok, "
+    "CAST(n_toks AS BIGINT) AS n_toks, n_chars "
+    "FROM h ORDER BY doc_id, chunk_idx"
+)
