@@ -142,3 +142,49 @@ def test_turn_repetition_matches_bruteforce(ray_session, duck):
         got = (int(r["n_pairs"]), int(r["mean_jaccard_bps"]),
                int(r["max_jaccard_bps"]))
         assert got == exp, (r["conv_id"], got, exp)
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(tmp_path_factory):
+    """Docs at the chunking boundary cases for chunk=64/overlap=16
+    (stride 48): exactly 64 tokens (one chunk), 65 (two — a 17-token
+    remainder tail), 112 = 64+48 (exactly two full chunks, no
+    overlap-only third), tiny (3 tokens), and empty text (no chunks)."""
+    d = tmp_path_factory.mktemp("chunks")
+    def words(n):
+        return " ".join(f"t{i}" for i in range(n))
+    texts = [words(64), words(65), words(112), words(3), ""]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_doc_chunking_boundaries(ray_session, chunk_dir):
+    from cqf_ray.pipelines.corpusops import doc_chunking
+
+    t = doc_chunking(chunk_dir).to_pandas()
+    by = {k: g.reset_index(drop=True) for k, g in t.groupby("doc_id")}
+    # 64 tokens -> exactly one full chunk
+    assert len(by[0]) == 1 and int(by[0]["n_toks"][0]) == 64
+    # 65 tokens -> two chunks, remainder tail of 65-48=17 tokens
+    assert len(by[1]) == 2
+    assert list(by[1]["start_tok"]) == [0, 48]
+    assert list(by[1]["n_toks"]) == [64, 17]
+    # 112 = 64 + 48 -> two full chunks, no third (tail would be overlap-only)
+    assert len(by[2]) == 2 and list(by[2]["n_toks"]) == [64, 64]
+    # tiny doc -> one short chunk
+    assert len(by[3]) == 1 and int(by[3]["n_toks"][0]) == 3
+    # empty doc -> no chunks
+    assert 4 not in by
+    # n_chars = single-space-joined length of the chunk's tokens
+    row = by[1].iloc[1]
+    toks = [f"t{i}" for i in range(48, 65)]
+    assert int(row["n_chars"]) == len(" ".join(toks))
