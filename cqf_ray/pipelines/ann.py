@@ -806,14 +806,14 @@ def embedding_dbscan(sf_dir: str, *, eps_sim: float = 0.33,
     va = edges["va"].to_numpy(np.int64) if len(edges) else np.empty(0, np.int64)
     vb = edges["vb"].to_numpy(np.int64) if len(edges) else np.empty(0, np.int64)
     uniq, cnt = np.unique(va, return_counts=True)
-    core = set(uniq[cnt >= min_neighbors].tolist())
-    core_a = np.array([a in core for a in va], dtype=bool)
-    core_b = np.array([b in core for b in vb], dtype=bool)
+    core_ids = uniq[cnt >= min_neighbors]  # sorted
+    core_a = np.isin(va, core_ids)
+    core_b = np.isin(vb, core_ids)
     cc_mask = core_a & core_b
     comp = _union_find(va[cc_mask], vb[cc_mask])  # {core: min core in comp}
     label = {int(v): int(c) for v, c in comp.items()}
-    for v in core:  # isolated-from-other-cores core point: own cluster
-        label.setdefault(int(v), int(v))
+    for v in core_ids[~np.isin(core_ids, va[cc_mask])].tolist():
+        label[int(v)] = int(v)  # isolated-from-other-cores: own cluster
     # border: non-core with ≥1 core neighbor → cluster of MIN core neighbor
     bmask = ~core_a & core_b
     border: dict[int, int] = {}
@@ -821,16 +821,23 @@ def embedding_dbscan(sf_dir: str, *, eps_sim: float = 0.33,
         mn = (pd.DataFrame({"v": va[bmask], "n": vb[bmask]})
               .groupby("v")["n"].min())
         border = {int(v): label[int(n)] for v, n in mn.items()}
-    role = np.full(len(ids), "noise", dtype=object)
-    cluster = np.full(len(ids), -1, dtype=np.int64)
-    order = np.argsort(ids)
-    sids = ids[order]
-    for i, v in enumerate(sids):
-        v = int(v)
-        if v in label:
-            role[i], cluster[i] = "core", label[v]
-        elif v in border:
-            role[i], cluster[i] = "border", border[v]
+    sids = np.sort(ids)
+    role = np.full(len(sids), "noise", dtype=object)
+    cluster = np.full(len(sids), -1, dtype=np.int64)
+
+    def assign(mapping: dict[int, int], name: str) -> None:
+        if not mapping:
+            return
+        keys = np.fromiter(mapping.keys(), np.int64, len(mapping))
+        vals = np.fromiter(mapping.values(), np.int64, len(mapping))
+        o = np.argsort(keys)
+        keys, vals = keys[o], vals[o]
+        pos = np.searchsorted(sids, keys)  # every key is a real vec_id
+        role[pos] = name
+        cluster[pos] = vals
+
+    assign(border, "border")
+    assign(label, "core")  # core wins if a point is somehow in both
     return pa.table({"vec_id": pa.array(sids),
                      "role": pa.array(role.tolist(), type=pa.string()),
                      "cluster": pa.array(cluster)})
