@@ -177,6 +177,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "turn_repetition_stats": _tr.turn_repetition_stats,
     "zipf_fit_by_source": _txt.zipf_fit_by_source,
     "doc_chunking": _co.doc_chunking,
+    "hard_negative_mining": _ann.hard_negative_mining,
+    "copurchase_lift": _rel.copurchase_lift,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -1078,3 +1078,73 @@ SQL["knn_label_purity"] = (
     "CAST(10000 * SUM(m) AS BIGINT) // COUNT(*) AS purity_bps "
     "FROM j GROUP BY 1 ORDER BY label"
 )
+
+
+def hard_negative_mining(sf_dir: str) -> pa.Table:
+    """HARD-NEGATIVE mining for contrastive training: each vector's single
+    most-similar vector with a DIFFERENT label — the pair a triplet/InfoNCE
+    loss most needs and random negatives almost never supply.  Same
+    distributed shape as ``knn_graph`` (matrix broadcast once, one matmul
+    per streamed batch) with the same-label columns masked to −inf before
+    the argmax; ranking follows the 9-dp + id tie-break convention and the
+    output is id/label-only (floats stay out of the comparison surface).
+    At ≫10⁷ vectors candidate generation swaps to the banded LSH index
+    exactly as ``knn_graph`` documents — the masked scoring kernel is
+    unchanged."""
+    import ray
+
+    from ..stages.ann import load_embedding_matrix
+
+    ids, mat = load_embedding_matrix(sf_dir)
+    lab_df = read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    labs = (lab_df.set_index("vec_id")["label"]
+            .reindex(ids).to_numpy().astype(np.int64))
+    ref = ray.put((ids, mat, labs))
+    ds = read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    class HardNeg:
+        def __init__(self, corpus_ref):
+            c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+            self.cids, self.cmat, self.clabs = c
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            lab = np.asarray(batch.column("label"), dtype=np.int64)
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = np.round(emb @ self.cmat.T, 9)
+            sims[lab[:, None] == self.clabs[None, :]] = -np.inf
+            cids2 = np.broadcast_to(self.cids, sims.shape)
+            pick = np.lexsort((cids2, -sims), axis=1)[:, 0]
+            neg = np.take_along_axis(cids2, pick[:, None], axis=1)[:, 0]
+            return pa.table({
+                "vec_id": pa.array(vid),
+                "label": pa.array(lab),
+                "hard_negative_id": pa.array(neg),
+                "neg_label": pa.array(self.clabs[
+                    np.searchsorted(self.cids, neg)
+                    if not np.array_equal(self.cids,
+                                          np.arange(len(self.cids)))
+                    else neg]),
+            })
+
+    out = ds.map_batches(HardNeg, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=(1, 8)).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["hard_negative_mining"] = (
+    "WITH sims AS ( "
+    "  SELECT a.vec_id, a.label, b.vec_id AS nid, b.label AS nlabel, "
+    "         ROUND(list_cosine_similarity(a.embedding, b.embedding), 9) AS sim "
+    "  FROM embeddings a CROSS JOIN embeddings b "
+    "  WHERE a.label <> b.label), "
+    "r AS (SELECT vec_id, label, nid, nlabel, "
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS rk "
+    "FROM sims) "
+    "SELECT vec_id, CAST(label AS BIGINT) AS label, "
+    "nid AS hard_negative_id, CAST(nlabel AS BIGINT) AS neg_label "
+    "FROM r WHERE rk = 1 ORDER BY vec_id"
+)

@@ -6024,3 +6024,96 @@ SQL["transition_entropy"] = (
     "ROUND(LOG2(CAST(tot AS DOUBLE)) - sl / CAST(tot AS DOUBLE), 6) "
     "AS entropy_bits FROM a ORDER BY prev_type"
 )
+
+
+def copurchase_lift(sf_dir: str, *, min_support: int = 2) -> pa.Table:
+    """Market-basket CO-PURCHASE LIFT: for every unordered pair of items
+    (the numeric ``props`` payload) purchased by the same user, the
+    co-purchase count and lift = P(a,b)/(P(a)·P(b)) over purchasing users
+    — the association-rule primitive behind recommenders and bundle
+    analysis.  ONE keyed shuffle on user_id (each user wholly owned);
+    the kernel emits kind-tagged partials in a single pass — per-user
+    distinct item pairs, per-item distinct-user counts, and the
+    purchasing-user count — and one combiner-first ``grouped_aggregate``
+    folds them, so the exchange carries item-pair partials, never the
+    purchase stream.  Lift uses the same float expression as the oracle
+    ((c·N)/(n_a·n_b), one ROUND 6); support and counts are integers."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(batch.column("event_type"), "purchase")
+        b = batch.filter(mask)
+        item = (pl.from_arrow(b.column("props"))
+                .str.extract(r"(\d+)", 1).cast(pl.Int64).fill_null(0))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "item": pa.array(item.to_numpy().astype(np.int64)),
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).select("user_id", "item").unique()
+        pairs = (df.join(df.rename({"item": "item_b"}), on="user_id")
+                 .filter(pl.col("item") < pl.col("item_b"))
+                 .group_by(["item", "item_b"])
+                 .agg(n=pl.len().cast(pl.Int64))
+                 .rename({"item": "a", "item_b": "b"})
+                 .with_columns(kind=pl.lit(0, dtype=pl.Int64)))
+        items = (df.group_by("item").agg(n=pl.len().cast(pl.Int64))
+                 .rename({"item": "a"})
+                 .with_columns(b=pl.lit(-1, dtype=pl.Int64),
+                               kind=pl.lit(1, dtype=pl.Int64)))
+        users = pl.DataFrame({"a": pl.Series([-1], dtype=pl.Int64),
+                              "b": pl.Series([-1], dtype=pl.Int64),
+                              "kind": pl.Series([2], dtype=pl.Int64),
+                              "n": pl.Series([df["user_id"].n_unique()],
+                                             dtype=pl.Int64)})
+        cols = ["a", "b", "kind", "n"]
+        return pl.concat([pairs.select(cols), items.select(cols),
+                          users.select(cols)]).to_arrow()
+
+    parts = keyed_partition_map(
+        ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], kernel)
+    agg = grouped_aggregate(parts, ["a", "b", "kind"],
+                            [("n", "sum", "n")]).to_pandas()
+    nu = float(agg.loc[agg["kind"] == 2, "n"].sum())
+    items = dict(zip(agg.loc[agg["kind"] == 1, "a"],
+                     agg.loc[agg["kind"] == 1, "n"].astype(np.int64)))
+    p = agg[(agg["kind"] == 0) & (agg["n"] >= min_support)].copy()
+    na = p["a"].map(items).to_numpy(np.float64)
+    nb = p["b"].map(items).to_numpy(np.float64)
+    c = p["n"].to_numpy(np.float64)
+    p["lift"] = round_col(c * nu / (na * nb), 6)
+    out = pd.DataFrame({
+        "item_a": p["a"].to_numpy(np.int64),
+        "item_b": p["b"].to_numpy(np.int64),
+        "n_both": p["n"].to_numpy(np.int64),
+        "n_a": na.astype(np.int64), "n_b": nb.astype(np.int64),
+        "lift": p["lift"].to_numpy(),
+    }).sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["copurchase_lift"] = (
+    "WITH p AS (SELECT DISTINCT user_id, "
+    "CAST(regexp_extract(props, '\\d+') AS BIGINT) AS item "
+    "FROM events WHERE event_type = 'purchase'), "
+    "nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM p), "
+    "ia AS (SELECT item, COUNT(*) AS n FROM p GROUP BY 1), "
+    "pr AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS c "
+    "FROM p a JOIN p b ON a.user_id = b.user_id AND a.item < b.item "
+    "GROUP BY 1, 2) "
+    "SELECT pr.item_a, pr.item_b, CAST(pr.c AS BIGINT) AS n_both, "
+    "CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b, "
+    "ROUND(CAST(pr.c AS DOUBLE) * nu.n / "
+    "(CAST(x.n AS DOUBLE) * CAST(y.n AS DOUBLE)), 6) AS lift "
+    "FROM pr CROSS JOIN nu "
+    "JOIN ia x ON x.item = pr.item_a JOIN ia y ON y.item = pr.item_b "
+    "WHERE pr.c >= 2 ORDER BY item_a, item_b"
+)

@@ -167,6 +167,73 @@ def chunk_dir(tmp_path_factory):
     return str(d)
 
 
+def test_hard_negative_mining_matches_bruteforce(ray_session, clusters_dir):
+    """Every row's hard negative equals the brute-force masked argmax with
+    the 9-dp + min-id tie-break; planted geometry: a cluster-0 vector's
+    hardest cross-label vector is essentially never in its own cluster."""
+    from cqf_ray.pipelines.ann import hard_negative_mining
+
+    t = hard_negative_mining(clusters_dir).to_pandas().set_index("vec_id")
+    emb = pq.read_table(clusters_dir + "/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    lab = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    sims = np.round(mat @ mat.T, 9)
+    assert len(t) == len(ids)
+    for i in range(len(ids)):
+        s = sims[i].copy()
+        s[lab == lab[i]] = -np.inf
+        best = ids[np.lexsort((ids, -s))[0]]
+        row = t.loc[ids[i]]
+        assert int(row["hard_negative_id"]) == int(best)
+        assert int(row["neg_label"]) == int(lab[best])
+        assert int(row["neg_label"]) != int(lab[i])
+
+
+@pytest.fixture(scope="module")
+def basket_dir(tmp_path_factory):
+    """Purchases with known co-occurrence: items 1,2 bought together by
+    users 1-3 (plus a duplicate purchase that must dedup), item 3 by users
+    1,2 only, item 9 by user 9 alone; user 5 never purchases (views only)."""
+    d = tmp_path_factory.mktemp("basket")
+    rows = [
+        (1, "purchase", 1), (1, "purchase", 2), (1, "purchase", 2),
+        (1, "purchase", 3),
+        (2, "purchase", 1), (2, "purchase", 2), (2, "purchase", 3),
+        (3, "purchase", 1), (3, "purchase", 2),
+        (9, "purchase", 9),
+        (5, "view", 1), (5, "view", 2),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "props": pa.array(['{"k": %d}' % r[2] for r in rows]),
+        }),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_copurchase_lift_planted(ray_session, basket_dir):
+    from cqf_ray.pipelines.relational import copurchase_lift
+
+    t = copurchase_lift(basket_dir).to_pandas()
+    got = {(int(r.item_a), int(r.item_b)):
+           (int(r.n_both), int(r.n_a), int(r.n_b), float(r.lift))
+           for r in t.itertuples()}
+    # 4 purchasing users; (1,2) together 3x despite user 1's dup purchase;
+    # (9,·) and the view-only user contribute nothing; min_support=2 drops
+    # nothing here except no pair involving item 9 exists at all.
+    assert got == {
+        (1, 2): (3, 3, 3, round(3 * 4 / 9, 6)),
+        (1, 3): (2, 3, 2, round(2 * 4 / 6, 6)),
+        (2, 3): (2, 3, 2, round(2 * 4 / 6, 6)),
+    }
+
+
 def test_doc_chunking_boundaries(ray_session, chunk_dir):
     from cqf_ray.pipelines.corpusops import doc_chunking
 
