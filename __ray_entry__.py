@@ -179,6 +179,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_chunking": _co.doc_chunking,
     "hard_negative_mining": _ann.hard_negative_mining,
     "copurchase_lift": _rel.copurchase_lift,
+    "tokenizer_fertility": _txt.tokenizer_fertility,
+    "importance_resampling": _co.importance_resampling,
+    "cohort_ltv": _rel.cohort_ltv,
+    "decile_transitions": _rel.decile_transitions,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

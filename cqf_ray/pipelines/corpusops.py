@@ -645,3 +645,57 @@ SQL["doc_chunking"] = (
     "CAST(n_toks AS BIGINT) AS n_toks, n_chars "
     "FROM h ORDER BY doc_id, chunk_idx"
 )
+
+
+_RESAMPLE_SEED = 77
+
+
+def importance_resampling(sf_dir: str) -> pa.Table:
+    """Per-document IMPORTANCE resampling: unlike ``mixture_sample``'s
+    per-source constant rates, each doc's keep probability is its own
+    importance weight — here length-proportional, ``w = min(n_chars,
+    1000)`` permille, the "keep long documents, thin the short tail"
+    rebalance a pretraining mixture applies doc-by-doc.  Acceptance is
+    the deterministic coin ``murmur64(doc_id, seed) % 1000 < w``: zero
+    shuffles, zero driver state, trivially resumable, and bit-exact
+    against the MurmurHash64A-in-SQL oracle (same port as
+    ``dataset_split`` / ``mixture_sample``)."""
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id").combine_chunks()).astype(np.int64)
+        nc = np.asarray(batch.column("n_chars").combine_chunks()).astype(np.int64)
+        w = np.minimum(nc, 1000).astype(np.uint64)
+        coin = murmur64a_u64(did.view(np.uint64),
+                             seed=_RESAMPLE_SEED) % np.uint64(1000)
+        keep = coin < w
+        kp = pa.array(keep)
+        return pa.table({
+            "doc_id": pa.array(did[keep]),
+            "source": batch.column("source").combine_chunks().filter(kp),
+            "weight_permille": pa.array(w[keep].astype(np.int64)),
+        })
+
+    df = ds.map_batches(gate, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "source": pa.array([], type=pa.string()),
+                         "weight_permille": pa.array([], type=pa.int64())})
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _importance_resampling_sql() -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id, source, "
+        "CAST(LEAST(n_chars, 1000) AS BIGINT) AS w FROM documents), "
+        + _MURMUR_SQL.format(seed=_RESAMPLE_SEED)
+        + " SELECT doc_id, source, w AS weight_permille FROM mmf "
+        "WHERE priority % 1000 < w ORDER BY doc_id"
+    )
+
+
+SQL["importance_resampling"] = _importance_resampling_sql()

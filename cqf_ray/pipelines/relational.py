@@ -6117,3 +6117,159 @@ SQL["copurchase_lift"] = (
     "JOIN ia x ON x.item = pr.item_a JOIN ia y ON y.item = pr.item_b "
     "WHERE pr.c >= 2 ORDER BY item_a, item_b"
 )
+
+
+def cohort_ltv(sf_dir: str) -> pa.Table:
+    """Cohort LIFETIME-VALUE matrix: users grouped by first-activity day,
+    purchase revenue accumulated along day offsets — retention_cohorts'
+    shape with money on it, the growth dashboard behind every subscription
+    business.  ONE keyed shuffle on user_id (each user wholly owned); the
+    kernel derives cohorts and emits kind-tagged partials in a single pass
+    — per-(cohort, offset) µ-revenue + distinct-buyer counts (kind 0) and
+    per-cohort user counts (kind 1) — and one combiner-first
+    ``grouped_aggregate`` folds them, so the exchange carries matrix-sized
+    partials, never the event stream.  The cumulative fold and the
+    per-user LTV run on the tiny matrix; LTV stays in exact integer
+    µ-units (floor-divided by cohort size) so both engines agree
+    bit-for-bit with no float-division hazard."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    day_us = np.int64(86_400_000_000)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        day = np.asarray(t.column("ts").combine_chunks()).view(np.int64) // day_us
+        vmu = np.round(np.asarray(t.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        is_p = np.asarray(
+            pc.equal(t.column("event_type").combine_chunks(), "purchase"))
+        df = pl.DataFrame({"u": uid, "day": day, "vmu": vmu,
+                           "p": is_p})
+        df = df.with_columns(cohort=pl.col("day").min().over("u"))
+        buys = (df.filter(pl.col("p"))
+                .with_columns(off=pl.col("day") - pl.col("cohort"))
+                .group_by(["cohort", "off"])
+                .agg(n=pl.col("u").n_unique().cast(pl.Int64),
+                     vmu=pl.col("vmu").sum())
+                .with_columns(kind=pl.lit(0, dtype=pl.Int64)))
+        sizes = (df.select("u", "cohort").unique()
+                 .group_by("cohort").agg(n=pl.len().cast(pl.Int64))
+                 .with_columns(off=pl.lit(-1, dtype=pl.Int64),
+                               vmu=pl.lit(0, dtype=pl.Int64),
+                               kind=pl.lit(1, dtype=pl.Int64)))
+        cols = ["cohort", "off", "kind", "n", "vmu"]
+        return pl.concat([buys.select(cols), sizes.select(cols)]).to_arrow()
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    agg = grouped_aggregate(parts, ["cohort", "off", "kind"],
+                            [("n", "sum", "n"), ("vmu", "sum", "vmu")]
+                            ).to_pandas()
+    sizes = dict(zip(agg.loc[agg["kind"] == 1, "cohort"],
+                     agg.loc[agg["kind"] == 1, "n"].astype(np.int64)))
+    m = (agg[agg["kind"] == 0]
+         .sort_values(["cohort", "off"]).reset_index(drop=True))
+    cum = m.groupby("cohort")["vmu"].cumsum().to_numpy(np.int64)
+    ns = m["cohort"].map(sizes).to_numpy(np.int64)
+    out = pd.DataFrame({
+        "cohort_day": (m["cohort"].to_numpy(np.int64) * day_us
+                       ).astype("datetime64[us]"),
+        "day_offset": m["off"].to_numpy(np.int64),
+        "n_buyers": m["n"].to_numpy(np.int64),
+        "revenue": round_scaled(m["vmu"].to_numpy(np.int64), 2, 6),
+        "cum_revenue": round_scaled(cum, 2, 6),
+        "ltv_micro_per_user": cum // ns,
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["cohort_ltv"] = (
+    "WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, "
+    "event_type, value FROM events), "
+    "c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1), "
+    "s AS (SELECT cohort, COUNT(*) AS ns FROM c GROUP BY 1), "
+    "p AS (SELECT d.user_id, c.cohort, d.day - c.cohort AS day_offset, "
+    "d.value FROM d JOIN c USING (user_id) WHERE event_type = 'purchase'), "
+    "g AS (SELECT cohort, day_offset, COUNT(DISTINCT user_id) AS n_buyers, "
+    "SUM(CAST(value AS DECIMAL(18,6))) AS v FROM p GROUP BY 1, 2), "
+    "w AS (SELECT cohort, day_offset, n_buyers, v, "
+    "SUM(v) OVER (PARTITION BY cohort ORDER BY day_offset) AS cum "
+    "FROM g) "
+    "SELECT CAST(to_timestamp(cohort * 86400) AS TIMESTAMP) AS cohort_day, "
+    "CAST(day_offset AS BIGINT) AS day_offset, "
+    "CAST(n_buyers AS BIGINT) AS n_buyers, "
+    "CAST(ROUND(v, 2) AS DOUBLE) AS revenue, "
+    "CAST(ROUND(cum, 2) AS DOUBLE) AS cum_revenue, "
+    "CAST(CAST(cum * 1000000 AS HUGEINT) // s.ns AS BIGINT) "
+    "AS ltv_micro_per_user "
+    "FROM w JOIN s USING (cohort) ORDER BY cohort_day, day_offset"
+)
+
+
+def decile_transitions(sf_dir: str) -> pa.Table:
+    """Week-over-week VALUE-DECILE transition matrix: each user's weekly
+    spend is ranked into exact NTILE(10) deciles within its week, and
+    consecutive-week decile moves are counted — the churn/upsell mobility
+    matrix of growth analytics.  The corpus-sized pass is ONE
+    combiner-first (user, week) µ-sum aggregate; decile assignment is an
+    argsort of the already-user-week-sized result per week (driver-side
+    here, a rank-select at extreme user counts — rfm_scores' documented
+    concession), with NTILE's first-(n mod 10)-buckets-long semantics and
+    user_id tie-break pinned so the oracle matches row-for-row."""
+    ev = read(sf_dir, "events", ["user_id", "ts", "value"])
+    week_us = np.int64(86_400_000_000) * 7
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        wk = np.asarray(batch.column("ts").combine_chunks()).view(np.int64) // week_us
+        vmu = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        return (pl.DataFrame({"user_id": uid, "week": wk, "vmu": vmu})
+                .group_by(["user_id", "week"])
+                .agg(vmu=pl.col("vmu").sum()).to_arrow())
+
+    uw = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "week"], [("vmu", "sum", "vmu")],
+    ).to_pandas()
+
+    def ntile10(tot: np.ndarray, uid: np.ndarray) -> np.ndarray:
+        n = len(tot)
+        order = np.lexsort((uid, -tot))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        base, extra = divmod(n, 10)
+        bounds = np.cumsum([base + (i < extra) for i in range(10)])
+        return np.searchsorted(bounds, rank, side="right") + 1
+
+    uw["decile"] = 0
+    for _, idx in uw.groupby("week").groups.items():
+        uw.loc[idx, "decile"] = ntile10(uw.loc[idx, "vmu"].to_numpy(np.int64),
+                                        uw.loc[idx, "user_id"].to_numpy(np.int64))
+    nxt = uw[["user_id", "week", "decile"]].copy()
+    nxt["week"] -= 1
+    tr = uw.merge(nxt, on=["user_id", "week"], suffixes=("_from", "_to"))
+    out = (tr.groupby(["decile_from", "decile_to"]).size()
+           .rename("n_users").reset_index()
+           .rename(columns={"decile_from": "from_decile",
+                            "decile_to": "to_decile"}))
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out = out.sort_values(["from_decile", "to_decile"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["decile_transitions"] = (
+    "WITH uw AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week, "
+    "SUM(CAST(value AS DECIMAL(18,6))) AS tot FROM events GROUP BY 1, 2), "
+    "d AS (SELECT user_id, week, "
+    "NTILE(10) OVER (PARTITION BY week ORDER BY tot DESC, user_id) AS dec "
+    "FROM uw) "
+    "SELECT CAST(a.dec AS BIGINT) AS from_decile, "
+    "CAST(b.dec AS BIGINT) AS to_decile, COUNT(*) AS n_users "
+    "FROM d a JOIN d b ON a.user_id = b.user_id AND b.week = a.week + 1 "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)

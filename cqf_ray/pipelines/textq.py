@@ -2565,3 +2565,68 @@ SQL["bigram_logprob"] = (
     "ROUND(AVG(lp), 6) AS avg_logprob2 "
     "FROM sc GROUP BY doc_id ORDER BY doc_id"
 )
+
+
+def tokenizer_fertility(sf_dir: str) -> pa.Table:
+    """Tokenizer FERTILITY profile per source: how many BPE-style tokens
+    the GPT-2-shaped pre-tokenizer (``bpe_token_counts``'s pattern)
+    produces per whitespace word, and how many characters each BPE token
+    carries — the corpus statistic that predicts training cost per byte
+    and flags sources (code, numerics) that explode a tokenizer.  ONE
+    combiner-first pass: each batch collapses to per-source integer sums
+    (docs / chars / words / BPE runs) in vectorized polars regex kernels,
+    a tiny grouped sum folds the partials, and the two fertility ratios
+    are the same double expression the oracle evaluates (half-away
+    rounding via ``round_col``)."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "source": pl.from_arrow(batch.column("source").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks()).fill_null(""),
+        })
+        df = df.with_columns(
+            chars=pl.col("t").str.len_chars().cast(pl.Int64),
+            words=pl.col("t").str.count_matches(r"\S+").cast(pl.Int64),
+            bpe=pl.col("t").str.count_matches(_BPE_PAT).cast(pl.Int64),
+        )
+        return (df.group_by("source")
+                .agg(n_docs=pl.len().cast(pl.Int64),
+                     n_chars=pl.col("chars").sum(),
+                     n_words=pl.col("words").sum(),
+                     n_bpe=pl.col("bpe").sum()).to_arrow())
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("n_docs", "sum", "n_docs"), ("n_chars", "sum", "n_chars"),
+         ("n_words", "sum", "n_words"), ("n_bpe", "sum", "n_bpe")],
+    ).to_pandas()
+    chars = out["n_chars"].to_numpy(np.float64)
+    words = out["n_words"].to_numpy(np.float64)
+    bpe = out["n_bpe"].to_numpy(np.float64)
+    out["chars_per_bpe"] = round_col(chars / bpe, 6)
+    out["bpe_per_word"] = round_col(bpe / words, 6)
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["tokenizer_fertility"] = (
+    "WITH a AS (SELECT source, COUNT(*) AS n_docs, "
+    "SUM(CAST(length(text) AS BIGINT)) AS n_chars, "
+    "SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS n_words, "
+    "SUM(CAST(len(regexp_extract_all(text, "
+    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)) AS n_bpe "
+    "FROM documents GROUP BY 1) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, "
+    "CAST(n_bpe AS BIGINT) AS n_bpe, "
+    "ROUND(CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE), 6) AS chars_per_bpe, "
+    "ROUND(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS bpe_per_word "
+    "FROM a ORDER BY source"
+)

@@ -255,3 +255,111 @@ def test_doc_chunking_boundaries(ray_session, chunk_dir):
     row = by[1].iloc[1]
     toks = [f"t{i}" for i in range(48, 65)]
     assert int(row["n_chars"]) == len(" ".join(toks))
+
+
+def test_tokenizer_fertility_handcounted(ray_session, tmp_path):
+    """Hand-counted words/BPE runs on crafted texts (beyond the oracle
+    gate: pins the polars-regex == hand-count semantics)."""
+    import pyarrow.parquet as pq2
+    from cqf_ray.pipelines.textq import tokenizer_fertility
+
+    texts = ["ab 12 ab!cd", "hello, world"]   # bpe runs: 5 and 3; words 3+2
+    pq2.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = tokenizer_fertility(str(tmp_path)).to_pandas()
+    assert len(t) == 1
+    r = t.iloc[0]
+    # "ab!cd" -> ab, !, cd ; "hello, world" -> hello, ",", world
+    assert (int(r.n_docs), int(r.n_chars), int(r.n_words), int(r.n_bpe)) \
+        == (2, 11 + 12, 5, 8)
+    assert r.chars_per_bpe == round(23 / 8, 6)
+    assert r.bpe_per_word == round(8 / 5, 6)
+
+
+def test_importance_resampling_coin_property(ray_session):
+    """Every kept doc satisfies the murmur coin; every dropped one fails
+    it; weights are the clamped n_chars."""
+    import pyarrow.parquet as pq2
+    from cqf_ray.hashing import murmur64a_u64
+    from cqf_ray.pipelines.corpusops import (_RESAMPLE_SEED,
+                                             importance_resampling)
+
+    t = importance_resampling(SF_DIR).to_pandas().set_index("doc_id")
+    docs = pq2.read_table(SF_DIR + "/documents.parquet",
+                          columns=["doc_id", "n_chars"]).to_pandas()
+    did = docs["doc_id"].to_numpy(np.int64)
+    w = np.minimum(docs["n_chars"].to_numpy(np.int64), 1000)
+    coin = murmur64a_u64(did.view(np.uint64),
+                         seed=_RESAMPLE_SEED) % np.uint64(1000)
+    keep = coin < w.astype(np.uint64)
+    assert set(t.index) == set(did[keep])
+    assert (t.loc[did[keep], "weight_permille"].to_numpy() == w[keep]).all()
+    assert 0 < keep.sum() < len(did)
+
+
+@pytest.fixture(scope="module")
+def ltv_dir(tmp_path_factory):
+    """Two cohorts: users 1,2 first seen day 0 (user 1 buys 10.00 on day 0
+    and 5.00 on day 2; user 2 only views), user 3 first seen day 1 (buys
+    2.50 on day 3, offset 2)."""
+    d = tmp_path_factory.mktemp("ltv")
+    day = 86_400_000_000
+    rows = [  # (user, day, type, value)
+        (1, 0, "purchase", 10.0), (2, 0, "view", 1.0),
+        (1, 2, "purchase", 5.0),
+        (3, 1, "view", 0.0), (3, 3, "purchase", 2.5),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+            "ts": pa.array((np.array([r[1] for r in rows], np.int64) * day
+                            ).astype("datetime64[us]")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+        }),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_cohort_ltv_planted(ray_session, ltv_dir):
+    from cqf_ray.pipelines.relational import cohort_ltv
+
+    t = cohort_ltv(ltv_dir).to_pandas()
+    t["day"] = t["cohort_day"].astype("int64") // 86_400_000_000
+    got = {(int(r.day), int(r.day_offset)):
+           (int(r.n_buyers), float(r.revenue), float(r.cum_revenue),
+            int(r.ltv_micro_per_user))
+           for r in t.itertuples()}
+    # cohort day-0 has 2 users; day-1 cohort has 1 user
+    assert got == {
+        (0, 0): (1, 10.0, 10.0, 5_000_000),     # 10.00 over 2 users
+        (0, 2): (1, 5.0, 15.0, 7_500_000),      # cum 15.00 over 2 users
+        (1, 2): (1, 2.5, 2.5, 2_500_000),
+    }
+
+
+def test_decile_transitions_conservation(ray_session, duck):
+    """Every user active in consecutive weeks appears in exactly one
+    transition cell; deciles stay in 1..10."""
+    from cqf_ray.pipelines.relational import decile_transitions
+
+    t = decile_transitions(SF_DIR).to_pandas()
+    assert t["from_decile"].between(1, 10).all()
+    assert t["to_decile"].between(1, 10).all()
+    n_pairs = duck.sql(
+        "WITH uw AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 604800000000 AS week FROM events) "
+        "SELECT COUNT(*) FROM uw a JOIN uw b "
+        "ON a.user_id = b.user_id AND b.week = a.week + 1"
+    ).fetchone()[0]
+    assert int(t["n_users"].sum()) == int(n_pairs)
