@@ -183,6 +183,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "importance_resampling": _co.importance_resampling,
     "cohort_ltv": _rel.cohort_ltv,
     "decile_transitions": _rel.decile_transitions,
+    "triplet_margin_mining": _ann.triplet_margin_mining,
+    "survival_curve": _rel.survival_curve,
+    "conv_context_budget": _tr.conv_context_budget,
+    "reward_pref_pairs": _tr.reward_pref_pairs,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

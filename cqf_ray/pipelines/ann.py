@@ -1148,3 +1148,88 @@ SQL["hard_negative_mining"] = (
     "nid AS hard_negative_id, CAST(nlabel AS BIGINT) AS neg_label "
     "FROM r WHERE rk = 1 ORDER BY vec_id"
 )
+
+
+def triplet_margin_mining(sf_dir: str) -> pa.Table:
+    """TRIPLET mining for metric learning: per anchor vector, the nearest
+    SAME-label positive (self excluded) and the hardest OTHER-label
+    negative — ``hard_negative_mining``'s broadcast-matmul shape run with
+    both masks in one pass — plus the triplet margin (pos_sim − neg_sim).
+    Negative margins mark the "violating" triplets a margin loss trains
+    on.  Margins ship as exact integer nano-units: both sims are 9-dp
+    multiples, so their difference scaled by 10⁹ is integral and
+    nearest-int rounding is representation-error-proof — no float column
+    crosses the comparison surface.  Anchors whose label has no second
+    member have no positive and are dropped (mirrored in the oracle)."""
+    import ray
+
+    from ..stages.ann import load_embedding_matrix
+
+    ids, mat = load_embedding_matrix(sf_dir)
+    lab_df = read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    labs = (lab_df.set_index("vec_id")["label"]
+            .reindex(ids).to_numpy().astype(np.int64))
+    ref = ray.put((ids, mat, labs))
+    ds = read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    class Mine:
+        def __init__(self, corpus_ref):
+            c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+            self.cids, self.cmat, self.clabs = c
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            lab = np.asarray(batch.column("label"), dtype=np.int64)
+            emb = batch_embeddings(batch)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = np.round(emb @ self.cmat.T, 9)
+            cids2 = np.broadcast_to(self.cids, sims.shape)
+            same = lab[:, None] == self.clabs[None, :]
+            s_pos = np.where(same & (cids2 != vid[:, None]), sims, -np.inf)
+            s_neg = np.where(~same, sims, -np.inf)
+            ppick = np.lexsort((cids2, -s_pos), axis=1)[:, 0]
+            npick = np.lexsort((cids2, -s_neg), axis=1)[:, 0]
+            rows = np.arange(len(vid))
+            pos_sim = s_pos[rows, ppick]
+            keep = np.isfinite(pos_sim)
+            # both engines' sims are 9-dp multiples, so the difference
+            # scaled by 1e9 sits within float-eps of an integer — nearest-
+            # int is exact where a floor would straddle representation
+            # error at the boundary
+            margin = np.rint(
+                (pos_sim[keep] - s_neg[rows, npick][keep]) * 1e9
+            ).astype(np.int64)
+            return pa.table({
+                "vec_id": pa.array(vid[keep]),
+                "label": pa.array(lab[keep]),
+                "pos_id": pa.array(cids2[rows, ppick][keep]),
+                "neg_id": pa.array(cids2[rows, npick][keep]),
+                "margin_e9": pa.array(margin),
+            })
+
+    out = ds.map_batches(Mine, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=(1, 8)).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["triplet_margin_mining"] = (
+    "WITH s AS ( "
+    "  SELECT a.vec_id, a.label, b.vec_id AS nid, "
+    "         a.label = b.label AS same, "
+    "         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 9) AS sim "
+    "  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+    "p AS (SELECT vec_id, label, nid, sim, ROW_NUMBER() OVER ("
+    "PARTITION BY vec_id ORDER BY sim DESC, nid) AS rk "
+    "FROM s WHERE same), "
+    "n AS (SELECT vec_id, nid, sim, ROW_NUMBER() OVER ("
+    "PARTITION BY vec_id ORDER BY sim DESC, nid) AS rk "
+    "FROM s WHERE NOT same) "
+    "SELECT p.vec_id, CAST(p.label AS BIGINT) AS label, "
+    "p.nid AS pos_id, n.nid AS neg_id, "
+    "CAST(ROUND((p.sim - n.sim) * 1000000000, 0) AS BIGINT) AS margin_e9 "
+    "FROM p JOIN n ON n.vec_id = p.vec_id AND n.rk = 1 "
+    "WHERE p.rk = 1 ORDER BY p.vec_id"
+)

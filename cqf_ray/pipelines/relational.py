@@ -6273,3 +6273,50 @@ SQL["decile_transitions"] = (
     "FROM d a JOIN d b ON a.user_id = b.user_id AND b.week = a.week + 1 "
     "GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+def survival_curve(sf_dir: str) -> pa.Table:
+    """User-lifetime SURVIVAL curve: lifetime = whole days between a
+    user's first and last event; for each observed lifetime value, how
+    many users have exactly that lifetime and how many "survive" at least
+    that long — the Kaplan-Meier-style retention curve (no censoring in a
+    closed window).  ONE combiner-first per-user min/max aggregate is the
+    only corpus-sized pass; the curve is a lifetime-value-sized histogram
+    + reverse cumsum, all exact integers."""
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        day = np.asarray(batch.column("ts").combine_chunks()).view(np.int64) // day_us
+        return (pl.DataFrame({"u": uid, "day": day})
+                .group_by("u")
+                .agg(lo=pl.col("day").min(), hi=pl.col("day").max())
+                .to_arrow())
+
+    per_user = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["u"], [("lo", "min", "lo"), ("hi", "max", "hi")],
+    ).to_pandas()
+    life = (per_user["hi"] - per_user["lo"]).to_numpy(np.int64)
+    vals, counts = np.unique(life, return_counts=True)
+    surv = counts[::-1].cumsum()[::-1]
+    out = pd.DataFrame({
+        "lifetime_days": vals,
+        "n_users": counts.astype(np.int64),
+        "n_surviving": surv.astype(np.int64),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["survival_curve"] = (
+    "WITH l AS (SELECT user_id, "
+    "MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) "
+    "AS lifetime_days FROM events GROUP BY 1), "
+    "h AS (SELECT lifetime_days, COUNT(*) AS n_users FROM l GROUP BY 1) "
+    "SELECT lifetime_days, n_users, "
+    "CAST(SUM(n_users) OVER (ORDER BY lifetime_days DESC) AS BIGINT) "
+    "AS n_surviving FROM h ORDER BY lifetime_days"
+)

@@ -880,3 +880,167 @@ SQL["turn_repetition_stats"] = (
     "CAST(MAX(bps) AS BIGINT) AS max_jaccard_bps "
     "FROM j GROUP BY conv_id ORDER BY conv_id"
 )
+
+
+def conv_context_budget(sf_dir: str, *, budget: int = 16) -> pa.Table:
+    """Context-window BUDGET audit per conversation: running
+    whitespace-token total along turn order, how many turns land past the
+    ``budget``-token context limit and where the overflow starts — the
+    packing/truncation planner for feeding transcripts to a
+    fixed-context model.  One keyed shuffle on user_id (conv == user);
+    the kernel is one lexsort + segmented cumsum over vectorized polars
+    token counts, all integers."""
+    import polars as pl
+
+    from ..sources.transcripts import _role_of_types  # noqa: F401 (parity)
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"conv_id": pa.array([], type=pa.string()),
+                             "n_turns": pa.array([], type=pa.int64()),
+                             "total_tokens": pa.array([], type=pa.int64()),
+                             "n_over_budget": pa.array([], type=pa.int64()),
+                             "first_over_turn": pa.array([], type=pa.int64())})
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        ntok = (pl.from_arrow(t.column("props").combine_chunks())
+                .fill_null("").str.count_matches(r"\S+")
+                .cast(pl.Int64).to_numpy())
+        uids, inv = np.unique(uid, return_inverse=True)
+        order = np.lexsort((eid, tsu, inv))
+        inv_s, tok_s = inv[order], ntok[order]
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        cum = np.cumsum(tok_s)
+        base = np.zeros(len(starts), np.int64)
+        base[1:] = cum[starts[1:] - 1]
+        run_cum = cum - base[inv_s]
+        counts = np.diff(np.append(starts, len(inv_s)))
+        turn_idx = np.arange(len(inv_s), dtype=np.int64) - starts[inv_s]
+        over = run_cum > budget
+        n_over = np.add.reduceat(over.astype(np.int64), starts)
+        first = np.where(over, turn_idx, np.iinfo(np.int64).max)
+        first_over = np.minimum.reduceat(first, starts)
+        first_over = np.where(n_over > 0, first_over, -1)
+        names = np.array([f"c{u}" for u in uids], dtype=object)
+        return pa.table({
+            "conv_id": pa.array(names, type=pa.string()),
+            "n_turns": pa.array(counts.astype(np.int64)),
+            "total_tokens": pa.array(run_cum[starts + counts - 1]),
+            "n_over_budget": pa.array(n_over),
+            "first_over_turn": pa.array(first_over),
+        })
+
+    out = keyed_partition_map(ds, ["user_id"], kernel).to_pandas()
+    out = out.sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["conv_context_budget"] = (
+    f"{_CTE}, tok AS (SELECT conv_id, turn_idx, "
+    "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt "
+    "FROM transcripts), "
+    "c AS (SELECT conv_id, turn_idx, "
+    "SUM(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+    "ROWS UNBOUNDED PRECEDING) AS run FROM tok) "
+    "SELECT conv_id, COUNT(*) AS n_turns, "
+    "CAST(MAX(run) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(CASE WHEN run > 16 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_over_budget, "
+    "CAST(COALESCE(MIN(CASE WHEN run > 16 THEN turn_idx END), -1) AS BIGINT) "
+    "AS first_over_turn "
+    "FROM c GROUP BY conv_id ORDER BY conv_id"
+)
+
+
+def reward_pref_pairs(sf_dir: str) -> pa.Table:
+    """Preference-pair construction for reward-model training: every
+    adjacent pair of assistant turns in a conversation becomes a
+    (chosen, rejected) pair — chosen = the LONGER response, earlier turn
+    on ties (the standard verbosity-prior bootstrap when no human labels
+    exist).  Same keyed shuffle + lexsort shape as
+    ``conv_response_latency``; lengths are character counts, everything
+    integer."""
+    from ..sources.transcripts import _role_of_types
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                 "event_type", "props"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        empty = pa.table({"conv_id": pa.array([], type=pa.string()),
+                          "pair_idx": pa.array([], type=pa.int64()),
+                          "chosen_turn": pa.array([], type=pa.int64()),
+                          "rejected_turn": pa.array([], type=pa.int64()),
+                          "chosen_len": pa.array([], type=pa.int64()),
+                          "rejected_len": pa.array([], type=pa.int64())})
+        if len(uid) == 0:
+            return empty
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        role = _role_of_types(t.column("event_type")).to_numpy(zero_copy_only=False)
+        ln = (pl.from_arrow(t.column("props").combine_chunks())
+              .fill_null("").str.len_chars().cast(pl.Int64).to_numpy())
+        uids, inv = np.unique(uid, return_inverse=True)
+        order = np.lexsort((eid, tsu, inv))
+        inv_s, role_s, ln_s = inv[order], role[order], ln[order]
+        turn_idx = np.empty(len(inv_s), np.int64)
+        starts_all = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        turn_idx = np.arange(len(inv_s), dtype=np.int64) - starts_all[
+            np.searchsorted(starts_all, np.arange(len(inv_s)), side="right") - 1]
+        a = role_s == "assistant"
+        if a.sum() < 2:
+            return empty
+        ci, ti, li = inv_s[a], turn_idx[a], ln_s[a]
+        adj = ci[1:] == ci[:-1]
+        if not adj.any():
+            return empty
+        t1, t2 = ti[:-1][adj], ti[1:][adj]
+        l1, l2 = li[:-1][adj], li[1:][adj]
+        cpair = ci[:-1][adj]
+        ps = np.flatnonzero(np.r_[True, cpair[1:] != cpair[:-1]])
+        pair_idx = np.arange(len(cpair), dtype=np.int64) - ps[
+            np.searchsorted(ps, np.arange(len(cpair)), side="right") - 1]
+        second_wins = l2 > l1
+        chosen_turn = np.where(second_wins, t2, t1)
+        rejected_turn = np.where(second_wins, t1, t2)
+        chosen_len = np.where(second_wins, l2, l1)
+        rejected_len = np.where(second_wins, l1, l2)
+        names = np.array([f"c{u}" for u in uids[cpair]], dtype=object)
+        return pa.table({
+            "conv_id": pa.array(names, type=pa.string()),
+            "pair_idx": pa.array(pair_idx),
+            "chosen_turn": pa.array(chosen_turn),
+            "rejected_turn": pa.array(rejected_turn),
+            "chosen_len": pa.array(chosen_len),
+            "rejected_len": pa.array(rejected_len),
+        })
+
+    out = keyed_partition_map(ds, ["user_id"], kernel).to_pandas()
+    out = out.sort_values(["conv_id", "pair_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["reward_pref_pairs"] = (
+    f"{_CTE}, a AS (SELECT conv_id, turn_idx, "
+    "CAST(length(text) AS BIGINT) AS ln, "
+    "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS ai "
+    "FROM transcripts WHERE role = 'assistant'), "
+    "p AS (SELECT x.conv_id, x.ai AS pair_idx, "
+    "x.turn_idx AS t1, y.turn_idx AS t2, x.ln AS l1, y.ln AS l2 "
+    "FROM a x JOIN a y ON y.conv_id = x.conv_id AND y.ai = x.ai + 1) "
+    "SELECT conv_id, pair_idx, "
+    "CAST(CASE WHEN l2 > l1 THEN t2 ELSE t1 END AS BIGINT) AS chosen_turn, "
+    "CAST(CASE WHEN l2 > l1 THEN t1 ELSE t2 END AS BIGINT) AS rejected_turn, "
+    "CAST(CASE WHEN l2 > l1 THEN l2 ELSE l1 END AS BIGINT) AS chosen_len, "
+    "CAST(CASE WHEN l2 > l1 THEN l1 ELSE l2 END AS BIGINT) AS rejected_len "
+    "FROM p ORDER BY conv_id, pair_idx"
+)

@@ -363,3 +363,112 @@ def test_decile_transitions_conservation(ray_session, duck):
         "ON a.user_id = b.user_id AND b.week = a.week + 1"
     ).fetchone()[0]
     assert int(t["n_users"].sum()) == int(n_pairs)
+
+
+def test_triplet_margin_matches_bruteforce(ray_session, clusters_dir):
+    from cqf_ray.pipelines.ann import triplet_margin_mining
+
+    t = triplet_margin_mining(clusters_dir).to_pandas().set_index("vec_id")
+    emb = pq.read_table(clusters_dir + "/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    lab = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    sims = np.round(mat @ mat.T, 9)
+    assert len(t) == len(ids)  # every label has >= 2 members here
+    for i in range(len(ids)):
+        sp = np.where((lab == lab[i]) & (ids != ids[i]), sims[i], -np.inf)
+        sn = np.where(lab != lab[i], sims[i], -np.inf)
+        pbest = np.lexsort((ids, -sp))[0]
+        nbest = np.lexsort((ids, -sn))[0]
+        row = t.loc[ids[i]]
+        assert int(row["pos_id"]) == ids[pbest]
+        assert int(row["neg_id"]) == ids[nbest]
+        assert int(row["margin_e9"]) == int(np.rint(
+            (sp[pbest] - sn[nbest]) * 1e9))
+    # tight-cluster anchors have strongly positive margins
+    assert (t.loc[0:9, "margin_e9"] > 0).all()
+
+
+def test_survival_curve_planted(ray_session, ltv_dir):
+    from cqf_ray.pipelines.relational import survival_curve
+
+    t = survival_curve(ltv_dir).to_pandas()
+    # lifetimes: user1 days 0..2 -> 2, user2 day 0 -> 0, user3 days 1..3 -> 2
+    got = [(int(r.lifetime_days), int(r.n_users), int(r.n_surviving))
+           for r in t.itertuples()]
+    assert got == [(0, 1, 3), (2, 2, 2)]
+
+
+@pytest.fixture(scope="module")
+def convo_dir(tmp_path_factory):
+    """One conversation (user 7): roles view(user)/purchase(assistant)
+    with known props token counts and text lengths."""
+    d = tmp_path_factory.mktemp("convo")
+    day = 86_400_000_000
+    rows = [  # (type, props) in ts order
+        ("view", "a b c"),            # turn 0, 3 toks, cum 3
+        ("purchase", "xx yy"),        # turn 1, 2 toks, cum 5  (len 5)
+        ("view", "d e f g h i j k l m n o p q"),  # turn 2, 14 toks, cum 19 > 16
+        ("purchase", "zzzzzz"),       # turn 3, 1 tok, cum 20  (len 6)
+        ("purchase", "ww qq"),        # turn 4, 2 toks, cum 22 (len 5)
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+            "ts": pa.array((np.arange(len(rows), dtype=np.int64) * day
+                            ).astype("datetime64[us]")),
+            "user_id": pa.array([7] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([1.0] * len(rows), type=pa.float64()),
+            "props": pa.array([r[1] for r in rows]),
+        }),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_conv_context_budget_planted(ray_session, convo_dir):
+    from cqf_ray.pipelines.transcripts import conv_context_budget
+
+    t = conv_context_budget(convo_dir).to_pandas()
+    assert len(t) == 1
+    r = t.iloc[0]
+    assert r.conv_id == "c7"
+    assert (int(r.n_turns), int(r.total_tokens),
+            int(r.n_over_budget), int(r.first_over_turn)) == (5, 22, 3, 2)
+
+
+def test_reward_pref_pairs_planted(ray_session, convo_dir):
+    from cqf_ray.pipelines.transcripts import reward_pref_pairs
+
+    t = reward_pref_pairs(convo_dir).to_pandas()
+    # assistant turns: 1 (len 5), 3 (len 6), 4 (len 5)
+    # pair 0: turns (1,3) -> chosen 3 (longer); pair 1: turns (3,4) ->
+    # chosen 3 (tie-free: 6 > 5)
+    got = [(r.conv_id, int(r.pair_idx), int(r.chosen_turn),
+            int(r.rejected_turn), int(r.chosen_len), int(r.rejected_len))
+           for r in t.itertuples()]
+    assert got == [("c7", 0, 3, 1, 6, 5), ("c7", 1, 3, 4, 6, 5)]
+
+
+def test_reward_pref_pairs_tie_prefers_earlier(ray_session, tmp_path):
+    from cqf_ray.pipelines.transcripts import reward_pref_pairs
+
+    day = 86_400_000_000
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([0, 1], type=pa.int64()),
+            "ts": pa.array((np.array([0, day], np.int64)
+                            ).astype("datetime64[us]")),
+            "user_id": pa.array([3, 3], type=pa.int64()),
+            "event_type": pa.array(["purchase", "purchase"]),
+            "value": pa.array([1.0, 1.0], type=pa.float64()),
+            "props": pa.array(["abcde", "vwxyz"]),  # equal length 5
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    t = reward_pref_pairs(str(tmp_path)).to_pandas()
+    assert len(t) == 1
+    r = t.iloc[0]
+    assert (int(r.chosen_turn), int(r.rejected_turn)) == (0, 1)
