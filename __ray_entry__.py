@@ -187,6 +187,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "survival_curve": _rel.survival_curve,
     "conv_context_budget": _tr.conv_context_budget,
     "reward_pref_pairs": _tr.reward_pref_pairs,
+    "spend_gini_by_type": _rel.spend_gini_by_type,
+    "benford_digit_audit": _rel.benford_digit_audit,
+    "embedding_hubness": _ann.embedding_hubness,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -1233,3 +1233,50 @@ SQL["triplet_margin_mining"] = (
     "FROM p JOIN n ON n.vec_id = p.vec_id AND n.rk = 1 "
     "WHERE p.rk = 1 ORDER BY p.vec_id"
 )
+
+
+def embedding_hubness(sf_dir: str, *, k: int = 10) -> pa.Table:
+    """HUBNESS audit of the embedding space: each vector's IN-degree in
+    the exact cosine k-NN graph — the high-dimensional pathology detector
+    (hub points that appear in everyone's neighbor lists poison
+    retrieval and kNN classification).  Reuses ``knn_graph``'s
+    broadcast-matmul + per-batch top-k shape (same 9-dp + id tie-break),
+    then ONE combiner-first count on neighbor_id; the distribution
+    summary (n_vectors per in-degree) is a degree-scale fold.  Output is
+    the per-in-degree histogram plus antihub (in-degree 0) mass, all
+    integers."""
+    g = knn_graph(sf_dir, k=k)
+    import polars as pl
+
+    deg = (pl.from_arrow(g).group_by("neighbor_id")
+           .agg(indeg=pl.len().cast(pl.Int64)))
+    n_total = len(pl.from_arrow(g)["vec_id"].unique())
+    hist = (deg.group_by("indeg").agg(n_vectors=pl.len().cast(pl.Int64))
+            .sort("indeg"))
+    antihubs = n_total - len(deg)
+    out = hist.to_pandas()
+    if antihubs > 0:
+        out = pd.concat([pd.DataFrame({"indeg": [0],
+                                       "n_vectors": [antihubs]}), out],
+                        ignore_index=True)
+    out["indeg"] = out["indeg"].astype(np.int64)
+    out["n_vectors"] = out["n_vectors"].astype(np.int64)
+    out = out.sort_values("indeg").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["embedding_hubness"] = (
+    "WITH sims AS ( "
+    "  SELECT a.vec_id, b.vec_id AS nid, "
+    "         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 9) AS sim "
+    "  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+    "r AS (SELECT vec_id, nid, ROW_NUMBER() OVER ("
+    "PARTITION BY vec_id ORDER BY sim DESC, nid) AS rk FROM sims), "
+    "deg AS (SELECT nid, COUNT(*) AS indeg FROM r WHERE rk <= 10 "
+    "GROUP BY 1), "
+    "alldeg AS (SELECT e.vec_id, COALESCE(deg.indeg, 0) AS indeg "
+    "FROM embeddings e LEFT JOIN deg ON deg.nid = e.vec_id) "
+    "SELECT CAST(indeg AS BIGINT) AS indeg, COUNT(*) AS n_vectors "
+    "FROM alldeg GROUP BY 1 ORDER BY 1"
+)

@@ -6320,3 +6320,134 @@ SQL["survival_curve"] = (
     "CAST(SUM(n_users) OVER (ORDER BY lifetime_days DESC) AS BIGINT) "
     "AS n_surviving FROM h ORDER BY lifetime_days"
 )
+
+
+def spend_gini_by_type(sf_dir: str) -> pa.Table:
+    """Per-event-type Gini coefficient of USER spend — the revenue-
+    concentration screen ("do 1% of users carry the type's revenue?").
+    Same exact-int formulation as ``length_gini_by_source``: ascending
+    per-user µ-spend with 1-based ranks, G = (2·Σr·x − (n+1)·Σx)/(n·Σx),
+    ONE mirrored float division at the end.  Two stages, both
+    combiner-first: a (type, user) µ-sum aggregate collapses the event
+    stream, then a keyed partition map on event_type ranks each type's
+    user totals in one lexsort pass — the exchange carries per-user
+    totals, never events."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vmu = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        return (pl.DataFrame({
+            "event_type": pl.from_arrow(batch.column("event_type").combine_chunks()),
+            "user_id": np.asarray(batch.column("user_id").combine_chunks()
+                                  ).astype(np.int64),
+            "vmu": vmu})
+            .group_by(["event_type", "user_id"])
+            .agg(vmu=pl.col("vmu").sum()).to_arrow())
+
+    per_user = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "user_id"], [("vmu", "sum", "vmu")],
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        x = np.asarray(t.column("vmu").combine_chunks()).astype(np.int64)
+        if len(et) == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_users": pa.array([], type=pa.int64()),
+                             "s1": pa.array([], type=pa.int64()),
+                             "s0": pa.array([], type=pa.int64())})
+        ets, inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((uid, x, inv))
+        inv_s, x_s = inv[order], x[order]
+        idx = np.arange(len(x_s), dtype=np.int64)
+        new = np.r_[True, inv_s[1:] != inv_s[:-1]]
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rn = idx - start + 1
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(x_s)))
+        return pa.table({"event_type": pa.array(ets[inv_s[starts]],
+                                                type=pa.string()),
+                         "n_users": pa.array(counts.astype(np.int64)),
+                         "s1": pa.array(np.add.reduceat(rn * x_s, starts)),
+                         "s0": pa.array(np.add.reduceat(x_s, starts))})
+
+    out = keyed_partition_map(per_user, ["event_type"], kernel).to_pandas()
+    n = out["n_users"].to_numpy(np.int64)
+    s0 = out["s0"].to_numpy(np.int64)
+    s1 = out["s1"].to_numpy(np.int64)
+    out["gini"] = (2 * s1 - (n + 1) * s0).astype(np.float64) \
+        / (n * s0).astype(np.float64)
+    out = out[["event_type", "n_users", "gini"]].sort_values("event_type")
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["spend_gini_by_type"] = (
+    "WITH u AS (SELECT event_type, user_id, "
+    "SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS vmu "
+    "FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, vmu, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vmu, user_id) AS rn "
+    "FROM u), "
+    "a AS (SELECT event_type, COUNT(*) AS n, SUM(vmu) AS s0, "
+    "SUM(rn * vmu) AS s1 FROM r GROUP BY 1) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n_users, "
+    "CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini "
+    "FROM a ORDER BY event_type"
+)
+
+
+def benford_digit_audit(sf_dir: str) -> pa.Table:
+    """BENFORD first-digit audit of event values per event_type — the
+    fraud/data-fabrication screen: observed leading-digit shares vs
+    Benford's law, in exact basis points.  The leading digit of the
+    integer cent value is taken from its DECIMAL STRING on both engines
+    (no float log10 hazard); one combiner-first (type, digit) count is
+    the only pass; expected shares are integer-truncated Benford bps."""
+    ev = read(sf_dir, "events", ["event_type", "value"])
+    benford_bps = {d: int(10000 * np.log10(1 + 1 / d)) for d in range(1, 10)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        v_c = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 100.0).astype(np.int64)
+        keep = v_c > 0
+        digit = v_c[keep].astype("U1").astype(np.int64)
+        et = batch.column("event_type").combine_chunks().filter(pa.array(keep))
+        return (pl.DataFrame({"event_type": pl.from_arrow(et),
+                              "digit": digit})
+                .group_by(["event_type", "digit"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    agg = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "digit"], [("n", "sum", "n")],
+    ).to_pandas()
+    tot = agg.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
+    agg["observed_bps"] = 10000 * agg["n"].to_numpy(np.int64) // tot
+    agg["benford_bps"] = agg["digit"].map(benford_bps).astype(np.int64)
+    out = agg.sort_values(["event_type", "digit"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["benford_digit_audit"] = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events), "
+    "d AS (SELECT event_type, "
+    "CAST(substring(CAST(vc AS VARCHAR), 1, 1) AS BIGINT) AS digit "
+    "FROM c WHERE vc > 0), "
+    "g AS (SELECT event_type, digit, COUNT(*) AS n FROM d GROUP BY 1, 2), "
+    "t AS (SELECT event_type, SUM(n) AS tot FROM g GROUP BY 1) "
+    "SELECT g.event_type, g.digit, g.n, "
+    "CAST(10000 * g.n // t.tot AS BIGINT) AS observed_bps, "
+    "CAST(FLOOR(10000 * LOG10(1 + 1.0 / g.digit)) AS BIGINT) AS benford_bps "
+    "FROM g JOIN t USING (event_type) ORDER BY event_type, digit"
+)

@@ -472,3 +472,63 @@ def test_reward_pref_pairs_tie_prefers_earlier(ray_session, tmp_path):
     assert len(t) == 1
     r = t.iloc[0]
     assert (int(r.chosen_turn), int(r.rejected_turn)) == (0, 1)
+
+
+def test_spend_gini_planted(ray_session, ltv_dir):
+    from cqf_ray.pipelines.relational import spend_gini_by_type
+
+    t = spend_gini_by_type(ltv_dir).to_pandas().set_index("event_type")
+    # purchases: user1 = 15.0, user3 = 2.5 -> sorted [2.5, 15]
+    # G = (2*(1*2.5 + 2*15) - 3*17.5) / (2*17.5) = 12.5/35
+    assert int(t.loc["purchase", "n_users"]) == 2
+    assert abs(t.loc["purchase", "gini"] - 12.5 / 35.0) < 1e-12
+    # views: user2 = 1.0, user3 = 0.0 -> G = (2*(0+2*1) - 3*1)/(2*1) = 0.5
+    assert abs(t.loc["view", "gini"] - 0.5) < 1e-12
+
+
+def test_benford_digit_audit_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.relational import benford_digit_audit
+
+    vals = [1.23, 19.99, 0.02, 300.0, 0.0, 95.5]  # cents: 123,1999,2,30000,0,9550
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(vals)), type=pa.int64()),
+            "ts": pa.array(np.zeros(len(vals), np.int64)
+                           .astype("datetime64[us]")),
+            "user_id": pa.array([1] * len(vals), type=pa.int64()),
+            "event_type": pa.array(["view"] * len(vals)),
+            "value": pa.array(vals, type=pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    t = benford_digit_audit(str(tmp_path)).to_pandas()
+    got = {int(r.digit): (int(r.n), int(r.observed_bps), int(r.benford_bps))
+           for r in t.itertuples()}
+    # zero value dropped; leading digits: 1,1,2,3,9 over 5 values
+    assert got == {
+        1: (2, 4000, 3010), 2: (1, 2000, 1760),
+        3: (1, 2000, 1249), 9: (1, 2000, 457),
+    }
+
+
+def test_embedding_hubness_matches_bruteforce(ray_session, clusters_dir):
+    from cqf_ray.pipelines.ann import embedding_hubness
+
+    t = embedding_hubness(clusters_dir, k=5).to_pandas()
+    emb = pq.read_table(clusters_dir + "/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    sims = np.round(mat @ mat.T, 9)
+    np.fill_diagonal(sims, -np.inf)
+    indeg = np.zeros(len(ids), np.int64)
+    for i in range(len(ids)):
+        top = np.lexsort((ids, -sims[i]))[:5]
+        indeg[top] += 1
+    vals, counts = np.unique(indeg, return_counts=True)
+    exp = dict(zip(vals.tolist(), counts.tolist()))
+    got = dict(zip(t["indeg"].astype(int), t["n_vectors"].astype(int)))
+    assert got == exp
+    assert int(t["n_vectors"].sum()) == len(ids)
+    # mass conservation: total in-degree = N * k
+    assert int((t["indeg"] * t["n_vectors"]).sum()) == len(ids) * 5
