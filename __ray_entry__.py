@@ -190,6 +190,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "spend_gini_by_type": _rel.spend_gini_by_type,
     "benford_digit_audit": _rel.benford_digit_audit,
     "embedding_hubness": _ann.embedding_hubness,
+    "doc_simpson_diversity": _txt.doc_simpson_diversity,
+    "user_feature_matrix": _rel.user_feature_matrix,
+    "response_length_by_turn": _tr.response_length_by_turn,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -6451,3 +6451,96 @@ SQL["benford_digit_audit"] = (
     "CAST(FLOOR(10000 * LOG10(1 + 1.0 / g.digit)) AS BIGINT) AS benford_bps "
     "FROM g JOIN t USING (event_type) ORDER BY event_type, digit"
 )
+
+
+def user_feature_matrix(sf_dir: str) -> pa.Table:
+    """FEATURE-STORE assembly: one wide training row per user — event
+    aggregates (counts, purchase count, exact µ-spend, active-day span
+    and distinct active days) joined with customer dimensions (segment,
+    account balance) — the denormalized feature matrix an ML training
+    job consumes.  Shape: ONE combiner-first per-user aggregate collapses
+    the event stream to user-scale rows, then a big-big ``shuffle_join``
+    (inner on c_custkey) co-partitions the two user-scale sides; nothing
+    event-scale crosses the join exchange.  Spend is exact micro-int
+    summed, emitted through ``round_scaled``; everything else is
+    integers or dimension strings."""
+    from ..stages.join import shuffle_join
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(batch.column("user_id").combine_chunks()).astype(np.int64)
+        day = np.asarray(batch.column("ts").combine_chunks()).view(np.int64) // day_us
+        vmu = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        is_p = np.asarray(
+            pc.equal(batch.column("event_type").combine_chunks(), "purchase"))
+        df = pl.DataFrame({"user_id": uid, "day": day, "vmu": vmu,
+                           "p": is_p.astype(np.int64)})
+        return (df.group_by(["user_id", "day"])
+                .agg(n_events=pl.len().cast(pl.Int64),
+                     n_purchases=pl.col("p").sum(),
+                     vmu=pl.col("vmu").sum()).to_arrow())
+
+    per_day = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "day"],
+        [("n_events", "sum", "n_events"), ("n_purchases", "sum", "n_purchases"),
+         ("vmu", "sum", "vmu")],
+    )
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(batch).group_by("user_id")
+                .agg(n_events=pl.col("n_events").sum(),
+                     n_purchases=pl.col("n_purchases").sum(),
+                     vmu=pl.col("vmu").sum(),
+                     first_day=pl.col("day").min(),
+                     last_day=pl.col("day").max(),
+                     active_days=pl.len().cast(pl.Int64)).to_arrow())
+
+    left = grouped_aggregate(
+        per_day.map_batches(per_user, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["user_id"],
+        [("n_events", "sum", "n_events"), ("n_purchases", "sum", "n_purchases"),
+         ("vmu", "sum", "vmu"), ("first_day", "min", "first_day"),
+         ("last_day", "max", "last_day"), ("active_days", "sum", "active_days")],
+    )
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    joined = shuffle_join(left, cust, left_on="user_id",
+                          right_on="c_custkey").to_pandas()
+    out = pd.DataFrame({
+        "user_id": joined["user_id"].to_numpy(np.int64),
+        "segment": joined["c_mktsegment"],
+        "acctbal": joined["c_acctbal"].to_numpy(np.float64),
+        "n_events": joined["n_events"].to_numpy(np.int64),
+        "n_purchases": joined["n_purchases"].to_numpy(np.int64),
+        "total_value": round_scaled(joined["vmu"].to_numpy(np.int64), 2, 6),
+        "tenure_days": (joined["last_day"] - joined["first_day"]
+                        ).to_numpy(np.int64),
+        "active_days": joined["active_days"].to_numpy(np.int64),
+    }).sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["user_feature_matrix"] = (
+    "WITH a AS (SELECT user_id, COUNT(*) AS n_events, "
+    "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases, "
+    "SUM(CAST(value AS DECIMAL(18,6))) AS v, "
+    "MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) "
+    "AS tenure_days, "
+    "COUNT(DISTINCT epoch_us(ts) // 86400000000) AS active_days "
+    "FROM events GROUP BY 1) "
+    "SELECT user_id, c_mktsegment AS segment, c_acctbal AS acctbal, "
+    "CAST(n_events AS BIGINT) AS n_events, "
+    "CAST(n_purchases AS BIGINT) AS n_purchases, "
+    "CAST(ROUND(v, 2) AS DOUBLE) AS total_value, "
+    "CAST(tenure_days AS BIGINT) AS tenure_days, "
+    "CAST(active_days AS BIGINT) AS active_days "
+    "FROM a JOIN customer ON c_custkey = user_id ORDER BY user_id"
+)

@@ -2630,3 +2630,71 @@ SQL["tokenizer_fertility"] = (
     "ROUND(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS bpe_per_word "
     "FROM a ORDER BY source"
 )
+
+
+def doc_simpson_diversity(sf_dir: str) -> pa.Table:
+    """Per-source SIMPSON diversity of the term distribution — the
+    probability two random tokens from a source are the SAME term
+    (concentration index; 1−D is diversity).  Complements
+    ``lexical_diversity``'s per-doc TTR with a corpus-level view.
+    Exact-int formulation: D = Σ n_t(n_t−1) / (N(N−1)) — both sums are
+    int64 from ONE combiner-first (source, term) count (vocab-scale
+    partials cross the exchange, never tokens), and the statistic is one
+    mirrored float division."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "source": pl.from_arrow(batch.column("source").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        return (df.with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+                .drop("t").explode("tok").drop_nulls("tok")
+                .group_by(["source", "tok"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "tok"], [("n", "sum", "n")],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (df.group_by("source")
+                .agg(n_terms=pl.len().cast(pl.Int64),
+                     n_tokens=pl.col("n").sum(),
+                     s2=(pl.col("n") * (pl.col("n") - 1)).sum())
+                .to_arrow())
+
+    agg = grouped_aggregate(
+        counts.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("n_terms", "sum", "n_terms"), ("n_tokens", "sum", "n_tokens"),
+         ("s2", "sum", "s2")],
+    ).to_pandas()
+    nt = agg["n_tokens"].to_numpy(np.int64)
+    s2 = agg["s2"].to_numpy(np.int64)
+    agg["simpson"] = s2.astype(np.float64) / (nt * (nt - 1)).astype(np.float64)
+    out = agg[["source", "n_terms", "n_tokens", "simpson"]] \
+        .sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["doc_simpson_diversity"] = (
+    "WITH tok AS (SELECT source, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+    "c AS (SELECT source, t, COUNT(*) AS n FROM tok GROUP BY 1, 2), "
+    "a AS (SELECT source, COUNT(*) AS n_terms, SUM(n) AS n_tokens, "
+    "SUM(n * (n - 1)) AS s2 FROM c GROUP BY 1) "
+    "SELECT source, CAST(n_terms AS BIGINT) AS n_terms, "
+    "CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(s2 AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) "
+    "AS simpson FROM a ORDER BY source"
+)

@@ -1044,3 +1044,73 @@ SQL["reward_pref_pairs"] = (
     "CAST(CASE WHEN l2 > l1 THEN l1 ELSE l2 END AS BIGINT) AS rejected_len "
     "FROM p ORDER BY conv_id, pair_idx"
 )
+
+
+def response_length_by_turn(sf_dir: str) -> pa.Table:
+    """Assistant RESPONSE-LENGTH drift along conversation depth: mean
+    response length (chars) per assistant turn position across all
+    conversations — the "does the model get terser as context grows"
+    monitor.  Turn position = the assistant turn's ordinal WITHIN its
+    conversation (0-based).  One keyed shuffle on user_id; per-partition
+    lexsort + segmented ordinal, then integer (position, count, Σlen)
+    partials fold in a tiny grouped sum; the mean is one mirrored float
+    division."""
+    import polars as pl
+
+    from ..sources.transcripts import _role_of_types
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                 "event_type", "props"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"a_pos": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        role = _role_of_types(t.column("event_type")).to_numpy(zero_copy_only=False)
+        ln = (pl.from_arrow(t.column("props").combine_chunks())
+              .fill_null("").str.len_chars().cast(pl.Int64).to_numpy())
+        uids, inv = np.unique(uid, return_inverse=True)
+        order = np.lexsort((eid, tsu, inv))
+        inv_s, role_s, ln_s = inv[order], role[order], ln[order]
+        a = role_s == "assistant"
+        if not a.any():
+            return pa.table({"a_pos": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        ci, li = inv_s[a], ln_s[a]
+        starts = np.flatnonzero(np.r_[True, ci[1:] != ci[:-1]])
+        a_pos = np.arange(len(ci), dtype=np.int64) - starts[
+            np.searchsorted(starts, np.arange(len(ci)), side="right") - 1]
+        df = pl.DataFrame({"a_pos": a_pos, "l": li})
+        return (df.group_by("a_pos")
+                .agg(n=pl.len().cast(pl.Int64), s=pl.col("l").sum())
+                .to_arrow())
+
+    parts = keyed_partition_map(ds, ["user_id"], kernel)
+    out = grouped_aggregate(parts, ["a_pos"],
+                            [("n", "sum", "n"), ("s", "sum", "s")]
+                            ).to_pandas()
+    out["mean_len"] = out["s"].to_numpy(np.float64) \
+        / out["n"].to_numpy(np.float64)
+    out = (out.rename(columns={"n": "n_responses", "s": "total_len"})
+           [["a_pos", "n_responses", "total_len", "mean_len"]]
+           .sort_values("a_pos").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["response_length_by_turn"] = (
+    f"{_CTE}, a AS (SELECT conv_id, CAST(length(text) AS BIGINT) AS ln, "
+    "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS a_pos "
+    "FROM transcripts WHERE role = 'assistant') "
+    "SELECT a_pos, COUNT(*) AS n_responses, "
+    "CAST(SUM(ln) AS BIGINT) AS total_len, "
+    "CAST(SUM(ln) AS DOUBLE) / COUNT(*) AS mean_len "
+    "FROM a GROUP BY 1 ORDER BY 1"
+)

@@ -532,3 +532,64 @@ def test_embedding_hubness_matches_bruteforce(ray_session, clusters_dir):
     assert int(t["n_vectors"].sum()) == len(ids)
     # mass conservation: total in-degree = N * k
     assert int((t["indeg"] * t["n_vectors"]).sum()) == len(ids) * 5
+
+
+def test_doc_simpson_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.textq import doc_simpson_diversity
+
+    texts = ["a a b", "a c"]  # source s: tokens a*3, b*1, c*1 (N=5)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = doc_simpson_diversity(str(tmp_path)).to_pandas()
+    r = t.iloc[0]
+    # D = (3*2 + 0 + 0) / (5*4) = 0.3
+    assert (int(r.n_terms), int(r.n_tokens)) == (3, 5)
+    assert abs(r.simpson - 0.3) < 1e-12
+
+
+def test_user_feature_matrix_planted(ray_session, ltv_dir, tmp_path):
+    import shutil
+
+    from cqf_ray.pipelines.relational import user_feature_matrix
+
+    d = tmp_path / "fm"
+    d.mkdir()
+    shutil.copy(ltv_dir + "/events.parquet", d / "events.parquet")
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([1, 2, 9], type=pa.int64()),
+            "c_name": pa.array(["u1", "u2", "u9"]),
+            "c_nationkey": pa.array([0, 0, 0], type=pa.int64()),
+            "c_acctbal": pa.array([10.5, 20.0, 0.0], type=pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING", "AUTO", "AUTO"]),
+        }),
+        str(d / "customer.parquet"),
+    )
+    t = user_feature_matrix(str(d)).to_pandas().set_index("user_id")
+    # inner join: users 1,2 have events + customer rows; 3 has no customer
+    assert list(t.index) == [1, 2]
+    r1 = t.loc[1]
+    assert (r1.segment, int(r1.n_events), int(r1.n_purchases),
+            float(r1.total_value), int(r1.tenure_days),
+            int(r1.active_days)) == ("BUILDING", 2, 2, 15.0, 2, 2)
+    r2 = t.loc[2]
+    assert (int(r2.n_events), int(r2.n_purchases), float(r2.total_value),
+            int(r2.tenure_days), int(r2.active_days)) == (1, 0, 1.0, 0, 1)
+
+
+def test_response_length_by_turn_planted(ray_session, convo_dir):
+    from cqf_ray.pipelines.transcripts import response_length_by_turn
+
+    t = response_length_by_turn(convo_dir).to_pandas()
+    # assistant props: "xx yy"(5), "zzzzzz"(6), "ww qq"(5) at positions 0,1,2
+    got = [(int(r.a_pos), int(r.n_responses), int(r.total_len),
+            float(r.mean_len)) for r in t.itertuples()]
+    assert got == [(0, 1, 5, 5.0), (1, 1, 6, 6.0), (2, 1, 5, 5.0)]
