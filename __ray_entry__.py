@@ -193,6 +193,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_simpson_diversity": _txt.doc_simpson_diversity,
     "user_feature_matrix": _rel.user_feature_matrix,
     "response_length_by_turn": _tr.response_length_by_turn,
+    "term_entropy_by_source": _txt.term_entropy_by_source,
+    "embedding_scalar_quant": _ann.embedding_scalar_quant,
+    "value_seasonality": _rel.value_seasonality,
+    "user_bursts": _rel.user_bursts,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -1280,3 +1280,70 @@ SQL["embedding_hubness"] = (
     "SELECT CAST(indeg AS BIGINT) AS indeg, COUNT(*) AS n_vectors "
     "FROM alldeg GROUP BY 1 ORDER BY 1"
 )
+
+
+def embedding_scalar_quant(sf_dir: str) -> pa.Table:
+    """Scalar INT8-style quantization audit: embeddings quantized to
+    8-bit codes against global per-corpus min/max, summarized per label —
+    code mass, zero/saturated-code counts (the clipping diagnostic that
+    decides whether int8 serving is safe) and total values.  Two
+    streaming passes: a tiny global min/max reduce, then one
+    ``map_batches`` quantize + per-label integer partials.  Codes are
+    ``floor(z·255 + 0.5)`` on the SAME double expression both engines
+    evaluate from float32-exact inputs, so every output column is an
+    exact integer — no float crosses the comparison surface."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        emb = batch_embeddings(batch)
+        return pa.table({"lo": pa.array([float(emb.min())]),
+                         "hi": pa.array([float(emb.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+
+    def quant(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lab = np.asarray(batch.column("label"), dtype=np.int64)
+        emb = batch_embeddings(batch)
+        z = (emb - lo) / (hi - lo)
+        q = np.floor(z * 255.0 + 0.5).astype(np.int64)
+        df = pl.DataFrame({
+            "label": np.repeat(lab, emb.shape[1]),
+            "q": q.reshape(-1),
+        })
+        return (df.group_by("label")
+                .agg(n_values=pl.len().cast(pl.Int64),
+                     sum_codes=pl.col("q").sum(),
+                     n_zero=(pl.col("q") == 0).sum().cast(pl.Int64),
+                     n_sat=(pl.col("q") == 255).sum().cast(pl.Int64))
+                .to_arrow())
+
+    out = grouped_aggregate(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        ["label"],
+        [("n_values", "sum", "n_values"), ("sum_codes", "sum", "sum_codes"),
+         ("n_zero", "sum", "n_zero"), ("n_sat", "sum", "n_sat")],
+    ).to_pandas()
+    out["label"] = out["label"].astype(np.int64)
+    out = out.sort_values("label").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["embedding_scalar_quant"] = (
+    "WITH v AS (SELECT CAST(label AS BIGINT) AS label, "
+    "CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings), "
+    "mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v), "
+    "q AS (SELECT label, "
+    "CAST(FLOOR((x - lo) / (hi - lo) * 255 + 0.5) AS BIGINT) AS q "
+    "FROM v, mm) "
+    "SELECT label, COUNT(*) AS n_values, "
+    "CAST(SUM(q) AS BIGINT) AS sum_codes, "
+    "CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, "
+    "CAST(SUM(CASE WHEN q = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat "
+    "FROM q GROUP BY 1 ORDER BY 1"
+)

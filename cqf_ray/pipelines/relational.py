@@ -6544,3 +6544,118 @@ SQL["user_feature_matrix"] = (
     "CAST(active_days AS BIGINT) AS active_days "
     "FROM a JOIN customer ON c_custkey = user_id ORDER BY user_id"
 )
+
+
+def value_seasonality(sf_dir: str) -> pa.Table:
+    """Hour-of-day REVENUE seasonality per event_type: each hour's share
+    of the type's total µ-value in exact basis points — the load-shaping
+    profile behind capacity planning and anomaly baselines.  ONE
+    combiner-first (type, hour) µ-sum; shares are integer floor-division
+    against the type totals on the tiny result."""
+    ev = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hour = (np.asarray(batch.column("ts").combine_chunks())
+                .view(np.int64) // np.int64(3_600_000_000)) % np.int64(24)
+        vmu = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        return (pl.DataFrame({
+            "event_type": pl.from_arrow(
+                batch.column("event_type").combine_chunks()),
+            "hour": hour, "vmu": vmu})
+            .group_by(["event_type", "hour"])
+            .agg(n=pl.len().cast(pl.Int64), vmu=pl.col("vmu").sum())
+            .to_arrow())
+
+    agg = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+        [("n", "sum", "n"), ("vmu", "sum", "vmu")],
+    ).to_pandas()
+    tot = agg.groupby("event_type")["vmu"].transform("sum").to_numpy(np.int64)
+    agg["share_bps"] = 10000 * agg["vmu"].to_numpy(np.int64) // tot
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "hour": agg["hour"].to_numpy(np.int64),
+        "n_events": agg["n"].to_numpy(np.int64),
+        "revenue": round_scaled(agg["vmu"].to_numpy(np.int64), 2, 6),
+        "share_bps": agg["share_bps"].astype(np.int64),
+    }).sort_values(["event_type", "hour"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["value_seasonality"] = (
+    "WITH h AS (SELECT event_type, "
+    "(epoch_us(ts) // 3600000000) % 24 AS hour, "
+    "COUNT(*) AS n_events, "
+    "SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS vmu "
+    "FROM events GROUP BY 1, 2), "
+    "t AS (SELECT event_type, SUM(vmu) AS tot FROM h GROUP BY 1) "
+    "SELECT h.event_type, CAST(hour AS BIGINT) AS hour, n_events, "
+    "CAST(ROUND(CAST(vmu AS DECIMAL(28,6)) / 1000000, 2) AS DOUBLE) "
+    "AS revenue, "
+    "CAST(10000 * vmu // tot AS BIGINT) AS share_bps "
+    "FROM h JOIN t USING (event_type) ORDER BY event_type, hour"
+)
+
+
+def user_bursts(sf_dir: str, *, window_min: int = 10) -> pa.Table:
+    """Per-user BURST detection: the maximum number of events any
+    ``window_min``-minute trailing window contains — the rate-limit /
+    bot-screen statistic.  One keyed shuffle on user_id; the kernel is a
+    single lexsort + vectorized two-pointer (searchsorted against the
+    shifted timestamps, NO per-event Python), then a segmented max.
+    Window semantics match SQL RANGE x PRECEDING (inclusive ends), ties
+    on identical timestamps included; all integers."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    win_us = np.int64(window_min) * np.int64(60_000_000)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "max_burst": pa.array([], type=pa.int64())})
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        order = np.lexsort((tsu, uid))
+        u_s, t_s = uid[order], tsu[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        counts = np.diff(np.append(starts, len(u_s)))
+        idx = np.arange(len(u_s), dtype=np.int64)
+        # leftmost event within [t_i - win, t_i]: one searchsorted over a
+        # strictly-increasing composite key — each user's run is offset by
+        # a stride larger than the time span, so queries never cross runs
+        rid = np.searchsorted(starts, idx, side="right") - 1
+        t0 = t_s.min()
+        stride = (t_s.max() - t0) + win_us + np.int64(1)
+        key = rid * stride + (t_s - t0)
+        left = np.searchsorted(key, key - win_us, side="left")
+        # SQL RANGE ... CURRENT ROW ends at the current PEER GROUP: rows
+        # tied on ts count even when ordered after the current row
+        right = np.searchsorted(key, key, side="right") - 1
+        burst = right - left + 1
+        max_burst = np.maximum.reduceat(burst, starts)
+        return pa.table({
+            "user_id": pa.array(u_s[starts]),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "max_burst": pa.array(max_burst.astype(np.int64)),
+        })
+
+    out = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["user_bursts"] = (
+    "WITH w AS (SELECT user_id, COUNT(*) OVER ("
+    "PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS c FROM events) "
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "CAST(MAX(c) AS BIGINT) AS max_burst "
+    "FROM w GROUP BY 1 ORDER BY 1"
+)

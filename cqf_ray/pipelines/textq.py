@@ -2698,3 +2698,72 @@ SQL["doc_simpson_diversity"] = (
     "CAST(s2 AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) "
     "AS simpson FROM a ORDER BY source"
 )
+
+
+def term_entropy_by_source(sf_dir: str) -> pa.Table:
+    """Per-source Shannon ENTROPY of the term distribution (bits) — the
+    information-density companion to ``doc_simpson_diversity``'s
+    concentration index, over the same ONE combiner-first (source, term)
+    count: H = log2(N) − Σ n·log2(n) / N, with the float Σ folded per
+    source and ROUND 6 absorbing summation-order jitter (char_entropy /
+    transition_entropy precedent)."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "source": pl.from_arrow(batch.column("source").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        return (df.with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+                .drop("t").explode("tok").drop_nulls("tok")
+                .group_by(["source", "tok"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "tok"], [("n", "sum", "n")],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        n = df["n"].to_numpy().astype(np.float64)
+        df = df.with_columns(sl=pl.Series(n * np.log2(n)))
+        return (df.group_by("source")
+                .agg(n_terms=pl.len().cast(pl.Int64),
+                     n_tokens=pl.col("n").sum(),
+                     sl=pl.col("sl").sum()).to_arrow())
+
+    agg = grouped_aggregate(
+        counts.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("n_terms", "sum", "n_terms"), ("n_tokens", "sum", "n_tokens"),
+         ("sl", "sum", "sl")],
+    ).to_pandas()
+    nt = agg["n_tokens"].to_numpy(np.float64)
+    agg["entropy_bits"] = round_col(
+        np.log2(nt) - agg["sl"].to_numpy(np.float64) / nt, 6)
+    out = agg[["source", "n_terms", "n_tokens", "entropy_bits"]] \
+        .sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["term_entropy_by_source"] = (
+    "WITH tok AS (SELECT source, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+    "c AS (SELECT source, t, COUNT(*) AS n FROM tok GROUP BY 1, 2), "
+    "a AS (SELECT source, COUNT(*) AS n_terms, SUM(n) AS n_tokens, "
+    "SUM(CAST(n AS DOUBLE) * LOG2(CAST(n AS DOUBLE))) AS sl FROM c "
+    "GROUP BY 1) "
+    "SELECT source, CAST(n_terms AS BIGINT) AS n_terms, "
+    "CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "ROUND(LOG2(CAST(n_tokens AS DOUBLE)) - sl / CAST(n_tokens AS DOUBLE), 6) "
+    "AS entropy_bits FROM a ORDER BY source"
+)

@@ -593,3 +593,79 @@ def test_response_length_by_turn_planted(ray_session, convo_dir):
     got = [(int(r.a_pos), int(r.n_responses), int(r.total_len),
             float(r.mean_len)) for r in t.itertuples()]
     assert got == [(0, 1, 5, 5.0), (1, 1, 6, 6.0), (2, 1, 5, 5.0)]
+
+
+def test_term_entropy_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.textq import term_entropy_by_source
+
+    texts = ["a a b", "a c"]  # counts a=3,b=1,c=1, N=5
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = term_entropy_by_source(str(tmp_path)).to_pandas()
+    r = t.iloc[0]
+    exp = np.log2(5) - (3 * np.log2(3)) / 5  # b,c contribute 1*log2(1)=0
+    assert (int(r.n_terms), int(r.n_tokens)) == (3, 5)
+    assert abs(r.entropy_bits - round(exp, 6)) < 1e-9
+
+
+def test_embedding_scalar_quant_bruteforce(ray_session, clusters_dir):
+    from cqf_ray.pipelines.ann import embedding_scalar_quant
+
+    t = embedding_scalar_quant(clusters_dir).to_pandas().set_index("label")
+    emb = pq.read_table(clusters_dir + "/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    lo, hi = mat.min(), mat.max()
+    q = np.floor((mat - lo) / (hi - lo) * 255.0 + 0.5).astype(np.int64)
+    lab = emb["label"].to_numpy()
+    for L in np.unique(lab):
+        qs = q[lab == L]
+        row = t.loc[L]
+        assert int(row["n_values"]) == qs.size
+        assert int(row["sum_codes"]) == int(qs.sum())
+        assert int(row["n_zero"]) == int((qs == 0).sum())
+        assert int(row["n_sat"]) == int((qs == 255).sum())
+    # global extremes quantize to the rails somewhere
+    assert int(t["n_zero"].sum()) >= 1 and int(t["n_sat"].sum()) >= 1
+
+
+def test_user_bursts_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.relational import user_bursts
+
+    m = 60_000_000  # one minute in us
+    # user 1: events at minutes 0,1,2,30,31 -> max burst 3 (0..2 within 10m)
+    # user 2: three events at the SAME ts -> peer group counts all 3
+    ts = np.array([0, 1 * m, 2 * m, 30 * m, 31 * m, 5 * m, 5 * m, 5 * m],
+                  dtype=np.int64)
+    uid = np.array([1, 1, 1, 1, 1, 2, 2, 2], dtype=np.int64)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(ts)), type=pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(["view"] * len(ts)),
+            "value": pa.array(np.ones(len(ts)), type=pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    t = user_bursts(str(tmp_path)).to_pandas().set_index("user_id")
+    assert (int(t.loc[1, "n_events"]), int(t.loc[1, "max_burst"])) == (5, 3)
+    assert (int(t.loc[2, "n_events"]), int(t.loc[2, "max_burst"])) == (3, 3)
+
+
+def test_value_seasonality_shares_sum(ray_session):
+    from cqf_ray.pipelines.relational import value_seasonality
+
+    t = value_seasonality(SF_DIR).to_pandas()
+    assert t["hour"].between(0, 23).all()
+    # floor-division shares: per type, sum within (10000 - n_hours, 10000]
+    for _, g in t.groupby("event_type"):
+        s = int(g["share_bps"].sum())
+        assert 10000 - len(g) < s <= 10000
