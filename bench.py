@@ -73,6 +73,10 @@ QUERY_SET = [
     "doc_containment_pairs",  # PPJoin prefix-filter 3-gram containment join (r5s4)
     "pmi_top_pairs",  # PMI collocations over capped per-doc term sets (r5s4)
     "bigram_logprob",  # bigram-LM quality scoring, broadcast model actor pool (r5s4)
+    "user_feature_matrix",  # feature-store assembly: per-user aggs ⋈ dims (r5s5)
+    "cohort_ltv",  # cohort LTV matrix: kind-tagged partials on one user shuffle (r5s5)
+    "user_bursts",  # trailing-window burst max: composite-key two-pointer (r5s5)
+    "copurchase_lift",  # market-basket pair lift: pair partials below the shuffle (r5s5)
 ]
 
 
