@@ -197,6 +197,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_scalar_quant": _ann.embedding_scalar_quant,
     "value_seasonality": _rel.value_seasonality,
     "user_bursts": _rel.user_bursts,
+    "oov_rate_by_source": _txt.oov_rate_by_source,
+    "curriculum_schedule": _co.curriculum_schedule,
+    "span_corruption_plan": _co.span_corruption_plan,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -699,3 +699,107 @@ def _importance_resampling_sql() -> str:
 
 
 SQL["importance_resampling"] = _importance_resampling_sql()
+
+
+_CURRICULUM_SEED = 53
+
+
+def curriculum_schedule(sf_dir: str, *, phases: int = 4) -> pa.Table:
+    """CURRICULUM ordering: docs split into ``phases`` difficulty phases
+    (exact NTILE over length ascending — short/easy first) and
+    deterministically shuffled WITHIN each phase by the murmur coin, so
+    a training run streams easy→hard with no intra-phase length bias.
+    The corpus-sized pass is one column-pruned read; NTILE + the
+    in-phase rank run on the doc-scale (id, n_chars) projection (the
+    rfm_scores driver-side concession — a rank-select at extreme doc
+    counts).  NTILE follows SQL semantics (first n mod k buckets long,
+    doc_id tie-break); output is integers only."""
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"]).to_pandas()
+    did = ds["doc_id"].to_numpy(np.int64)
+    nc = ds["n_chars"].to_numpy(np.int64)
+    n = len(did)
+    order = np.lexsort((did, nc))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    base, extra = divmod(n, phases)
+    bounds = np.cumsum([base + (i < extra) for i in range(phases)])
+    phase = np.searchsorted(bounds, rank, side="right") + 1
+    pri = murmur64a_u64(did.view(np.uint64), seed=_CURRICULUM_SEED)
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": did, "phase": phase.astype(np.int64),
+                       "pri": pri})
+    df = df.sort_values(["pri", "doc_id"])
+    df["phase_rank"] = df.groupby("phase").cumcount().astype(np.int64)
+    out = (df[["doc_id", "phase", "phase_rank"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _curriculum_sql() -> str:
+    from .sketchq import _MURMUR_SQL
+
+    return (
+        "WITH u AS (SELECT CAST(doc_id AS HUGEINT) AS k64, doc_id, n_chars "
+        "FROM documents), "
+        + _MURMUR_SQL.format(seed=_CURRICULUM_SEED)
+        + ", p AS (SELECT doc_id, priority, "
+        "NTILE(4) OVER (ORDER BY n_chars, doc_id) AS phase FROM mmf) "
+        "SELECT doc_id, CAST(phase AS BIGINT) AS phase, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY phase "
+        "ORDER BY priority, doc_id) - 1 AS BIGINT) AS phase_rank "
+        "FROM p ORDER BY doc_id"
+    )
+
+
+SQL["curriculum_schedule"] = _curriculum_sql()
+
+
+def span_corruption_plan(sf_dir: str, *, noise_density: float = 0.15,
+                         mean_span: int = 3) -> pa.Table:
+    """T5-style SPAN-CORRUPTION plan: per document, how many noise spans
+    a denoising objective would mask (≥1, nearest-int of
+    ``noise_density·n_tokens/mean_span``) and the resulting corrupt /
+    kept token counts + sentinel count — the budget calculation a
+    seq2seq pretraining pipeline runs before packing.  Embarrassingly
+    parallel single pass, vectorized token counts; the only float is the
+    density product, evaluated with the SAME floor(x+0.5) expression on
+    both engines (n/20·span arithmetic keeps it exact)."""
+    import polars as pl
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plan(batch: pa.Table) -> pa.Table:
+        nt = (pl.from_arrow(batch.column("text").combine_chunks())
+              .fill_null("").str.count_matches(r"\S+")
+              .cast(pl.Int64).to_numpy())
+        raw = np.floor(noise_density * nt.astype(np.float64)
+                       / mean_span + 0.5).astype(np.int64)
+        spans = np.maximum(raw, 1)
+        corrupt = np.minimum(spans * mean_span, nt)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(nt),
+            "n_spans": pa.array(spans),
+            "n_corrupt_tokens": pa.array(corrupt),
+            "n_kept_tokens": pa.array(nt - corrupt),
+        })
+
+    df = ds.map_batches(plan, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL["span_corruption_plan"] = (
+    "WITH t AS (SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt "
+    "FROM documents), "
+    "s AS (SELECT doc_id, nt, "
+    "GREATEST(CAST(FLOOR(0.15 * nt / 3 + 0.5) AS BIGINT), 1) AS n_spans "
+    "FROM t) "
+    "SELECT doc_id, nt AS n_tokens, n_spans, "
+    "LEAST(n_spans * 3, nt) AS n_corrupt_tokens, "
+    "nt - LEAST(n_spans * 3, nt) AS n_kept_tokens "
+    "FROM s ORDER BY doc_id"
+)

@@ -2767,3 +2767,89 @@ SQL["term_entropy_by_source"] = (
     "ROUND(LOG2(CAST(n_tokens AS DOUBLE)) - sl / CAST(n_tokens AS DOUBLE), 6) "
     "AS entropy_bits FROM a ORDER BY source"
 )
+
+
+def oov_rate_by_source(sf_dir: str, *, vocab_k: int = 1000) -> pa.Table:
+    """OUT-OF-VOCABULARY rate per source against the corpus top-``vocab_k``
+    vocabulary — the tokenizer-coverage check run before committing a
+    vocab (a source with high OOV will shred into bytes/unks).  Two
+    passes, both combiner-first: the global (term, count) aggregate
+    feeds a count-desc/term-asc top-k cut (vocab-scale), the vocab
+    broadcasts ONCE via ``ray.put`` as a hash set, and a second pass
+    counts per-source member/non-member tokens vectorized (polars
+    ``is_in`` against the broadcast list).  Shares are exact integer
+    basis points."""
+    import ray
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = (pl.from_arrow(batch.column("text").combine_chunks())
+             .fill_null("").str.to_lowercase())
+        return (pl.DataFrame({"t": s})
+                .with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+                .drop("t").explode("tok").drop_nulls("tok")
+                .group_by("tok").agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    counts = grouped_aggregate(
+        ds.map_batches(term_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["tok"], [("n", "sum", "n")],
+    ).to_pandas()
+    counts = counts.sort_values(["n", "tok"],
+                                ascending=[False, True]).head(vocab_k)
+    vocab_ref = ray.put(counts["tok"].tolist())
+
+    class Oov:
+        def __init__(self, ref):
+            import polars as pl
+
+            v = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.vocab = pl.Series("v", v)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.DataFrame({
+                "source": pl.from_arrow(
+                    batch.column("source").combine_chunks()),
+                "t": pl.from_arrow(batch.column("text").combine_chunks())
+                .fill_null("").str.to_lowercase(),
+            })
+            return (df.with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+                    .drop("t").explode("tok").drop_nulls("tok")
+                    .with_columns(oov=(~pl.col("tok").is_in(self.vocab))
+                                  .cast(pl.Int64))
+                    .group_by("source")
+                    .agg(n_tokens=pl.len().cast(pl.Int64),
+                         n_oov=pl.col("oov").sum()).to_arrow())
+
+    agg = grouped_aggregate(
+        ds.map_batches(Oov, fn_constructor_args=(vocab_ref,),
+                       batch_format="pyarrow", concurrency=(1, 8)),
+        ["source"],
+        [("n_tokens", "sum", "n_tokens"), ("n_oov", "sum", "n_oov")],
+    ).to_pandas()
+    agg["oov_bps"] = (10000 * agg["n_oov"].to_numpy(np.int64)
+                      // agg["n_tokens"].to_numpy(np.int64))
+    out = agg.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["oov_rate_by_source"] = (
+    "WITH tok AS (SELECT source, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+    "c AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1), "
+    "v AS (SELECT t FROM c ORDER BY n DESC, t LIMIT 1000), "
+    "a AS (SELECT source, COUNT(*) AS n_tokens, "
+    "SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov "
+    "FROM tok LEFT JOIN v ON v.t = tok.t GROUP BY 1) "
+    "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(n_oov AS BIGINT) AS n_oov, "
+    "CAST(10000 * n_oov // n_tokens AS BIGINT) AS oov_bps "
+    "FROM a ORDER BY source"
+)

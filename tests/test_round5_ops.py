@@ -669,3 +669,70 @@ def test_value_seasonality_shares_sum(ray_session):
     for _, g in t.groupby("event_type"):
         s = int(g["share_bps"].sum())
         assert 10000 - len(g) < s <= 10000
+
+
+def test_oov_rate_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.textq import oov_rate_by_source
+
+    # vocab_k=2: global counts a=3, b=2, c=1 -> vocab {a, b}; c is OOV
+    texts = [("s1", "a a b"), ("s2", "a b c")]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array([t for _, t in texts]),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array([s for s, _ in texts]),
+            "n_chars": pa.array([5, 5], type=pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = oov_rate_by_source(str(tmp_path), vocab_k=2).to_pandas() \
+        .set_index("source")
+    assert (int(t.loc["s1", "n_tokens"]), int(t.loc["s1", "n_oov"]),
+            int(t.loc["s1", "oov_bps"])) == (3, 0, 0)
+    assert (int(t.loc["s2", "n_tokens"]), int(t.loc["s2", "n_oov"]),
+            int(t.loc["s2", "oov_bps"])) == (3, 1, 3333)
+
+
+def test_curriculum_schedule_invariants(ray_session):
+    from cqf_ray.pipelines.corpusops import curriculum_schedule
+
+    t = curriculum_schedule(SF_DIR).to_pandas()
+    docs = pq.read_table(SF_DIR + "/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    assert len(t) == len(docs)
+    m = t.merge(docs, on="doc_id")
+    # phases partition by length: every phase-1 doc <= every phase-4 doc,
+    # and NTILE sizes differ by at most 1
+    sizes = t.groupby("phase").size()
+    assert sizes.max() - sizes.min() <= 1
+    for p in range(1, 4):
+        assert m.loc[m.phase == p, "n_chars"].max() \
+            <= m.loc[m.phase == p + 1, "n_chars"].min()
+    # in-phase ranks are a 0..k-1 permutation
+    for _, g in t.groupby("phase"):
+        assert sorted(g["phase_rank"]) == list(range(len(g)))
+
+
+def test_span_corruption_boundaries(ray_session, tmp_path):
+    from cqf_ray.pipelines.corpusops import span_corruption_plan
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+    # 0 toks -> 1 span but corrupt capped at 0; 10 toks -> round(0.5)=1;
+    # 30 toks -> round(1.5)=2 (floor(x+0.5) rounds half UP); 100 -> 5
+    texts = ["", words(10), words(30), words(100)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(4), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = span_corruption_plan(str(tmp_path)).to_pandas().set_index("doc_id")
+    got = [(int(t.loc[i, "n_spans"]), int(t.loc[i, "n_corrupt_tokens"]),
+            int(t.loc[i, "n_kept_tokens"])) for i in range(4)]
+    assert got == [(1, 0, 0), (1, 3, 7), (2, 6, 24), (5, 15, 85)]
