@@ -200,6 +200,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "oov_rate_by_source": _txt.oov_rate_by_source,
     "curriculum_schedule": _co.curriculum_schedule,
     "span_corruption_plan": _co.span_corruption_plan,
+    "user_similarity_jaccard": _rel.user_similarity_jaccard,
+    "conv_outcome_label": _tr.conv_outcome_label,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -6659,3 +6659,88 @@ SQL["user_bursts"] = (
     "CAST(MAX(c) AS BIGINT) AS max_burst "
     "FROM w GROUP BY 1 ORDER BY 1"
 )
+
+
+def user_similarity_jaccard(sf_dir: str, *, min_shared: int = 2) -> pa.Table:
+    """USER-USER similarity by purchased-item Jaccard — the collaborative-
+    filtering neighbor primitive — computed the inverted-index way: one
+    co-shuffle keyed on ITEM (each item's buyer list lands whole), the
+    kernel emits per-item buyer PAIRS (pair partials, never the purchase
+    stream), a combiner-first fold counts shared items per pair, and
+    per-user item counts broadcast back for the Jaccard denominator.
+    Pairs below ``min_shared`` shared items are pruned inside the fold —
+    the standard candidate cut that keeps the pair set near-linear under
+    real co-purchase sparsity.  Jaccard is exact integer bps:
+    10000·c // (n_a + n_b − c)."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), "purchase")
+        b = batch.filter(mask)
+        item = (pl.from_arrow(b.column("props"))
+                .str.extract(r"(\d+)", 1).cast(pl.Int64).fill_null(0))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "item": pa.array(item.to_numpy().astype(np.int64)),
+        })
+
+    purchases = ev.map_batches(extract, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).select("user_id", "item").unique()
+        pairs = (df.join(df.rename({"user_id": "user_b"}), on="item")
+                 .filter(pl.col("user_id") < pl.col("user_b"))
+                 .group_by(["user_id", "user_b"])
+                 .agg(c=pl.len().cast(pl.Int64))
+                 .rename({"user_id": "user_a"}))
+        return pairs.to_arrow()
+
+    pair_counts = grouped_aggregate(
+        keyed_partition_map(purchases, ["item"], pair_kernel),
+        ["user_a", "user_b"], [("c", "sum", "c")],
+    ).to_pandas()
+    pair_counts = pair_counts[pair_counts["c"] >= min_shared]
+
+    def user_partial(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch).unique()
+                .group_by("user_id")
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    sizes = grouped_aggregate(
+        purchases.map_batches(user_partial, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["user_id"], [("n", "sum", "n")],
+    ).to_pandas()
+    szmap = dict(zip(sizes["user_id"].to_numpy(np.int64),
+                     sizes["n"].to_numpy(np.int64)))
+    na = pair_counts["user_a"].map(szmap).to_numpy(np.int64)
+    nb = pair_counts["user_b"].map(szmap).to_numpy(np.int64)
+    c = pair_counts["c"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "user_a": pair_counts["user_a"].to_numpy(np.int64),
+        "user_b": pair_counts["user_b"].to_numpy(np.int64),
+        "n_shared": c, "n_a": na, "n_b": nb,
+        "jaccard_bps": 10000 * c // (na + nb - c),
+    }).sort_values(["user_a", "user_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["user_similarity_jaccard"] = (
+    "WITH p AS (SELECT DISTINCT user_id, "
+    "CAST(regexp_extract(props, '\\d+') AS BIGINT) AS item "
+    "FROM events WHERE event_type = 'purchase'), "
+    "sz AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY 1), "
+    "pr AS (SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS c "
+    "FROM p a JOIN p b ON a.item = b.item AND a.user_id < b.user_id "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+    "SELECT user_a, user_b, CAST(c AS BIGINT) AS n_shared, "
+    "CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b, "
+    "CAST(10000 * c // (x.n + y.n - c) AS BIGINT) AS jaccard_bps "
+    "FROM pr JOIN sz x ON x.user_id = pr.user_a "
+    "JOIN sz y ON y.user_id = pr.user_b ORDER BY user_a, user_b"
+)

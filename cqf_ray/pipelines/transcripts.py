@@ -1114,3 +1114,80 @@ SQL["response_length_by_turn"] = (
     "CAST(SUM(ln) AS DOUBLE) / COUNT(*) AS mean_len "
     "FROM a GROUP BY 1 ORDER BY 1"
 )
+
+
+def conv_outcome_label(sf_dir: str) -> pa.Table:
+    """Conversation OUTCOME labeling for SFT curation: each conversation
+    tagged converted / errored / converted_with_errors / abandoned from
+    its event mix, with per-label conversation counts, total turns and
+    µ-exact revenue — the triage table that decides which transcripts
+    enter a training corpus.  ONE combiner-first per-conversation
+    aggregate (purchase/error flags, turn count, µ-revenue partials);
+    the label CASE and the label-level fold run on the tiny result."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vmu = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                  dtype=np.float64) * 1e6).astype(np.int64)
+        et = batch.column("event_type").combine_chunks()
+        is_p = np.asarray(pc.equal(et, "purchase"))
+        is_e = np.asarray(pc.equal(et, "error"))
+        df = pl.DataFrame({
+            "user_id": np.asarray(batch.column("user_id").combine_chunks()
+                                  ).astype(np.int64),
+            "p": is_p.astype(np.int64), "e": is_e.astype(np.int64),
+            "vmu": np.where(is_p, vmu, 0),
+        })
+        return (df.group_by("user_id")
+                .agg(n_turns=pl.len().cast(pl.Int64),
+                     n_p=pl.col("p").sum(), n_e=pl.col("e").sum(),
+                     vmu=pl.col("vmu").sum()).to_arrow())
+
+    per_conv = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("n_turns", "sum", "n_turns"), ("n_p", "sum", "n_p"),
+         ("n_e", "sum", "n_e"), ("vmu", "sum", "vmu")],
+    ).to_pandas()
+    p = per_conv["n_p"].to_numpy(np.int64) > 0
+    e = per_conv["n_e"].to_numpy(np.int64) > 0
+    label = np.where(p & e, "converted_with_errors",
+                     np.where(p, "converted",
+                              np.where(e, "errored", "abandoned")))
+    per_conv["label"] = label
+    g = per_conv.groupby("label").agg(
+        n_convs=("user_id", "size"), total_turns=("n_turns", "sum"),
+        vmu=("vmu", "sum")).reset_index()
+    from .common import round_scaled
+
+    out = pd.DataFrame({
+        "label": g["label"],
+        "n_convs": g["n_convs"].astype(np.int64),
+        "total_turns": g["total_turns"].astype(np.int64),
+        "revenue": round_scaled(g["vmu"].to_numpy(np.int64), 2, 6),
+    }).sort_values("label").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["conv_outcome_label"] = (
+    "WITH c AS (SELECT user_id, COUNT(*) AS n_turns, "
+    "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p, "
+    "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_e, "
+    "SUM(CASE WHEN event_type = 'purchase' "
+    "THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) "
+    "AS v FROM events GROUP BY 1), "
+    "l AS (SELECT *, CASE "
+    "WHEN n_p > 0 AND n_e > 0 THEN 'converted_with_errors' "
+    "WHEN n_p > 0 THEN 'converted' "
+    "WHEN n_e > 0 THEN 'errored' ELSE 'abandoned' END AS label FROM c) "
+    "SELECT label, COUNT(*) AS n_convs, "
+    "CAST(SUM(n_turns) AS BIGINT) AS total_turns, "
+    "CAST(ROUND(SUM(v), 2) AS DOUBLE) AS revenue "
+    "FROM l GROUP BY 1 ORDER BY 1"
+)

@@ -736,3 +736,50 @@ def test_span_corruption_boundaries(ray_session, tmp_path):
     got = [(int(t.loc[i, "n_spans"]), int(t.loc[i, "n_corrupt_tokens"]),
             int(t.loc[i, "n_kept_tokens"])) for i in range(4)]
     assert got == [(1, 0, 0), (1, 3, 7), (2, 6, 24), (5, 15, 85)]
+
+
+def test_user_similarity_jaccard_planted(ray_session, basket_dir):
+    from cqf_ray.pipelines.relational import user_similarity_jaccard
+
+    t = user_similarity_jaccard(basket_dir).to_pandas()
+    got = {(int(r.user_a), int(r.user_b)):
+           (int(r.n_shared), int(r.n_a), int(r.n_b), int(r.jaccard_bps))
+           for r in t.itertuples()}
+    # items: u1={1,2,3}, u2={1,2,3}, u3={1,2}, u9={9}; min_shared=2
+    assert got == {
+        (1, 2): (3, 3, 3, 10000),
+        (1, 3): (2, 3, 2, 10000 * 2 // 3),
+        (2, 3): (2, 3, 2, 10000 * 2 // 3),
+    }
+
+
+def test_conv_outcome_label_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.transcripts import conv_outcome_label
+
+    day = 86_400_000_000
+    rows = [  # (user, type, value)
+        (1, "purchase", 10.0), (1, "view", 99.0),      # converted
+        (2, "error", 0.0), (2, "view", 1.0),           # errored
+        (3, "purchase", 5.0), (3, "error", 0.0),       # converted_with_errors
+        (4, "view", 1.0),                              # abandoned
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+            "ts": pa.array((np.arange(len(rows), dtype=np.int64) * day
+                            ).astype("datetime64[us]")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    t = conv_outcome_label(str(tmp_path)).to_pandas().set_index("label")
+    # revenue counts ONLY purchase-event value (view value 99 excluded)
+    assert (int(t.loc["converted", "n_convs"]),
+            int(t.loc["converted", "total_turns"]),
+            float(t.loc["converted", "revenue"])) == (1, 2, 10.0)
+    assert (int(t.loc["errored", "n_convs"]),
+            float(t.loc["errored", "revenue"])) == (1, 0.0)
+    assert float(t.loc["converted_with_errors", "revenue"]) == 5.0
+    assert int(t.loc["abandoned", "n_convs"]) == 1
