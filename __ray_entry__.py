@@ -202,6 +202,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "span_corruption_plan": _co.span_corruption_plan,
     "user_similarity_jaccard": _rel.user_similarity_jaccard,
     "conv_outcome_label": _tr.conv_outcome_label,
+    "keyword_in_context": _txt.keyword_in_context,
+    "top_events_with_ties": _rel.top_events_with_ties,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

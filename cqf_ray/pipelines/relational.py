@@ -6744,3 +6744,62 @@ SQL["user_similarity_jaccard"] = (
     "FROM pr JOIN sz x ON x.user_id = pr.user_a "
     "JOIN sz y ON y.user_id = pr.user_b ORDER BY user_a, user_b"
 )
+
+
+def top_events_with_ties(sf_dir: str, *, k: int = 3) -> pa.Table:
+    """Grouped top-k WITH TIES (RANK semantics): per event_type, every
+    event whose value ranks in the top ``k`` DISTINCT-position values —
+    unlike ``order_top_lines``' ROW_NUMBER cut, rows tying the k-th value
+    ALL survive, the semantics ``FETCH FIRST k ROWS WITH TIES`` / audit
+    queries need.  Per-block partial: each batch keeps its own top
+    candidates (everything tying-or-above its k-th value) so only
+    candidate rows reach the per-type exchange; the kernel applies exact
+    RANK() (value desc, ties share rank) per type."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select("event_id", "event_type", "value")
+        # per-type k-th highest DISTINCT value in this block; keep >= it
+        thr = (df.unique(subset=["event_type", "value"])
+               .sort(["event_type", "value"],
+                     descending=[False, True])
+               .group_by("event_type", maintain_order=True)
+               .agg(thr=pl.col("value").head(k).min()))
+        return (df.join(thr, on="event_type")
+                .filter(pl.col("value") >= pl.col("thr"))
+                .drop("thr").to_arrow())
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        # top-k DISTINCT values with ALL their rows (dense-rank cut);
+        # the reported rnk is SQL RANK() (ties share the min position)
+        out = (df.with_columns(
+            drnk=pl.col("value").rank(method="dense", descending=True)
+            .over("event_type").cast(pl.Int64))
+            .filter(pl.col("drnk") <= k)
+            .with_columns(
+                rnk=pl.col("value").rank(method="min", descending=True)
+                .over("event_type").cast(pl.Int64)))
+        return out.select("event_type", "event_id", "value", "rnk").to_arrow()
+
+    out = keyed_partition_map(
+        ev.map_batches(prefilter, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], kernel).to_pandas()
+    out = out.sort_values(["event_type", "rnk", "event_id"]) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["top_events_with_ties"] = (
+    "WITH r AS (SELECT event_type, event_id, value, "
+    "RANK() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk, "
+    "DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value DESC) AS d "
+    "FROM events) "
+    "SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk "
+    "FROM r WHERE d <= 3 ORDER BY event_type, rnk, event_id"
+)

@@ -2853,3 +2853,58 @@ SQL["oov_rate_by_source"] = (
     "CAST(10000 * n_oov // n_tokens AS BIGINT) AS oov_bps "
     "FROM a ORDER BY source"
 )
+
+
+def keyword_in_context(sf_dir: str, *, keyword: str = "spark") -> pa.Table:
+    """KWIC concordance: every occurrence of ``keyword`` with its token
+    position and one token of left/right context — the corpus-inspection
+    primitive behind term audits and prompt-leak hunts.  Embarrassingly
+    parallel single pass: one vectorized polars explode with positions
+    per batch, filter on the keyword, shift-join the neighbor tokens
+    in-partition (documents never straddle batches).  Boundary
+    occurrences emit '' for the missing side, matching the oracle's
+    COALESCE."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kwic(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": np.asarray(batch.column("doc_id").combine_chunks()
+                                 ).astype(np.int64),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        ex = (df.with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+              .drop("t").explode("tok").drop_nulls("tok")
+              .with_columns(pos=pl.int_range(pl.len()).over("doc_id")
+                            .cast(pl.Int64)))
+        hits = (ex.with_columns(
+            prev_tok=pl.col("tok").shift(1, fill_value="").over("doc_id"),
+            next_tok=pl.col("tok").shift(-1, fill_value="").over("doc_id"))
+            .filter(pl.col("tok") == keyword)
+            .select("doc_id", "pos", "prev_tok", "next_tok"))
+        return hits.to_arrow()
+
+    df = ds.map_batches(kwic, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "pos": pa.array([], type=pa.int64()),
+                         "prev_tok": pa.array([], type=pa.string()),
+                         "next_tok": pa.array([], type=pa.string())})
+    df = df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL["keyword_in_context"] = (
+    "WITH w AS (SELECT doc_id, "
+    "regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), "
+    "x AS (SELECT doc_id, ws, CAST(i AS BIGINT) AS pos "
+    "FROM w, LATERAL UNNEST(range(0, len(ws))) AS g(i)) "
+    "SELECT doc_id, pos, "
+    "COALESCE(ws[CAST(pos AS BIGINT)], '') AS prev_tok, "
+    "COALESCE(ws[CAST(pos + 2 AS BIGINT)], '') AS next_tok "
+    "FROM x WHERE ws[CAST(pos + 1 AS BIGINT)] = 'spark' "
+    "ORDER BY doc_id, pos"
+)

@@ -783,3 +783,54 @@ def test_conv_outcome_label_planted(ray_session, tmp_path):
             float(t.loc["errored", "revenue"])) == (1, 0.0)
     assert float(t.loc["converted_with_errors", "revenue"]) == 5.0
     assert int(t.loc["abandoned", "n_convs"]) == 1
+
+
+def test_keyword_in_context_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.textq import keyword_in_context
+
+    texts = ["spark runs fast", "we like spark", "no match here",
+             "spark spark"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(4), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = keyword_in_context(str(tmp_path)).to_pandas()
+    got = [(int(r.doc_id), int(r.pos), r.prev_tok, r.next_tok)
+           for r in t.itertuples()]
+    assert got == [
+        (0, 0, "", "runs"),        # doc start: empty left context
+        (1, 2, "like", ""),        # doc end: empty right context
+        (3, 0, "", "spark"),
+        (3, 1, "spark", ""),
+    ]
+
+
+def test_top_events_with_ties_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.relational import top_events_with_ties
+
+    # values: 9.0 x2 (rank 1), 8.0 x1 (rank 3), 7.0 x3 (rank 4), 6.0
+    vals = [9.0, 9.0, 8.0, 7.0, 7.0, 7.0, 6.0]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(vals)), type=pa.int64()),
+            "ts": pa.array(np.zeros(len(vals), np.int64)
+                           .astype("datetime64[us]")),
+            "user_id": pa.array([1] * len(vals), type=pa.int64()),
+            "event_type": pa.array(["view"] * len(vals)),
+            "value": pa.array(vals, type=pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    t = top_events_with_ties(str(tmp_path)).to_pandas()
+    # top-3 DISTINCT values (9, 8, 7) keep ALL their rows: 6 rows, not 3
+    assert len(t) == 6
+    got = [(int(r.event_id), float(r.value), int(r.rnk))
+           for r in t.itertuples()]
+    assert got == [(0, 9.0, 1), (1, 9.0, 1), (2, 8.0, 3),
+                   (3, 7.0, 4), (4, 7.0, 4), (5, 7.0, 4)]
