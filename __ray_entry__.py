@@ -204,6 +204,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "conv_outcome_label": _tr.conv_outcome_label,
     "keyword_in_context": _txt.keyword_in_context,
     "top_events_with_ties": _rel.top_events_with_ties,
+    "incremental_agg_maintenance": _rel.incremental_agg_maintenance,
+    "corpus_datasheet": _co.corpus_datasheet,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -803,3 +803,74 @@ SQL["span_corruption_plan"] = (
     "nt - LEAST(n_spans * 3, nt) AS n_kept_tokens "
     "FROM s ORDER BY doc_id"
 )
+
+
+def corpus_datasheet(sf_dir: str) -> pa.Table:
+    """One-row DATASET CARD for the documents corpus: doc / source /
+    language counts, exact char+token mass, empty-doc share in bps and
+    mean tokens per doc — the datasheet header a corpus release ships
+    with.  ONE combiner-first pass producing a single partial row per
+    batch (distinct sources/langs fold as per-batch sets, exact at the
+    tiny cardinalities of dimension columns; counts and sums are pure
+    integers); the only float is ONE mirrored division."""
+    import pandas as pd
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = (pl.from_arrow(batch.column("text").combine_chunks())
+             .fill_null(""))
+        ntok = s.str.count_matches(r"\S+").cast(pl.Int64)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "n_docs": pa.array([len(s)], type=pa.int64()),
+            "n_chars": pa.array([int(s.str.len_chars().cast(pl.Int64).sum())],
+                                type=pa.int64()),
+            "n_tokens": pa.array([int(ntok.sum())], type=pa.int64()),
+            "n_empty": pa.array([int((ntok == 0).sum())], type=pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"],
+        [("n_docs", "sum", "n_docs"), ("n_chars", "sum", "n_chars"),
+         ("n_tokens", "sum", "n_tokens"), ("n_empty", "sum", "n_empty")],
+    ).to_pandas()
+    # dimension cardinalities: tiny distinct sets, exact via unique()
+    n_sources = len(read(sf_dir, "documents", ["source"]).unique("source"))
+    n_langs = len(read(sf_dir, "documents", ["lang"]).unique("lang"))
+    r = agg.iloc[0]
+    out = pd.DataFrame({
+        "n_docs": [np.int64(r["n_docs"])],
+        "n_sources": [np.int64(n_sources)],
+        "n_langs": [np.int64(n_langs)],
+        "n_chars": [np.int64(r["n_chars"])],
+        "n_tokens": [np.int64(r["n_tokens"])],
+        "empty_bps": [np.int64(10000 * r["n_empty"] // r["n_docs"])],
+        "mean_tokens": [float(round_col(
+            np.array([r["n_tokens"] / r["n_docs"]]), 6)[0])],
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["corpus_datasheet"] = (
+    "WITH a AS (SELECT COUNT(*) AS n_docs, "
+    "COUNT(DISTINCT source) AS n_sources, "
+    "COUNT(DISTINCT lang) AS n_langs, "
+    "SUM(CAST(length(text) AS BIGINT)) AS n_chars, "
+    "SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS n_tokens, "
+    "SUM(CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 "
+    "THEN 1 ELSE 0 END) AS n_empty FROM documents) "
+    "SELECT CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(n_sources AS BIGINT) AS n_sources, "
+    "CAST(n_langs AS BIGINT) AS n_langs, "
+    "CAST(n_chars AS BIGINT) AS n_chars, "
+    "CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(10000 * n_empty // n_docs AS BIGINT) AS empty_bps, "
+    "ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) "
+    "AS mean_tokens FROM a"
+)

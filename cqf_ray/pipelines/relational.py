@@ -6803,3 +6803,68 @@ SQL["top_events_with_ties"] = (
     "SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk "
     "FROM r WHERE d <= 3 ORDER BY event_type, rnk, event_id"
 )
+
+
+def incremental_agg_maintenance(sf_dir: str) -> pa.Table:
+    """INCREMENTAL materialized-view maintenance: a per-(user, type)
+    count/µ-sum aggregate is built from the BASE slice (even event_id),
+    then maintained by folding in the DELTA slice (odd event_id) as
+    partial rows — never recomputing the base — and the maintained view
+    is what this query returns.  The pattern behind streaming upserts
+    into aggregate tables: because the partials are associative
+    (count/sum), the delta fold is ONE combiner-first aggregate over
+    base-partials ∪ delta-partials, a single keyed exchange carrying
+    group-scale rows.  The oracle recomputes from scratch — equality IS
+    the maintenance-correctness proof."""
+    import polars as pl
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def partials(which: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            eid = np.asarray(batch.column("event_id").combine_chunks()
+                             ).astype(np.int64)
+            keep = (eid % 2) == which
+            b = batch.filter(pa.array(keep))
+            vmu = np.round(np.asarray(b.column("value").combine_chunks(),
+                                      dtype=np.float64) * 1e6).astype(np.int64)
+            return (pl.DataFrame({
+                "user_id": np.asarray(b.column("user_id").combine_chunks()
+                                      ).astype(np.int64),
+                "event_type": pl.from_arrow(
+                    b.column("event_type").combine_chunks()),
+                "vmu": vmu})
+                .group_by(["user_id", "event_type"])
+                .agg(n=pl.len().cast(pl.Int64),
+                     vmu=pl.col("vmu").sum()).to_arrow())
+        return fn
+
+    # base view materializes once (the standing aggregate table) …
+    base_view = grouped_aggregate(
+        ev.map_batches(partials(0), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "event_type"], [("n", "sum", "n"), ("vmu", "sum", "vmu")],
+    ).materialize()
+    # … then the delta fold unions group-scale base rows with delta
+    # partials; associativity makes the merged result the fresh view
+    delta = ev.map_batches(partials(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merged = grouped_aggregate(
+        base_view.union(delta),
+        ["user_id", "event_type"], [("n", "sum", "n"), ("vmu", "sum", "vmu")],
+    ).to_pandas()
+    out = pd.DataFrame({
+        "user_id": merged["user_id"].to_numpy(np.int64),
+        "event_type": merged["event_type"],
+        "n_events": merged["n"].to_numpy(np.int64),
+        "total_value": round_scaled(merged["vmu"].to_numpy(np.int64), 2, 6),
+    }).sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["incremental_agg_maintenance"] = (
+    "SELECT user_id, event_type, COUNT(*) AS n_events, "
+    "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "AS total_value "
+    "FROM events GROUP BY 1, 2 ORDER BY user_id, event_type"
+)

@@ -834,3 +834,39 @@ def test_top_events_with_ties_planted(ray_session, tmp_path):
            for r in t.itertuples()]
     assert got == [(0, 9.0, 1), (1, 9.0, 1), (2, 8.0, 3),
                    (3, 7.0, 4), (4, 7.0, 4), (5, 7.0, 4)]
+
+
+def test_incremental_agg_equals_full_recompute(ray_session, duck):
+    """The maintained view (base partials + delta fold) must equal the
+    from-scratch aggregate bit-for-bit — associativity proof."""
+    from cqf_ray.pipelines.relational import (SQL,
+                                              incremental_agg_maintenance)
+
+    t = incremental_agg_maintenance(SF_DIR).to_pandas()
+    exp = duck.sql(SQL["incremental_agg_maintenance"]).df()
+    assert len(t) == len(exp)
+    assert (t["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (t["total_value"].to_numpy() == exp["total_value"].to_numpy()).all()
+    assert (t["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+
+
+def test_corpus_datasheet_planted(ray_session, tmp_path):
+    from cqf_ray.pipelines.corpusops import corpus_datasheet
+
+    texts = ["a b c", "", "d e"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(3), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "fr", "en"]),
+            "source": pa.array(["s1", "s1", "s2"]),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = corpus_datasheet(str(tmp_path)).to_pandas()
+    r = t.iloc[0]
+    assert (int(r.n_docs), int(r.n_sources), int(r.n_langs),
+            int(r.n_chars), int(r.n_tokens)) == (3, 2, 2, 8, 5)
+    assert int(r.empty_bps) == 10000 * 1 // 3
+    assert r.mean_tokens == round(5 / 3, 6)
