@@ -206,6 +206,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "top_events_with_ties": _rel.top_events_with_ties,
     "incremental_agg_maintenance": _rel.incremental_agg_maintenance,
     "corpus_datasheet": _co.corpus_datasheet,
+    "psi_value_drift": _rel.psi_value_drift,
+    "funnel_time_bound": _rel.funnel_time_bound,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

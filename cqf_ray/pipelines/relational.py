@@ -6868,3 +6868,145 @@ SQL["incremental_agg_maintenance"] = (
     "AS total_value "
     "FROM events GROUP BY 1, 2 ORDER BY user_id, event_type"
 )
+
+
+def psi_value_drift(sf_dir: str, *, bins: int = 10) -> pa.Table:
+    """POPULATION STABILITY INDEX between the first and second half of the
+    window (day < 15 vs ≥ 15) over event values — the model-monitoring
+    drift metric scored in deciles of the reference distribution;
+    here fixed-width bins over the global [min, max] (one streaming
+    reduce), so bin assignment is the same IEEE expression on both
+    engines.  One combiner-first (half, bin) count; PSI's per-bin terms
+    (p−q)·ln(p/q) are evaluated with Laplace-smoothed shares in ONE
+    mirrored float expression, ROUND 6."""
+    ev = read(sf_dir, "events", ["ts", "value"])
+    lo = ev.min("value")
+    hi = ev.max("value")
+    width = (hi - lo) / float(bins)
+    day_us = np.int64(86_400_000_000)
+
+    # global window start day (streaming min), then assign halves
+    t0_day = int(pd.Timestamp(ev.min("ts")).value // 1000) // int(day_us)
+
+    def assign2(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        v = np.asarray(batch.column("value").combine_chunks(),
+                       dtype=np.float64)
+        day = np.asarray(batch.column("ts").combine_chunks()
+                         ).view(np.int64) // day_us
+        b = np.minimum(np.floor((v - lo) / width), bins - 1).astype(np.int64)
+        half = (day - t0_day >= 15).astype(np.int64)
+        return (pl.DataFrame({"half": half, "bin": b})
+                .group_by(["half", "bin"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    agg = grouped_aggregate(
+        ev.map_batches(assign2, batch_format="pyarrow", zero_copy_batch=True),
+        ["half", "bin"], [("n", "sum", "n")],
+    ).to_pandas()
+    full = pd.MultiIndex.from_product([[0, 1], range(bins)],
+                                      names=["half", "bin"])
+    m = (agg.set_index(["half", "bin"])["n"]
+         .reindex(full, fill_value=0).reset_index())
+    ref = m[m["half"] == 0].set_index("bin")["n"].to_numpy(np.float64)
+    cur = m[m["half"] == 1].set_index("bin")["n"].to_numpy(np.float64)
+    p = (ref + 1.0) / (ref.sum() + bins)
+    q = (cur + 1.0) / (cur.sum() + bins)
+    terms = (q - p) * np.log(q / p)
+    out = pd.DataFrame({
+        "bin": np.arange(bins, dtype=np.int64),
+        "n_ref": ref.astype(np.int64), "n_cur": cur.astype(np.int64),
+        "psi_term": round_col(terms, 6),
+    })
+    out["psi_total"] = round_col(np.repeat(terms.sum(), bins), 6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["psi_value_drift"] = (
+    "WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi, "
+    "MIN(epoch_us(ts) // 86400000000) AS d0 FROM events), "
+    "a AS (SELECT CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 10.0)), 9) "
+    "AS BIGINT) AS bin, "
+    "CASE WHEN epoch_us(ts) // 86400000000 - d0 >= 15 THEN 1 ELSE 0 END "
+    "AS half FROM events, mm), "
+    "g AS (SELECT half, bin, COUNT(*) AS n FROM a GROUP BY 1, 2), "
+    "b AS (SELECT CAST(r AS BIGINT) AS bin FROM range(10) t(r)), "
+    "f AS (SELECT h.half, b.bin, COALESCE(g.n, 0) AS n "
+    "FROM (SELECT 0 AS half UNION ALL SELECT 1) h CROSS JOIN b "
+    "LEFT JOIN g ON g.half = h.half AND g.bin = b.bin), "
+    "t AS (SELECT half, SUM(n) AS tot FROM f GROUP BY 1), "
+    "s AS (SELECT f.bin, "
+    "MAX(CASE WHEN f.half = 0 THEN f.n END) AS n_ref, "
+    "MAX(CASE WHEN f.half = 1 THEN f.n END) AS n_cur, "
+    "MAX(CASE WHEN f.half = 0 THEN (f.n + 1.0) / (t.tot + 10) END) AS p, "
+    "MAX(CASE WHEN f.half = 1 THEN (f.n + 1.0) / (t.tot + 10) END) AS q "
+    "FROM f JOIN t ON t.half = f.half GROUP BY 1), "
+    "w AS (SELECT bin, n_ref, n_cur, (q - p) * LN(q / p) AS term FROM s) "
+    "SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, "
+    "CAST(n_cur AS BIGINT) AS n_cur, "
+    "ROUND(term, 6) AS psi_term, "
+    "ROUND((SELECT SUM(term) FROM w), 6) AS psi_total "
+    "FROM w ORDER BY bin"
+)
+
+
+def funnel_time_bound(sf_dir: str, *, window_min: int = 60) -> pa.Table:
+    """TIME-BOUNDED conversion funnel: view → first click within
+    ``window_min`` minutes → first purchase within ``window_min`` minutes
+    of that click — ``funnel_counts`` with the attribution windows real
+    funnels use (an unbounded funnel overcounts).  Same one-user-shuffle
+    shape; the kernel adds the upper time bound to each masked
+    ``minimum.reduceat`` stage, still zero per-user Python."""
+    from ..stages.keyed import keyed_partition_map, run_starts
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    inf = np.iinfo(np.int64).max
+    win = np.int64(window_min) * np.int64(60_000_000)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsv = np.asarray(t.column("ts").combine_chunks()).view(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"n_view": pa.array([0], type=pa.int64()),
+                             "n_view_click": pa.array([0], type=pa.int64()),
+                             "n_full": pa.array([0], type=pa.int64())})
+        order = np.lexsort((tsv, uid))
+        uid, tsv, et = uid[order], tsv[order], et[order]
+        starts = run_starts(uid)
+        lens = np.diff(np.append(starts, len(uid)))
+        t1 = np.minimum.reduceat(np.where(et == "view", tsv, inf), starts)
+        t1r = np.repeat(t1, lens)
+        ok2 = (et == "click") & (tsv > t1r) & (t1r < inf) \
+            & (tsv <= t1r + win)
+        t2 = np.minimum.reduceat(np.where(ok2, tsv, inf), starts)
+        t2r = np.repeat(t2, lens)
+        ok3 = (et == "purchase") & (tsv > t2r) & (t2r < inf) \
+            & (tsv <= t2r + win)
+        t3 = np.minimum.reduceat(np.where(ok3, tsv, inf), starts)
+        return pa.table({"n_view": pa.array([int((t1 < inf).sum())]),
+                         "n_view_click": pa.array([int((t2 < inf).sum())]),
+                         "n_full": pa.array([int((t3 < inf).sum())])})
+
+    df = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    return pa.table({c: pa.array([int(df[c].sum()) if not df.empty else 0],
+                                 type=pa.int64())
+                     for c in ["n_view", "n_view_click", "n_full"]})
+
+
+SQL["funnel_time_bound"] = (
+    "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+    "JOIN t1 USING (user_id) WHERE e.event_type = 'click' "
+    "AND e.ts > t1.t1 AND epoch_us(e.ts) <= epoch_us(t1.t1) + 3600000000 "
+    "GROUP BY e.user_id), "
+    "t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+    "JOIN t2 USING (user_id) WHERE e.event_type = 'purchase' "
+    "AND e.ts > t2.t2 AND epoch_us(e.ts) <= epoch_us(t2.t2) + 3600000000 "
+    "GROUP BY e.user_id) "
+    "SELECT (SELECT COUNT(*) FROM t1) AS n_view, "
+    "(SELECT COUNT(*) FROM t2) AS n_view_click, "
+    "(SELECT COUNT(*) FROM t3) AS n_full"
+)

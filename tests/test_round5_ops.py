@@ -870,3 +870,52 @@ def test_corpus_datasheet_planted(ray_session, tmp_path):
             int(r.n_chars), int(r.n_tokens)) == (3, 2, 2, 8, 5)
     assert int(r.empty_bps) == 10000 * 1 // 3
     assert r.mean_tokens == round(5 / 3, 6)
+
+
+def test_psi_value_drift_identical_halves_zero(ray_session, tmp_path):
+    """Identical value distributions in both halves -> PSI == 0."""
+    from cqf_ray.pipelines.relational import psi_value_drift
+
+    day = 86_400_000_000
+    vals = np.tile(np.linspace(1.0, 10.0, 20), 2)
+    days = np.r_[np.zeros(20, np.int64), np.full(20, 20, np.int64)]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(40), type=pa.int64()),
+            "ts": pa.array((days * day).astype("datetime64[us]")),
+            "user_id": pa.array(np.ones(40, np.int64)),
+            "event_type": pa.array(["view"] * 40),
+            "value": pa.array(vals, type=pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    t = psi_value_drift(str(tmp_path)).to_pandas()
+    assert len(t) == 10
+    assert (t["n_ref"].to_numpy() == t["n_cur"].to_numpy()).all()
+    assert (t["psi_term"] == 0.0).all()
+    assert (t["psi_total"] == 0.0).all()
+
+
+def test_funnel_time_bound_windows(ray_session, tmp_path):
+    """Click inside the hour counts; click after the hour doesn't."""
+    from cqf_ray.pipelines.relational import funnel_time_bound
+
+    m = 60_000_000
+    rows = [  # (user, minute, type)
+        (1, 0, "view"), (1, 30, "click"), (1, 45, "purchase"),  # full
+        (2, 0, "view"), (2, 90, "click"),                       # click too late
+        (3, 0, "view"), (3, 10, "click"), (3, 100, "purchase"), # buy too late
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+            "ts": pa.array((np.array([r[1] for r in rows], np.int64) * m
+                            ).astype("datetime64[us]")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array(np.ones(len(rows)), type=pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    t = funnel_time_bound(str(tmp_path)).to_pandas().iloc[0]
+    assert (int(t.n_view), int(t.n_view_click), int(t.n_full)) == (3, 2, 1)
