@@ -208,6 +208,7 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "corpus_datasheet": _co.corpus_datasheet,
     "psi_value_drift": _rel.psi_value_drift,
     "funnel_time_bound": _rel.funnel_time_bound,
+    "knn_classifier_eval": _ann.knn_classifier_eval,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -1347,3 +1347,60 @@ SQL["embedding_scalar_quant"] = (
     "CAST(SUM(CASE WHEN q = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat "
     "FROM q GROUP BY 1 ORDER BY 1"
 )
+
+
+def knn_classifier_eval(sf_dir: str, *, k: int = 5) -> pa.Table:
+    """Leave-one-out k-NN CLASSIFIER evaluation over the embedding table:
+    each vector is classified by majority vote of its k nearest
+    neighbors' labels (ties → smallest label), and accuracy is reported
+    per true label in exact basis points — the standard embedding-quality
+    eval that tells you whether the space separates classes.  Reuses
+    ``knn_graph``'s broadcast-matmul candidate generation (same 9-dp +
+    id tie-break); the vote and the accuracy fold are vectorized
+    group-bys over the output-sized edge list."""
+    import polars as pl
+
+    g = pl.from_arrow(knn_graph(sf_dir, k=k))
+    labs = read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    labs["label"] = labs["label"].astype(np.int64)
+    ldf = pl.from_pandas(labs)
+    votes = (g.join(ldf.rename({"vec_id": "neighbor_id",
+                                "label": "nlabel"}), on="neighbor_id")
+             .group_by(["vec_id", "nlabel"])
+             .agg(c=pl.len().cast(pl.Int64))
+             .sort(["vec_id", "c", "nlabel"],
+                   descending=[False, True, False])
+             .group_by("vec_id", maintain_order=True)
+             .agg(pred=pl.col("nlabel").first()))
+    ev = (votes.join(ldf, on="vec_id")
+          .with_columns(ok=(pl.col("pred") == pl.col("label"))
+                        .cast(pl.Int64)))
+    acc = (ev.group_by("label")
+           .agg(n_vectors=pl.len().cast(pl.Int64),
+                n_correct=pl.col("ok").sum())
+           .with_columns(accuracy_bps=(10000 * pl.col("n_correct"))
+                         // pl.col("n_vectors"))
+           .sort("label"))
+    return acc.to_arrow()
+
+
+SQL["knn_classifier_eval"] = (
+    "WITH sims AS ( "
+    "  SELECT a.vec_id, a.label AS tlabel, b.vec_id AS nid, "
+    "         CAST(b.label AS BIGINT) AS nlabel, "
+    "         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 9) AS sim "
+    "  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+    "r AS (SELECT vec_id, tlabel, nlabel, ROW_NUMBER() OVER ("
+    "PARTITION BY vec_id ORDER BY sim DESC, nid) AS rk FROM sims), "
+    "v AS (SELECT vec_id, tlabel, nlabel, COUNT(*) AS c "
+    "FROM r WHERE rk <= 5 GROUP BY 1, 2, 3), "
+    "p AS (SELECT vec_id, tlabel, nlabel, ROW_NUMBER() OVER ("
+    "PARTITION BY vec_id ORDER BY c DESC, nlabel) AS pr FROM v) "
+    "SELECT CAST(tlabel AS BIGINT) AS label, COUNT(*) AS n_vectors, "
+    "CAST(SUM(CASE WHEN nlabel = tlabel THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_correct, "
+    "CAST(10000 * SUM(CASE WHEN nlabel = tlabel THEN 1 ELSE 0 END) "
+    "// COUNT(*) AS BIGINT) AS accuracy_bps "
+    "FROM p WHERE pr = 1 GROUP BY 1 ORDER BY 1"
+)

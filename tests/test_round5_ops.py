@@ -919,3 +919,32 @@ def test_funnel_time_bound_windows(ray_session, tmp_path):
     )
     t = funnel_time_bound(str(tmp_path)).to_pandas().iloc[0]
     assert (int(t.n_view), int(t.n_view_click), int(t.n_full)) == (3, 2, 1)
+
+
+def test_knn_classifier_eval_planted(ray_session, clusters_dir):
+    """Tight planted clusters classify perfectly with k=3; the vote and
+    per-label accuracy match a brute-force reimplementation."""
+    from cqf_ray.pipelines.ann import knn_classifier_eval
+
+    t = knn_classifier_eval(clusters_dir, k=3).to_pandas() \
+        .set_index("label")
+    emb = pq.read_table(clusters_dir + "/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    lab = emb["label"].to_numpy().astype(np.int64)
+    sims = np.round(mat @ mat.T, 9)
+    np.fill_diagonal(sims, -np.inf)
+    correct = {L: 0 for L in np.unique(lab)}
+    for i in range(len(ids)):
+        top = np.lexsort((ids, -sims[i]))[:3]
+        vl, vc = np.unique(lab[top], return_counts=True)
+        pred = vl[np.lexsort((vl, -vc))[0]]
+        correct[lab[i]] += int(pred == lab[i])
+    for L, n in correct.items():
+        row = t.loc[L]
+        assert int(row["n_correct"]) == n
+        assert int(row["accuracy_bps"]) == 10000 * n // int(row["n_vectors"])
+    # the two tight clusters are perfectly separable
+    assert int(t.loc[0, "accuracy_bps"]) == 10000
+    assert int(t.loc[1, "accuracy_bps"]) == 10000
