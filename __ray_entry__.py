@@ -209,6 +209,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "psi_value_drift": _rel.psi_value_drift,
     "funnel_time_bound": _rel.funnel_time_bound,
     "knn_classifier_eval": _ann.knn_classifier_eval,
+    "type_cooccurrence_5min": _rel.type_cooccurrence_5min,
+    "vocab_growth_curve": _txt.vocab_growth_curve,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

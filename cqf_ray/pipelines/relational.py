@@ -7010,3 +7010,68 @@ SQL["funnel_time_bound"] = (
     "(SELECT COUNT(*) FROM t2) AS n_view_click, "
     "(SELECT COUNT(*) FROM t3) AS n_full"
 )
+
+
+def type_cooccurrence_5min(sf_dir: str, *, window_min: int = 5) -> pa.Table:
+    """Event-type CO-OCCURRENCE within a trailing window: ordered pairs
+    (earlier type → later type) of events by the SAME user within
+    ``window_min`` minutes — the short-horizon interaction structure a
+    session model learns from (tighter than event_transition_counts'
+    adjacent-only pairs).  One keyed shuffle on user_id; the kernel finds
+    each event's in-window successors with ``user_bursts``' composite-key
+    searchsorted two-pointer and expands pairs with repeat/arange (only
+    window-bounded pairs materialize, never the quadratic blow-up).
+    Exactly mirrors the SQL self-join predicate 0 < Δt ≤ window."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    win_us = np.int64(window_min) * np.int64(60_000_000)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"type_a": pa.array([], type=pa.string()),
+                             "type_b": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsu, uid))
+        u_s, t_s, e_s = uid[order], tsu[order], et[order]
+        idx = np.arange(len(u_s), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        rid = np.searchsorted(starts, idx, side="right") - 1
+        t0 = t_s.min()
+        stride = (t_s.max() - t0) + win_us + np.int64(1)
+        key = rid * stride + (t_s - t0)
+        # successors of i: strictly-later events within the window
+        # (0 < Δt ≤ win) — ts ties fail the strict > on both engines,
+        # hence the side='right' start just past i's peer group
+        lo_excl = np.searchsorted(key, key, side="right")
+        hi_incl = np.searchsorted(key, key + win_us, side="right")
+        n_succ = hi_incl - lo_excl
+        src = np.repeat(idx, n_succ)
+        dst = (np.arange(int(n_succ.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(n_succ) - n_succ, n_succ)
+               + np.repeat(lo_excl, n_succ))
+        df = pl.DataFrame({"type_a": e_s[src], "type_b": e_s[dst]})
+        return (df.group_by(["type_a", "type_b"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(parts, ["type_a", "type_b"],
+                            [("n", "sum", "n")]).to_pandas()
+    out = out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["type_cooccurrence_5min"] = (
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "COUNT(*) AS n FROM events a JOIN events b "
+    "ON a.user_id = b.user_id "
+    "AND epoch_us(b.ts) > epoch_us(a.ts) "
+    "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)

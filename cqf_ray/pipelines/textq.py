@@ -2908,3 +2908,73 @@ SQL["keyword_in_context"] = (
     "FROM x WHERE ws[CAST(pos + 1 AS BIGINT)] = 'spark' "
     "ORDER BY doc_id, pos"
 )
+
+
+def vocab_growth_curve(sf_dir: str, *, points: int = 10) -> pa.Table:
+    """HEAPS-LAW vocabulary growth: distinct terms seen after each decile
+    of the corpus (docs in doc_id order) — the curve that predicts vocab
+    size at 10× the data and sizes tokenizer budgets.  The insight that
+    keeps it ONE pass: the prefix-distinct count at threshold T is just
+    |{terms whose FIRST document ≤ T}| — so a combiner-first
+    min-doc_id-per-term aggregate (vocab-scale exchange) plus a tiny
+    histogram replaces any sequential scan.  All integers.  The final
+    fold runs driver-side on the vocab-scale term table (small-scale
+    verify role; at web scale it becomes one more map_batches histogram
+    against broadcast rank thresholds)."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    bounds = np.array([(i + 1) * n_docs // points for i in range(points)],
+                      dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": np.asarray(batch.column("doc_id").combine_chunks()
+                                 ).astype(np.int64),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        return (df.with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+                .drop("t").explode("tok").drop_nulls("tok")
+                .group_by("tok")
+                .agg(first_doc=pl.col("doc_id").min()).to_arrow())
+
+    terms = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], [("first_doc", "min", "first_doc")],
+    ).to_pandas()
+    # doc_id rank (dense position in sorted doc order) ≈ doc_id order;
+    # thresholds are doc-RANK based so gaps in doc_id don't skew deciles
+    all_ids = np.sort(read(sf_dir, "documents", ["doc_id"])
+                      .to_pandas()["doc_id"].to_numpy(np.int64))
+    first_rank = np.searchsorted(all_ids, terms["first_doc"].to_numpy(np.int64),
+                                 side="left") + 1
+    vocab = np.array([(first_rank <= b).sum() for b in bounds],
+                     dtype=np.int64)
+    out = pd.DataFrame({
+        "decile": np.arange(1, points + 1, dtype=np.int64),
+        "n_docs": bounds,
+        "vocab_size": vocab,
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["vocab_growth_curve"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+    "f AS (SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY 1), "
+    "rk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r "
+    "FROM documents), "
+    "fr AS (SELECT f.t, rk.r FROM f JOIN rk ON rk.doc_id = f.first_doc), "
+    "nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "d AS (SELECT CAST(i + 1 AS BIGINT) AS decile, "
+    "CAST((i + 1) * n // 10 AS BIGINT) AS n_docs "
+    "FROM range(10) t(i), nd) "
+    "SELECT d.decile, d.n_docs, "
+    "CAST((SELECT COUNT(*) FROM fr WHERE fr.r <= d.n_docs) AS BIGINT) "
+    "AS vocab_size "
+    "FROM d ORDER BY d.decile"
+)

@@ -948,3 +948,43 @@ def test_knn_classifier_eval_planted(ray_session, clusters_dir):
     # the two tight clusters are perfectly separable
     assert int(t.loc[0, "accuracy_bps"]) == 10000
     assert int(t.loc[1, "accuracy_bps"]) == 10000
+
+
+def test_type_cooccurrence_window_edges(ray_session, tmp_path):
+    from cqf_ray.pipelines.relational import type_cooccurrence_5min
+
+    s = 1_000_000  # one second in us
+    rows = [  # (user, sec, type)
+        (1, 0, "view"), (1, 299, "click"),    # inside (299s <= 300s)
+        (1, 301, "purchase"),                 # outside view's window,
+                                              # inside click's (2s after)
+        (2, 0, "view"), (2, 0, "click"),      # exact tie: NOT a pair
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+            "ts": pa.array((np.array([r[1] for r in rows], np.int64) * s
+                            ).astype("datetime64[us]")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array(np.ones(len(rows)), type=pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    t = type_cooccurrence_5min(str(tmp_path)).to_pandas()
+    got = {(r.type_a, r.type_b): int(r.n) for r in t.itertuples()}
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_vocab_growth_monotone_and_total(ray_session):
+    from cqf_ray.pipelines.textq import vocab_growth_curve
+
+    t = vocab_growth_curve(SF_DIR).to_pandas()
+    v = t["vocab_size"].to_numpy()
+    assert (np.diff(v) >= 0).all()          # growth is monotone
+    docs = pq.read_table(SF_DIR + "/documents.parquet",
+                         columns=["text"]).to_pandas()
+    full_vocab = set()
+    for x in docs["text"]:
+        full_vocab.update(x.lower().split())
+    assert int(v[-1]) == len(full_vocab)    # last point = full vocabulary
