@@ -211,6 +211,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_classifier_eval": _ann.knn_classifier_eval,
     "type_cooccurrence_5min": _rel.type_cooccurrence_5min,
     "vocab_growth_curve": _txt.vocab_growth_curve,
+    "user_streaks": _rel.user_streaks,
+    "chi2_type_hour": _rel.chi2_type_hour,
+    "weighted_median_value_by_type": _rel.weighted_median_value_by_type,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

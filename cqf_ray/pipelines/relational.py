@@ -7075,3 +7075,202 @@ SQL["type_cooccurrence_5min"] = (
     "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
     "GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+def user_streaks(sf_dir: str) -> pa.Table:
+    """Longest consecutive-day activity streak per user, reported as a
+    distribution (streak length → number of users) — the gaps-and-islands
+    shape every engagement pipeline needs. One keyed exchange on user_id;
+    the kernel reduces each partition to distinct (user, day) pairs and
+    finds maximal runs of consecutive days with a single vectorized
+    diff==1 scan (no per-user loop, no window function): an island starts
+    where the user changes or the day gap exceeds 1, run lengths come from
+    the start offsets, and the per-user max via polars. The exchange
+    carries (user, day)-distinct rows only — bounded by users × active
+    days, not by event count."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"streak_len": pa.array([], type=pa.int64()),
+                             "n_users": pa.array([], type=pa.int64())})
+        day = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[D]").astype(np.int64))
+        key = uid * np.int64(1 << 20) + day  # days ≪ 2^20 since epoch
+        uk = np.unique(key)
+        u_s, d_s = uk >> np.int64(20), uk & np.int64((1 << 20) - 1)
+        new_island = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1] + 1)]
+        starts = np.flatnonzero(new_island)
+        lengths = np.diff(np.r_[starts, len(uk)])
+        df = pl.DataFrame({"u": pl.Series(u_s[starts]),
+                           "len": pl.Series(lengths.astype(np.int64))})
+        best = df.group_by("u").agg(best=pl.col("len").max())
+        return (best.group_by("best").agg(n_users=pl.len().cast(pl.Int64))
+                .rename({"best": "streak_len"}).to_arrow())
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(parts, ["streak_len"],
+                            [("n_users", "sum", "n_users")]).to_pandas()
+    out = out.sort_values("streak_len").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["user_streaks"] = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+    "r AS (SELECT user_id, day, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d), "
+    "g AS (SELECT user_id, COUNT(*) AS len FROM r "
+    "GROUP BY user_id, day - rn), "
+    "b AS (SELECT user_id, MAX(len) AS best FROM g GROUP BY user_id) "
+    "SELECT best AS streak_len, COUNT(*) AS n_users FROM b "
+    "GROUP BY best ORDER BY best"
+)
+
+
+def chi2_type_hour(sf_dir: str) -> pa.Table:
+    """Pearson chi-square independence statistic for event_type ×
+    hour-of-day — the drift/association test a feature-audit pipeline
+    runs before trusting a categorical cross. ONE combiner-first
+    aggregate to the (type, hour) contingency table — at most
+    |types| × 24 rows regardless of input size — then the statistic is
+    driver-side arithmetic on that constant-size table, summing over ALL
+    grid cells (zero-observed cells contribute their full expected
+    count, exactly as the textbook definition and the oracle's dense
+    cross-join do)."""
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "hour": np.asarray(pc.hour(batch.column("ts")).combine_chunks(),
+                               dtype=np.int64),
+        })
+        return (df.group_by(["event_type", "hour"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], [("n", "sum", "n")],
+    ).to_pandas()
+    types = np.sort(c["event_type"].unique())
+    hours = np.sort(c["hour"].unique())
+    grid = np.zeros((len(types), len(hours)), dtype=np.int64)
+    ti = {t: i for i, t in enumerate(types)}
+    hi = {h: i for i, h in enumerate(hours)}
+    for t, h, n in zip(c["event_type"], c["hour"], c["n"]):
+        grid[ti[t], hi[h]] = n
+    rt = grid.sum(axis=1, dtype=np.float64)
+    ct = grid.sum(axis=0, dtype=np.float64)
+    tot = float(grid.sum())
+    e = np.outer(rt, ct) / tot
+    chi2 = float(((grid - e) ** 2 / e).sum())
+    dof = (len(types) - 1) * (len(hours) - 1)
+    return pa.table({"chi2": pa.array([round_col(np.array([chi2]), 6)[0]],
+                                      type=pa.float64()),
+                     "dof": pa.array([dof], type=pa.int64()),
+                     "n_cells": pa.array([len(types) * len(hours)],
+                                         type=pa.int64())})
+
+
+SQL["chi2_type_hour"] = (
+    "WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "grid AS (SELECT t.event_type, h.hour, COALESCE(c.n, 0) AS n "
+    "FROM (SELECT DISTINCT event_type FROM c) t "
+    "CROSS JOIN (SELECT DISTINCT hour FROM c) h "
+    "LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.hour), "
+    "tots AS (SELECT event_type, SUM(n) AS rt FROM grid GROUP BY 1), "
+    "cols AS (SELECT hour, SUM(n) AS ct FROM grid GROUP BY 1), "
+    "n AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM grid) "
+    "SELECT ROUND(SUM(POWER(grid.n - tots.rt * cols.ct / n.tot, 2) "
+    "/ (tots.rt * cols.ct / n.tot)), 6) AS chi2, "
+    "(COUNT(DISTINCT grid.event_type) - 1) "
+    "* (COUNT(DISTINCT grid.hour) - 1) AS dof, "
+    "COUNT(*) AS n_cells "
+    "FROM grid, tots, cols, n "
+    "WHERE grid.event_type = tots.event_type AND grid.hour = cols.hour"
+)
+
+
+def weighted_median_value_by_type(sf_dir: str) -> pa.Table:
+    """Quantity-WEIGHTED median of l_extendedprice per l_returnflag — the
+    weighted order statistic (smallest price whose inclusive cumulative
+    quantity reaches half the total) that plain MEDIAN/quantile can't
+    express. Plan: combiner-first aggregate to distinct
+    (flag, price) → Σquantity — the exchange carries distinct-price
+    rows, not line items — then a per-flag kernel sorts its prices once
+    and reads the crossing point off a cumsum (searchsorted, no scan
+    loop). Weights are small integers stored as doubles, so the cumsum
+    is exact and both engines agree bit-for-bit."""
+    from ..stages.keyed import keyed_partition_map
+
+    li = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (df.group_by(["l_returnflag", "l_extendedprice"])
+                .agg(q=pl.col("l_quantity").sum()).to_arrow())
+
+    dist = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_extendedprice"], [("q", "sum", "q")],
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        f = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        if len(f) == 0:
+            return pa.table({"l_returnflag": pa.array([], type=pa.string()),
+                             "wmedian": pa.array([], type=pa.float64())})
+        p = np.asarray(t.column("l_extendedprice").combine_chunks(),
+                       dtype=np.float64)
+        q = np.asarray(t.column("q").combine_chunks(), dtype=np.float64)
+        df = pl.DataFrame({"f": f.astype(str), "p": pl.Series(p),
+                           "q": pl.Series(q)}).sort(["f", "p"])
+        fs = df.get_column("f").to_numpy()
+        ps = df.get_column("p").to_numpy()
+        qs = df.get_column("q").to_numpy()
+        starts = np.flatnonzero(np.r_[True, fs[1:] != fs[:-1]])
+        cw = np.cumsum(qs)
+        base = np.repeat(np.r_[0.0, cw[starts[1:] - 1]],
+                         np.diff(np.r_[starts, len(fs)]))
+        cw_in = cw - base
+        tw = np.repeat(cw_in[np.r_[starts[1:] - 1, len(fs) - 1]],
+                       np.diff(np.r_[starts, len(fs)]))
+        crossed = cw_in >= tw / 2.0
+        # first crossing row per flag: argmax over each run
+        first = np.array([starts[i] + int(np.argmax(
+            crossed[starts[i]:(starts[i + 1] if i + 1 < len(starts)
+                               else len(fs))]))
+            for i in range(len(starts))], dtype=np.int64)
+        return pa.table({"l_returnflag": pa.array(fs[first].tolist(),
+                                                  type=pa.string()),
+                         "wmedian": pa.array(ps[first], type=pa.float64())})
+
+    out = keyed_partition_map(dist, ["l_returnflag"], kernel).to_pandas()
+    out = out.sort_values("l_returnflag").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["weighted_median_value_by_type"] = (
+    "WITH s AS (SELECT l_returnflag, l_extendedprice AS p, "
+    "SUM(l_quantity) AS q FROM lineitem GROUP BY 1, 2), "
+    "w AS (SELECT l_returnflag, p, "
+    "SUM(q) OVER (PARTITION BY l_returnflag ORDER BY p) AS cw, "
+    "SUM(q) OVER (PARTITION BY l_returnflag) AS tw FROM s) "
+    "SELECT l_returnflag, MIN(p) AS wmedian FROM w "
+    "WHERE cw >= tw / 2.0 GROUP BY 1 ORDER BY 1"
+)
