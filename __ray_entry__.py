@@ -214,6 +214,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "user_streaks": _rel.user_streaks,
     "chi2_type_hour": _rel.chi2_type_hour,
     "weighted_median_value_by_type": _rel.weighted_median_value_by_type,
+    "hapax_ratio_by_source": _txt.hapax_ratio_by_source,
+    "term_position_profile": _txt.term_position_profile,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -2978,3 +2978,164 @@ SQL["vocab_growth_curve"] = (
     "AS vocab_size "
     "FROM d ORDER BY d.decile"
 )
+
+
+def hapax_ratio_by_source(sf_dir: str) -> pa.Table:
+    """Per-source HAPAX LEGOMENA ratio — the fraction of a source's
+    vocabulary that occurs exactly once, the classic productivity /
+    OCR-noise indicator a corpus audit reads next to entropy. Same ONE
+    combiner-first (source, term) count as ``term_entropy_by_source``;
+    the fold just counts n==1 terms per source, so the exchange carries
+    per-batch vocab partials and the final table is |sources| rows."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "source": pl.from_arrow(batch.column("source").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        return (df.with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+                .drop("t").explode("tok").drop_nulls("tok")
+                .group_by(["source", "tok"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "tok"], [("n", "sum", "n")],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (df.group_by("source")
+                .agg(n_terms=pl.len().cast(pl.Int64),
+                     n_hapax=(pl.col("n") == 1).sum().cast(pl.Int64))
+                .to_arrow())
+
+    out = grouped_aggregate(
+        counts.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("n_terms", "sum", "n_terms"), ("n_hapax", "sum", "n_hapax")],
+    ).to_pandas()
+    out["hapax_ratio"] = round_col(
+        out["n_hapax"].to_numpy(np.float64)
+        / out["n_terms"].to_numpy(np.float64), 6)
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["source", "n_terms", "n_hapax", "hapax_ratio"]],
+        preserve_index=False)
+
+
+SQL["hapax_ratio_by_source"] = (
+    "WITH tok AS (SELECT source, "
+    "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+    "c AS (SELECT source, t, COUNT(*) AS n FROM tok GROUP BY 1, 2) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+    "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, "
+    "ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ COUNT(*), 6) AS hapax_ratio "
+    "FROM c GROUP BY source ORDER BY source"
+)
+
+
+def term_position_profile(sf_dir: str, *, k: int = 20) -> pa.Table:
+    """WHERE in documents do the top terms appear? For the k terms with
+    highest document frequency (ties → lexicographic), the mean relative
+    first-occurrence position ((first_index)/(doc token count), 0 = doc
+    start) across the docs containing them — the positional-bias signal
+    a boilerplate/header detector is built on. Two streaming passes:
+    pass 1 is the combiner-first df aggregate (vocabulary-sized result,
+    driver top-k on that aggregate only); pass 2 broadcasts the k-term
+    set into a batch kernel that explodes tokens WITH positions, keeps
+    the min index per (doc, top-term) (vectorized polars), and emits
+    per-batch (term, Σrelpos, n) partials — the exchange is k-bounded."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        return (df.with_columns(term=pl.col("t").str.extract_all(r"\S+"))
+                .select("doc_id", "term").explode("term").drop_nulls()
+                .group_by("term")
+                .agg(df_part=pl.col("doc_id").n_unique().cast(pl.Int64))
+                .to_arrow())
+
+    agg = grouped_aggregate(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["term"], [("df", "sum", "df_part")],
+    ).to_pandas()
+    agg = agg.sort_values(["df", "term"], ascending=[False, True]).head(k)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    top = set(agg["term"])
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch.column("doc_id").combine_chunks()),
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        ex = (df.with_columns(term=pl.col("t").str.extract_all(r"\S+"))
+              .select("doc_id", "term")
+              .with_columns(ntok=pl.col("term").list.len().cast(pl.Int64))
+              .explode("term").drop_nulls("term")
+              .with_columns(pos=pl.int_range(pl.len()).over("doc_id")
+                            .cast(pl.Int64))
+              .filter(pl.col("term").is_in(list(top)))
+              .group_by(["doc_id", "term"])
+              .agg(fp=pl.col("pos").min(), ntok=pl.col("ntok").first()))
+        ex = ex.with_columns(
+            relpos=pl.col("fp").cast(pl.Float64)
+            / pl.col("ntok").cast(pl.Float64))
+        return (ex.group_by("term")
+                .agg(s=pl.col("relpos").sum(),
+                     n=pl.len().cast(pl.Int64)).to_arrow())
+
+    pos = grouped_aggregate(
+        ds.map_batches(pos_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["term"], [("s", "sum", "s"), ("n", "sum", "n")],
+    ).to_pandas()
+    out = agg.merge(pos, on="term", how="left")
+    out["mean_relpos"] = round_col(
+        out["s"].to_numpy(np.float64) / out["n"].to_numpy(np.float64), 6)
+    out = out[["rank", "term", "df", "mean_relpos"]].sort_values("rank")
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["term_position_profile"] = (
+    "WITH d AS (SELECT doc_id, "
+    "regexp_extract_all(lower(text), '\\S+') AS toks FROM documents), "
+    "t AS (SELECT doc_id, UNNEST(toks) AS term FROM d), "
+    "dt AS (SELECT DISTINCT doc_id, term FROM t), "
+    "dfs AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term), "
+    "top AS (SELECT term, df, "
+    "ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rank FROM dfs "
+    "QUALIFY rank <= 20), "
+    "pos AS (SELECT dt.term, "
+    "CAST(list_position(d.toks, dt.term) - 1 AS DOUBLE) / len(d.toks) "
+    "AS relpos FROM dt JOIN d USING (doc_id) "
+    "JOIN top ON top.term = dt.term) "
+    "SELECT top.rank, top.term, CAST(top.df AS BIGINT) AS df, "
+    "ROUND(AVG(pos.relpos), 6) AS mean_relpos "
+    "FROM pos JOIN top ON pos.term = top.term "
+    "GROUP BY 1, 2, 3 ORDER BY rank"
+)
