@@ -216,6 +216,8 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_median_value_by_type": _rel.weighted_median_value_by_type,
     "hapax_ratio_by_source": _txt.hapax_ratio_by_source,
     "term_position_profile": _txt.term_position_profile,
+    "embedding_norm_quantiles": _ann.embedding_norm_quantiles,
+    "cosine_pair_stats": _ann.cosine_pair_stats,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -1404,3 +1404,117 @@ SQL["knn_classifier_eval"] = (
     "// COUNT(*) AS BIGINT) AS accuracy_bps "
     "FROM p WHERE pr = 1 GROUP BY 1 ORDER BY 1"
 )
+
+
+def embedding_norm_quantiles(sf_dir: str) -> pa.Table:
+    """Per-label L2-NORM profile of the embedding column — the
+    magnitude-drift audit run before cosine vs dot-product retrieval
+    decisions (unnormalized encoders leak document length into norms).
+    One map_batches computes ‖v‖₂ in float64 from the flattened Arrow
+    values buffer (no per-row Python), rounded to 6 dp BEFORE the
+    order-statistic fold so both engines aggregate identical doubles;
+    then ONE keyed exchange on label and a per-label sort+gather kernel
+    emits min / disc-median / max (quantile_disc convention
+    sorted[ceil(q·n)−1], ``winsorized_value_stats`` precedent). The
+    exchange carries (label, norm) pairs — 16 bytes/vector."""
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label").combine_chunks()).astype(np.int64)
+        mat = batch_embeddings(batch)
+        nr = np.round(np.sqrt((mat * mat).sum(axis=1)), 6)
+        return pa.table({"label": pa.array(lab, type=pa.int64()),
+                         "nr": pa.array(nr, type=pa.float64())})
+
+    nd = ds.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t.column("label").combine_chunks()).astype(np.int64)
+        if len(lab) == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "min_norm": pa.array([], type=pa.float64()),
+                             "p50_norm": pa.array([], type=pa.float64()),
+                             "max_norm": pa.array([], type=pa.float64())})
+        nr = np.asarray(t.column("nr").combine_chunks(), dtype=np.float64)
+        order = np.lexsort((nr, lab))
+        l_s, v_s = lab[order], nr[order]
+        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]])
+        ends = np.r_[starts[1:], len(l_s)]
+        cnt = ends - starts
+        med = v_s[starts + np.ceil(0.5 * cnt).astype(np.int64) - 1]
+        return pa.table({"label": pa.array(l_s[starts], type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                         "min_norm": pa.array(v_s[starts], type=pa.float64()),
+                         "p50_norm": pa.array(med, type=pa.float64()),
+                         "max_norm": pa.array(v_s[ends - 1], type=pa.float64())})
+
+    out = keyed_partition_map(nd, ["label"], kernel).to_pandas()
+    out = out.sort_values("label").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["embedding_norm_quantiles"] = (
+    "WITH n AS (SELECT label, ROUND(sqrt(list_sum(list_transform("
+    "CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS nr "
+    "FROM embeddings) "
+    "SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n, "
+    "MIN(nr) AS min_norm, quantile_disc(nr, 0.5) AS p50_norm, "
+    "MAX(nr) AS max_norm FROM n GROUP BY label ORDER BY label"
+)
+
+
+def cosine_pair_stats(sf_dir: str, *, rate: int = 5) -> pa.Table:
+    """Pairwise-cosine DISTRIBUTION summary over a deterministic
+    1-in-``rate`` mod-sample of the corpus — the cheap geometry probe
+    (is the space collapsing? are sims bimodal?) run before committing
+    to a dedup threshold. The sample predicate (vec_id % rate = 0) is
+    applied batch-side so only ~n/rate vectors reach the driver (the
+    production path swaps in the murmur hash-sample of
+    ``sample_embeddings``); the sample matrix is matmul'd once and the
+    i<j triangle summarized. Sims rounded to 9 dp (knn_graph
+    convention) before stats; disc-quantiles are exact order
+    statistics, the mean is ROUND 6."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").combine_chunks()).astype(np.int64)
+        keep = vid % np.int64(rate) == 0
+        mat = batch_embeddings(batch)[keep]
+        return pa.table({"vec_id": pa.array(vid[keep], type=pa.int64()),
+                         "embedding": pa.array(list(mat))})
+
+    s = ds.map_batches(pick, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    mat = np.stack(s["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 9)
+    iu = np.triu_indices(len(mat), k=1)
+    v = np.sort(sims[iu])
+    n = len(v)
+    q = lambda p: v[int(np.ceil(p * n)) - 1]
+    from .common import round_col
+
+    return pa.table({
+        "n_pairs": pa.array([n], type=pa.int64()),
+        "mean_sim": pa.array([round_col(np.array([v.mean()]), 6)[0]],
+                             type=pa.float64()),
+        "p10_sim": pa.array([q(0.10)], type=pa.float64()),
+        "p50_sim": pa.array([q(0.50)], type=pa.float64()),
+        "p90_sim": pa.array([q(0.90)], type=pa.float64()),
+    })
+
+
+SQL["cosine_pair_stats"] = (
+    "WITH s AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 5 = 0), "
+    "p AS (SELECT ROUND(list_cosine_similarity("
+    "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) "
+    "AS sim FROM s a JOIN s b ON a.vec_id < b.vec_id) "
+    "SELECT COUNT(*) AS n_pairs, ROUND(AVG(sim), 6) AS mean_sim, "
+    "quantile_disc(sim, 0.10) AS p10_sim, "
+    "quantile_disc(sim, 0.50) AS p50_sim, "
+    "quantile_disc(sim, 0.90) AS p90_sim FROM p"
+)
