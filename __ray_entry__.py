@@ -218,6 +218,9 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "term_position_profile": _txt.term_position_profile,
     "embedding_norm_quantiles": _ann.embedding_norm_quantiles,
     "cosine_pair_stats": _ann.cosine_pair_stats,
+    "ewma_hourly_counts": _rel.ewma_hourly_counts,
+    "pareto_8020_users": _rel.pareto_8020_users,
+    "unpivot_user_features": _rel.unpivot_user_features,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

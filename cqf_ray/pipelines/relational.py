@@ -7274,3 +7274,220 @@ SQL["weighted_median_value_by_type"] = (
     "SELECT l_returnflag, MIN(p) AS wmedian FROM w "
     "WHERE cw >= tw / 2.0 GROUP BY 1 ORDER BY 1"
 )
+
+
+def ewma_hourly_counts(sf_dir: str, *, alpha: float = 0.5) -> pa.Table:
+    """Exponentially-weighted moving average of hourly event counts per
+    type (α = 0.5, s_t = α·x_t + (1−α)·s_{t−1} over observed hourly
+    buckets) — the smoother behind every rate-alert baseline. ONE
+    combiner-first aggregate to (type, hour) counts — bounded by
+    types × time-range, never event count — then a per-type kernel runs
+    the O(n) recursion over its sorted buckets (the oracle evaluates
+    the equivalent closed-form weighted sum; ROUND 6 absorbs the
+    bit-level difference between the two exact-real-identical
+    formulations). Output: per type, bucket count, final and peak EWMA."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hr = (np.asarray(batch.column("ts").combine_chunks())
+              .astype("datetime64[h]").astype(np.int64))
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "hr": pl.Series(hr),
+        })
+        return (df.group_by(["event_type", "hr"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    counts = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hr"], [("n", "sum", "n")],
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_buckets": pa.array([], type=pa.int64()),
+                             "last_ewma": pa.array([], type=pa.float64()),
+                             "peak_ewma": pa.array([], type=pa.float64())})
+        et = t.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        hr = np.asarray(t.column("hr").combine_chunks()).astype(np.int64)
+        n = np.asarray(t.column("n").combine_chunks()).astype(np.float64)
+        order = np.lexsort((hr, et))
+        e_s, x_s = et[order], n[order]
+        starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+        ends = np.r_[starts[1:], len(e_s)]
+        types, nb, last, peak = [], [], [], []
+        for a, b in zip(starts, ends):
+            # O(buckets) recursion on the time-bounded aggregate, not data
+            s = x_s[a]
+            pk = s
+            for i in range(a + 1, b):
+                s = alpha * x_s[i] + (1.0 - alpha) * s
+                pk = max(pk, s)
+            types.append(e_s[a]); nb.append(b - a)
+            last.append(s); peak.append(pk)
+        return pa.table({"event_type": pa.array(types, type=pa.string()),
+                         "n_buckets": pa.array(np.array(nb, np.int64)),
+                         "last_ewma": pa.array(round_col(np.array(last), 6)),
+                         "peak_ewma": pa.array(round_col(np.array(peak), 6))})
+
+    out = keyed_partition_map(counts, ["event_type"], kernel).to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["ewma_hourly_counts"] = (
+    "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, hr, n, ROW_NUMBER() OVER ("
+    "PARTITION BY event_type ORDER BY hr) AS rn FROM h), "
+    "e AS (SELECT a.event_type, a.rn, SUM(b.n * CASE WHEN b.rn = 1 "
+    "THEN POWER(0.5, a.rn - 1) ELSE POWER(0.5, a.rn - b.rn + 1) END) AS s "
+    "FROM r a JOIN r b ON b.event_type = a.event_type AND b.rn <= a.rn "
+    "GROUP BY 1, 2), "
+    "m AS (SELECT event_type, MAX(rn) AS maxrn FROM e GROUP BY 1) "
+    "SELECT a.event_type, CAST(m.maxrn AS BIGINT) AS n_buckets, "
+    "ROUND(MAX(CASE WHEN a.rn = m.maxrn THEN a.s END), 6) AS last_ewma, "
+    "ROUND(MAX(a.s), 6) AS peak_ewma "
+    "FROM e a JOIN m ON m.event_type = a.event_type "
+    "GROUP BY 1, 2 ORDER BY 1"
+)
+
+
+def pareto_8020_users(sf_dir: str) -> pa.Table:
+    """Revenue concentration: the smallest number of users whose summed
+    purchase value covers ≥80% of total purchase value (the literal
+    80/20 audit). Money is folded in integer cents (winsorized
+    precedent) so the crossing predicate 10·cum ≥ 8·total is EXACT —
+    no float cumsum knife-edge. Plan: combiner-first per-user cent
+    sums, streaming count+sum for the totals, then a DESCENDING
+    distributed sort whose result is consumed with iter_batches and
+    EARLY-EXIT — the driver sees only the (spend, user) prefix up to
+    the crossing (for a skewed corpus, a tiny head), never the full
+    user table."""
+    ev = read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).filter(pl.col("event_type") == "purchase")
+        vc = pl.Series(np.round(df.get_column("value").to_numpy()
+                                * 100.0).astype(np.int64))
+        return (pl.DataFrame({"user_id": df.get_column("user_id"), "vc": vc})
+                .group_by("user_id").agg(v=pl.col("vc").sum()).to_arrow())
+
+    spend = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("v", "sum", "v")],
+    ).materialize()
+    n_users = spend.count()
+    tot = int(spend.sum("v"))
+    srt = spend.sort(["v", "user_id"], descending=[True, False])
+    cum = 0
+    n80 = 0
+    done = False
+    for b in srt.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        v = np.asarray(b.column("v").combine_chunks()).astype(np.int64)
+        c = np.cumsum(v) + cum
+        hit = np.flatnonzero(c * 10 >= tot * 8)
+        if len(hit):
+            n80 += int(hit[0]) + 1
+            done = True
+            break
+        cum = int(c[-1])
+        n80 += len(v)
+    assert done or n_users == 0
+    return pa.table({
+        "n_users": pa.array([n_users], type=pa.int64()),
+        "n_users_80": pa.array([n80], type=pa.int64()),
+        "user_share": pa.array(
+            round_col(np.array([n80 / n_users if n_users else 0.0]), 6)),
+    })
+
+
+SQL["pareto_8020_users"] = (
+    "WITH s AS (SELECT user_id, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v FROM events "
+    "WHERE event_type = 'purchase' GROUP BY 1), "
+    "o AS (SELECT user_id, v, "
+    "SUM(v) OVER (ORDER BY v DESC, user_id) AS cum, "
+    "SUM(v) OVER () AS tot, "
+    "ROW_NUMBER() OVER (ORDER BY v DESC, user_id) AS rn FROM s) "
+    "SELECT (SELECT COUNT(*) FROM s) AS n_users, "
+    "CAST(MIN(rn) AS BIGINT) AS n_users_80, "
+    "ROUND(CAST(MIN(rn) AS DOUBLE) / (SELECT COUNT(*) FROM s), 6) "
+    "AS user_share FROM o WHERE cum * 10 >= tot * 8"
+)
+
+
+def unpivot_user_features(sf_dir: str) -> pa.Table:
+    """UNPIVOT/melt demonstration over the per-user feature block: wide
+    per-user aggregates (event count, distinct types, total value) are
+    melted to long (user, feature, value) INSIDE the per-partition
+    kernel and immediately re-aggregated to per-feature global stats —
+    the exchange after the melt carries |partitions| × 3 partial rows,
+    never the users × features long table. Money folds in integer
+    cents; means are exact-ratio ROUND 6."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0:
+            return pa.table({"feature": pa.array([], type=pa.string()),
+                             "n_users": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        df = pl.from_arrow(t)
+        vc = pl.Series(np.round(df.get_column("value").to_numpy()
+                                * 100.0).astype(np.int64))
+        f = (df.with_columns(vc=vc).group_by("user_id")
+             .agg(n_events=pl.len().cast(pl.Int64),
+                  n_types=pl.col("event_type").n_unique().cast(pl.Int64),
+                  vcs=pl.col("vc").sum()))
+        long = f.unpivot(index="user_id",
+                         on=["n_events", "n_types", "vcs"],
+                         variable_name="feature", value_name="val")
+        long = long.with_columns(
+            val=pl.when(pl.col("feature") == "vcs")
+            .then(pl.col("val").cast(pl.Float64) / 100.0)
+            .otherwise(pl.col("val").cast(pl.Float64)),
+            feature=pl.col("feature").replace({"vcs": "total_value"}))
+        return (long.group_by("feature")
+                .agg(n_users=pl.len().cast(pl.Int64),
+                     s=pl.col("val").sum(),
+                     mx=pl.col("val").max()).to_arrow())
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(parts, ["feature"],
+                            [("n_users", "sum", "n_users"),
+                             ("s", "sum", "s"), ("mx", "max", "mx")]
+                            ).to_pandas()
+    out["mean_val"] = round_col(out["s"].to_numpy(np.float64)
+                                / out["n_users"].to_numpy(np.float64), 6)
+    out = out.rename(columns={"mx": "max_val"})
+    out = out[["feature", "n_users", "mean_val", "max_val"]]
+    out = out.sort_values("feature").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["unpivot_user_features"] = (
+    "WITH f AS (SELECT user_id, COUNT(*) AS n_events, "
+    "COUNT(DISTINCT event_type) AS n_types, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vc FROM events "
+    "GROUP BY 1), "
+    "m AS (SELECT user_id, 'n_events' AS feature, "
+    "CAST(n_events AS DOUBLE) AS val FROM f "
+    "UNION ALL SELECT user_id, 'n_types', CAST(n_types AS DOUBLE) FROM f "
+    "UNION ALL SELECT user_id, 'total_value', "
+    "CAST(vc AS DOUBLE) / 100.0 FROM f) "
+    "SELECT feature, COUNT(*) AS n_users, ROUND(AVG(val), 6) AS mean_val, "
+    "MAX(val) AS max_val FROM m GROUP BY 1 ORDER BY 1"
+)
