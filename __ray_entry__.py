@@ -221,6 +221,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "ewma_hourly_counts": _rel.ewma_hourly_counts,
     "pareto_8020_users": _rel.pareto_8020_users,
     "unpivot_user_features": _rel.unpivot_user_features,
+    "session_gap_sensitivity": _rel.session_gap_sensitivity,
+    "repeat_purchase_rate": _rel.repeat_purchase_rate,
+    "vocab_coverage_curve": _txt.vocab_coverage_curve,
+    "label_reweight_plan": _ann.label_reweight_plan,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -1518,3 +1518,46 @@ SQL["cosine_pair_stats"] = (
     "quantile_disc(sim, 0.50) AS p50_sim, "
     "quantile_disc(sim, 0.90) AS p90_sim FROM p"
 )
+
+
+def label_reweight_plan(sf_dir: str) -> pa.Table:
+    """Class-imbalance REWEIGHTING plan over the embedding labels:
+    inverse-frequency weight w_k = N / (K·n_k) (mean weight 1 under the
+    empirical distribution) plus each class's sampling share — the
+    table a training loop feeds its loss weights / sampler from. One
+    combiner-first label count; everything else is arithmetic on the
+    K-row aggregate."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "embeddings", ["label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({"label": np.asarray(
+            batch.column("label").combine_chunks()).astype(np.int64)})
+        return df.group_by("label").agg(n=pl.len().cast(pl.Int64)).to_arrow()
+
+    c = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label"], [("n", "sum", "n")],
+    ).to_pandas()
+    N = int(c["n"].sum()); K = len(c)
+    c["share"] = round_col(c["n"].to_numpy(np.float64) / N, 6)
+    c["weight"] = round_col(N / (K * c["n"].to_numpy(np.float64)), 6)
+    c = c.astype({"label": np.int64, "n": np.int64})
+    c = c.sort_values("label").reset_index(drop=True)
+    return pa.Table.from_pandas(c[["label", "n", "share", "weight"]],
+                                preserve_index=False)
+
+
+SQL["label_reweight_plan"] = (
+    "WITH c AS (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n "
+    "FROM embeddings GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS N, COUNT(*) AS K FROM c) "
+    "SELECT c.label, c.n, "
+    "ROUND(CAST(c.n AS DOUBLE) / t.N, 6) AS share, "
+    "ROUND(CAST(t.N AS DOUBLE) / (t.K * c.n), 6) AS weight "
+    "FROM c, t ORDER BY c.label"
+)

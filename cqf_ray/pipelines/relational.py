@@ -7491,3 +7491,125 @@ SQL["unpivot_user_features"] = (
     "SELECT feature, COUNT(*) AS n_users, ROUND(AVG(val), 6) AS mean_val, "
     "MAX(val) AS max_val FROM m GROUP BY 1 ORDER BY 1"
 )
+
+
+def session_gap_sensitivity(sf_dir: str) -> pa.Table:
+    """How sensitive is sessionization to the idle-gap threshold? ONE
+    pass computes the session count and mean events/session at gap
+    cutoffs 10/30/60 min simultaneously: sessions(g) per user =
+    1 + #{inter-event gaps > g}, so a single keyed exchange on user_id
+    and one vectorized diff per partition answers all three thresholds
+    (the parameter sweep costs one extra comparison per gap, not a
+    re-scan). Gap values are tie-order invariant (equal timestamps sort
+    adjacent → zero gaps)."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    gaps_min = (10, 30, 60)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"gap_min": pa.array([], type=pa.int64()),
+                             "n_users": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "n_breaks": pa.array([], type=pa.int64())})
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        order = np.lexsort((tsu, uid))
+        u_s, t_s = uid[order], tsu[order]
+        same = u_s[1:] == u_s[:-1]
+        d = (t_s[1:] - t_s[:-1])[same]
+        nu = int((u_s[1:] != u_s[:-1]).sum()) + 1
+        rows = {g: int((d > np.int64(g) * 60_000_000).sum())
+                for g in gaps_min}
+        return pa.table({
+            "gap_min": pa.array(list(gaps_min), type=pa.int64()),
+            "n_users": pa.array([nu] * len(gaps_min), type=pa.int64()),
+            "n_events": pa.array([len(u_s)] * len(gaps_min), type=pa.int64()),
+            "n_breaks": pa.array([rows[g] for g in gaps_min], type=pa.int64()),
+        })
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(parts, ["gap_min"],
+                            [("n_users", "sum", "n_users"),
+                             ("n_events", "sum", "n_events"),
+                             ("n_breaks", "sum", "n_breaks")]).to_pandas()
+    out["n_sessions"] = out["n_users"] + out["n_breaks"]
+    out["events_per_session"] = round_col(
+        out["n_events"].to_numpy(np.float64)
+        / out["n_sessions"].to_numpy(np.float64), 6)
+    out = out[["gap_min", "n_sessions", "events_per_session"]]
+    out = out.sort_values("gap_min").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["session_gap_sensitivity"] = (
+    "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+    "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt "
+    "FROM events), "
+    "g AS (SELECT t - pt AS d FROM o WHERE pt IS NOT NULL), "
+    "u AS (SELECT COUNT(DISTINCT user_id) AS nu, COUNT(*) AS ne "
+    "FROM events), "
+    "thr AS (SELECT UNNEST([10, 30, 60]) AS gap_min) "
+    "SELECT CAST(thr.gap_min AS BIGINT) AS gap_min, "
+    "u.nu + (SELECT COUNT(*) FROM g "
+    "WHERE g.d > CAST(thr.gap_min AS BIGINT) * 60000000) AS n_sessions, "
+    "ROUND(CAST(u.ne AS DOUBLE) / (u.nu + (SELECT COUNT(*) FROM g "
+    "WHERE g.d > CAST(thr.gap_min AS BIGINT) * 60000000)), 6) AS events_per_session "
+    "FROM thr, u ORDER BY gap_min"
+)
+
+
+def repeat_purchase_rate(sf_dir: str) -> pa.Table:
+    """Repeat-buyer audit: of users with ≥1 purchase, what fraction
+    bought again, and the mean purchases per buyer — the single most
+    quoted growth metric. ONE combiner-first per-user purchase count
+    (the exchange carries per-batch user partials), folded to three
+    scalars; exact-integer ratio, ROUND 6."""
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).filter(pl.col("event_type") == "purchase")
+        return (df.group_by("user_id")
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    per_user = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("n", "sum", "n")],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n").combine_chunks()).astype(np.int64)
+        return pa.table({"k": pa.array([0] * 1, type=pa.int64()),
+                         "buyers": pa.array([len(n)], type=pa.int64()),
+                         "repeat": pa.array([int((n >= 2).sum())],
+                                            type=pa.int64()),
+                         "purch": pa.array([int(n.sum())], type=pa.int64())})
+
+    f = grouped_aggregate(
+        per_user.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["k"], [("buyers", "sum", "buyers"), ("repeat", "sum", "repeat"),
+                ("purch", "sum", "purch")]).to_pandas()
+    b = int(f["buyers"][0]); r = int(f["repeat"][0]); p = int(f["purch"][0])
+    return pa.table({
+        "n_buyers": pa.array([b], type=pa.int64()),
+        "n_repeat_buyers": pa.array([r], type=pa.int64()),
+        "repeat_rate": pa.array(round_col(np.array([r / b]), 6)),
+        "purchases_per_buyer": pa.array(round_col(np.array([p / b]), 6)),
+    })
+
+
+SQL["repeat_purchase_rate"] = (
+    "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
+    "WHERE event_type = 'purchase' GROUP BY 1) "
+    "SELECT COUNT(*) AS n_buyers, "
+    "SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_repeat_buyers, "
+    "ROUND(CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ COUNT(*), 6) AS repeat_rate, "
+    "ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS purchases_per_buyer "
+    "FROM c"
+)

@@ -3139,3 +3139,67 @@ SQL["term_position_profile"] = (
     "FROM pos JOIN top ON pos.term = top.term "
     "GROUP BY 1, 2, 3 ORDER BY rank"
 )
+
+
+def vocab_coverage_curve(sf_dir: str, *, ks: tuple = (10, 50, 100)) -> pa.Table:
+    """Token-mass COVERAGE of the top-k vocabulary (k = 10/50/100): what
+    fraction of all token occurrences the k most frequent terms absorb —
+    the curve that sizes a tokenizer's base vocab and a stopword list.
+    One combiner-first term-count aggregate (vocabulary-sized result),
+    then the cumulative coverage at all three k's reads off one
+    descending sort of that aggregate — the corpus is scanned once
+    regardless of how many k's are asked. Tie-break tf DESC, term ASC
+    mirrored in the oracle's ROW_NUMBER."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        return (df.with_columns(term=pl.col("t").str.extract_all(r"\S+"))
+                .select("term").explode("term").drop_nulls()
+                .group_by("term").agg(tf=pl.len().cast(pl.Int64)).to_arrow())
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"], [("tf", "sum", "tf")],
+    ).to_pandas()
+    agg = agg.sort_values(["tf", "term"], ascending=[False, True])
+    tf = agg["tf"].to_numpy(np.int64)
+    cum = np.cumsum(tf)
+    tot = int(tf.sum())
+    rows = []
+    for k in ks:
+        cov = int(cum[min(k, len(tf)) - 1]) if len(tf) else 0
+        rows.append((k, cov, tot))
+    out = pd.DataFrame(rows, columns=["k", "covered_tokens", "total_tokens"])
+    out["coverage"] = round_col(
+        out["covered_tokens"].to_numpy(np.float64)
+        / out["total_tokens"].to_numpy(np.float64), 6)
+    out = out.astype({"k": np.int64, "covered_tokens": np.int64,
+                      "total_tokens": np.int64})
+    return pa.Table.from_pandas(out.sort_values("k").reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["vocab_coverage_curve"] = (
+    "WITH tok AS (SELECT UNNEST(regexp_extract_all(lower(text), '\\S+')) "
+    "AS term FROM documents), "
+    "c AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY 1), "
+    "r AS (SELECT term, tf, ROW_NUMBER() OVER ("
+    "ORDER BY tf DESC, term) AS rk FROM c), "
+    "tot AS (SELECT SUM(tf) AS t FROM c), "
+    "ks AS (SELECT UNNEST([10, 50, 100]) AS k) "
+    "SELECT CAST(ks.k AS BIGINT) AS k, "
+    "(SELECT SUM(tf) FROM r WHERE rk <= ks.k) AS covered_tokens, "
+    "CAST(tot.t AS BIGINT) AS total_tokens, "
+    "ROUND(CAST((SELECT SUM(tf) FROM r WHERE rk <= ks.k) AS DOUBLE) "
+    "/ tot.t, 6) AS coverage "
+    "FROM ks, tot ORDER BY k"
+)
