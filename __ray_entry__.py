@@ -225,6 +225,10 @@ _QUERIES: dict[str, Callable[[str], Any]] = {
     "repeat_purchase_rate": _rel.repeat_purchase_rate,
     "vocab_coverage_curve": _txt.vocab_coverage_curve,
     "label_reweight_plan": _ann.label_reweight_plan,
+    "nearest_event_join": _rel.nearest_event_join,
+    "time_decayed_user_value": _rel.time_decayed_user_value,
+    "user_ts_disorder": _rel.user_ts_disorder,
+    "term_bigram_cond_entropy": _txt.term_bigram_cond_entropy,
     # --- rows-only queries and all previously driver-recorded (r1-r3
     # --- green) queries, unchanged ---
     "zorder_layout_stats": _rel.zorder_layout_stats,

@@ -7613,3 +7613,197 @@ SQL["repeat_purchase_rate"] = (
     "ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS purchases_per_buyer "
     "FROM c"
 )
+
+
+def nearest_event_join(sf_dir: str) -> pa.Table:
+    """NEAREST-neighbor temporal join (both directions — not the
+    backward-only as-of of ``purchase_view_asof``): each purchase is
+    matched to the user's closest view by |Δt|, ties → the earlier
+    view, then the smallest event_id. One keyed exchange on user_id;
+    the kernel sorts views once per partition and finds every
+    purchase's predecessor/successor with composite-key searchsorted —
+    two binary searches per purchase, no pair expansion at all."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"purchase_id": pa.array([], type=pa.int64()),
+                          "view_id": pa.array([], type=pa.int64()),
+                          "adt_us": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        vm = et == "view"
+        pm = et == "purchase"
+        if not vm.any() or not pm.any():
+            return empty
+        # views sorted by (user, ts, event_id); dense user rank shared
+        # with purchases so the composite key addresses the right run
+        vo = np.lexsort((eid[vm], tsu[vm], uid[vm]))
+        vu, vt, vid = uid[vm][vo], tsu[vm][vo], eid[vm][vo]
+        pu, pt, pid = uid[pm], tsu[pm], eid[pm]
+        t0 = min(vt.min(), pt.min())
+        stride = max(vt.max(), pt.max()) - t0 + np.int64(2)
+        vkey = vu * stride + (vt - t0)
+        pkey = pu * stride + (pt - t0)
+        lo = np.searchsorted(vu, pu, side="left")
+        hi = np.searchsorted(vu, pu, side="right")
+        pos = np.searchsorted(vkey, pkey, side="right")
+        has_pred = pos - 1 >= lo
+        has_succ = pos < hi
+        keep = has_pred | has_succ
+        if not keep.any():
+            return empty
+        pos, lo, hi = pos[keep], lo[keep], hi[keep]
+        has_pred, has_succ = has_pred[keep], has_succ[keep]
+        ptk, pidk, ptsk = pkey[keep], pid[keep], pt[keep]
+        pred_i = np.clip(pos - 1, 0, len(vt) - 1)
+        succ_i = np.clip(pos, 0, len(vt) - 1)
+        adt_p = np.where(has_pred, ptsk - vt[pred_i], np.int64(2**62))
+        adt_s = np.where(has_succ, vt[succ_i] - ptsk, np.int64(2**62))
+        # tie (adt_p == adt_s) → predecessor (earlier view wins)
+        use_pred = adt_p <= adt_s
+        chosen_vt = np.where(use_pred, vt[pred_i], vt[succ_i])
+        adt = np.where(use_pred, adt_p, adt_s)
+        # min event_id among equal-(user, ts) views: first run position
+        first = np.searchsorted(vkey, pu[keep] * stride + (chosen_vt - t0),
+                                side="left")
+        return pa.table({"purchase_id": pa.array(pidk, type=pa.int64()),
+                         "view_id": pa.array(vid[first], type=pa.int64()),
+                         "adt_us": pa.array(adt, type=pa.int64())})
+
+    out = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    out = out.sort_values("purchase_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["nearest_event_join"] = (
+    "WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pt "
+    "FROM events WHERE event_type = 'purchase'), "
+    "v AS (SELECT event_id AS vid, user_id, epoch_us(ts) AS vt "
+    "FROM events WHERE event_type = 'view'), "
+    "j AS (SELECT p.pid, v.vid, ABS(p.pt - v.vt) AS adt, "
+    "ROW_NUMBER() OVER (PARTITION BY p.pid "
+    "ORDER BY ABS(p.pt - v.vt), v.vt, v.vid) AS rn "
+    "FROM p JOIN v USING (user_id)) "
+    "SELECT pid AS purchase_id, vid AS view_id, "
+    "CAST(adt AS BIGINT) AS adt_us FROM j WHERE rn = 1 "
+    "ORDER BY purchase_id"
+)
+
+
+def time_decayed_user_value(sf_dir: str, *, half_life_days: float = 7.0,
+                            k: int = 20) -> pa.Table:
+    """Recency-DECAYED customer value: Σ purchase value · 0.5^(Δdays/7),
+    anchored at the corpus max timestamp — the score behind churn-aware
+    LTV ranking. Pass 1 streams the global max(ts); pass 2 folds
+    per-user decayed sums combiner-first (per-batch partials, money in
+    integer cents before the decay multiply); top-k on the user-sized
+    aggregate. ROUND 6 absorbs pow/summation-order jitter."""
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    mx = np.int64(
+        pd.Timestamp(ev.max(on="ts")).to_datetime64().astype("datetime64[us]")
+        .astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).filter(pl.col("event_type") == "purchase")
+        if len(df) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        tsu = (df.get_column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64))
+        vc = np.round(df.get_column("value").to_numpy() * 100.0) / 100.0
+        dd = (mx - tsu).astype(np.float64) / 86400e6 / half_life_days
+        w = vc * np.power(0.5, dd)
+        return (pl.DataFrame({"user_id": df.get_column("user_id"),
+                              "s": pl.Series(w)})
+                .group_by("user_id").agg(s=pl.col("s").sum()).to_arrow())
+
+    agg = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("s", "sum", "s")],
+    ).to_pandas()
+    agg = agg.sort_values(["s", "user_id"], ascending=[False, True]).head(k)
+    agg["decayed_value"] = round_col(agg["s"].to_numpy(np.float64), 6)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    out = agg[["rank", "user_id", "decayed_value"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["time_decayed_user_value"] = (
+    "WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events), "
+    "s AS (SELECT user_id, SUM((CAST(ROUND(value * 100) AS BIGINT) / 100.0) "
+    "* POWER(0.5, (mx.m - epoch_us(ts)) / 86400000000.0 / 7.0)) AS sc "
+    "FROM events, mx WHERE event_type = 'purchase' GROUP BY user_id), "
+    "r AS (SELECT user_id, sc, ROW_NUMBER() OVER ("
+    "ORDER BY sc DESC, user_id) AS rank FROM s) "
+    "SELECT CAST(rank AS BIGINT) AS rank, user_id, "
+    "ROUND(sc, 6) AS decayed_value FROM r WHERE rank <= 20 ORDER BY rank"
+)
+
+
+def user_ts_disorder(sf_dir: str) -> pa.Table:
+    """Event-time DISORDER audit: in arrival order (event_id), how often
+    does a user's timestamp regress — the out-of-orderness measurement
+    that sizes a streaming watermark. One keyed exchange on user_id;
+    the kernel sorts by (user, event_id) and reads adjacent regressions
+    off one vectorized diff. Output: adjacent-pair count, inversion
+    count + rate, and the worst regression (the watermark bound)."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"n_pairs": pa.array([], type=pa.int64()),
+                             "n_inversions": pa.array([], type=pa.int64()),
+                             "max_regression_us": pa.array([], type=pa.int64())})
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        order = np.lexsort((eid, uid))
+        u_s, t_s = uid[order], tsu[order]
+        same = u_s[1:] == u_s[:-1]
+        d = (t_s[1:] - t_s[:-1])[same]
+        inv = d < 0
+        return pa.table({
+            "n_pairs": pa.array([len(d)], type=pa.int64()),
+            "n_inversions": pa.array([int(inv.sum())], type=pa.int64()),
+            "max_regression_us": pa.array(
+                [int(-d.min()) if len(d) and d.min() < 0 else 0],
+                type=pa.int64()),
+        })
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    np_, ni = int(parts["n_pairs"].sum()), int(parts["n_inversions"].sum())
+    return pa.table({
+        "n_pairs": pa.array([np_], type=pa.int64()),
+        "n_inversions": pa.array([ni], type=pa.int64()),
+        "inversion_rate": pa.array(
+            round_col(np.array([ni / np_ if np_ else 0.0]), 6)),
+        "max_regression_us": pa.array(
+            [int(parts["max_regression_us"].max()) if len(parts) else 0],
+            type=pa.int64()),
+    })
+
+
+SQL["user_ts_disorder"] = (
+    "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+    "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS pt "
+    "FROM events) "
+    "SELECT CAST(COUNT(pt) AS BIGINT) AS n_pairs, "
+    "CAST(SUM(CASE WHEN t < pt THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_inversions, "
+    "ROUND(CAST(SUM(CASE WHEN t < pt THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ COUNT(pt), 6) AS inversion_rate, "
+    "CAST(COALESCE(MAX(CASE WHEN pt > t THEN pt - t END), 0) AS BIGINT) "
+    "AS max_regression_us FROM o"
+)

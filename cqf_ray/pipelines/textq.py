@@ -3203,3 +3203,100 @@ SQL["vocab_coverage_curve"] = (
     "/ tot.t, 6) AS coverage "
     "FROM ks, tot ORDER BY k"
 )
+
+
+def term_bigram_cond_entropy(sf_dir: str) -> pa.Table:
+    """Conditional next-token entropy H(next | current) of the corpus
+    term-bigram distribution — the predictability score (low = templated
+    text, high = diverse prose) computed as
+    (Σ_a n_a·log2 n_a − Σ_ab n_ab·log2 n_ab) / N over within-doc
+    adjacent pairs. One combiner-first bigram count; the marginal is a
+    second small aggregate OVER THE BIGRAM TABLE (keyed on the first
+    term), so the corpus is tokenized exactly once. ROUND 6 absorbs the
+    float Σ ordering (transition_entropy precedent)."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        toks = df.with_columns(w=pl.col("t").str.extract_all(r"\S+"))
+        pairs = (toks.select(
+            a=pl.col("w").list.slice(0, pl.col("w").list.len() - 1),
+            b=pl.col("w").list.slice(1))
+            .explode(["a", "b"]).drop_nulls())
+        return (pairs.group_by(["a", "b"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    bg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], [("n", "sum", "n")],
+    )
+
+    def fold_pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        n = df["n"].to_numpy().astype(np.float64)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "N": pa.array([int(n.sum())], type=pa.int64()),
+            "nd": pa.array([len(n)], type=pa.int64()),
+            "slab": pa.array([float((n * np.log2(n)).sum())],
+                             type=pa.float64()),
+        })
+
+    def fold_marg(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(batch).group_by("a")
+              .agg(na=pl.col("n").sum()))
+        na = df["na"].to_numpy().astype(np.float64)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "sla": pa.array([float((na * np.log2(na)).sum())],
+                            type=pa.float64()),
+        })
+
+    bgm = bg.materialize()
+    fp = grouped_aggregate(
+        bgm.map_batches(fold_pairs, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["k"], [("N", "sum", "N"), ("nd", "sum", "nd"),
+                ("slab", "sum", "slab")]).to_pandas()
+    # marginal needs all of a term's continuations co-located first
+    from ..stages.keyed import keyed_partition_map
+
+    marg = keyed_partition_map(bgm, ["a"], fold_marg)
+    fm = grouped_aggregate(marg, ["k"], [("sla", "sum", "sla")]).to_pandas()
+    N = int(fp["N"][0])
+    h = (float(fm["sla"][0]) - float(fp["slab"][0])) / N
+    return pa.table({
+        "n_bigrams": pa.array([N], type=pa.int64()),
+        "n_distinct_bigrams": pa.array([int(fp["nd"][0])], type=pa.int64()),
+        "cond_entropy_bits": pa.array(round_col(np.array([h]), 6)),
+    })
+
+
+SQL["term_bigram_cond_entropy"] = (
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_extract_all(lower(text), '\\S+') AS w FROM documents), "
+    "pairs AS (SELECT w[CAST(i AS BIGINT)] AS a, "
+    "w[CAST(i AS BIGINT) + 1] AS b "
+    "FROM toks, LATERAL UNNEST(range(1, length(w))) AS t(i)), "
+    "bg AS (SELECT a, b, COUNT(*) AS n FROM pairs GROUP BY 1, 2), "
+    "mg AS (SELECT a, SUM(n) AS na FROM bg GROUP BY 1), "
+    "s AS (SELECT (SELECT SUM(CAST(na AS DOUBLE) * LOG2(CAST(na AS DOUBLE))) "
+    "FROM mg) AS sla, "
+    "SUM(CAST(n AS DOUBLE) * LOG2(CAST(n AS DOUBLE))) AS slab, "
+    "SUM(n) AS N, COUNT(*) AS nd FROM bg) "
+    "SELECT CAST(N AS BIGINT) AS n_bigrams, "
+    "CAST(nd AS BIGINT) AS n_distinct_bigrams, "
+    "ROUND((sla - slab) / N, 6) AS cond_entropy_bits FROM s"
+)
