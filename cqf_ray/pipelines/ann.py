@@ -1561,3 +1561,77 @@ SQL["label_reweight_plan"] = (
     "ROUND(CAST(t.N AS DOUBLE) / (t.K * c.n), 6) AS weight "
     "FROM c, t ORDER BY c.label"
 )
+
+
+def label_centroid_similarity(sf_dir: str) -> pa.Table:
+    """Pairwise COSINE between per-label centroid embeddings — the
+    class-separation matrix read before trusting a label-conditioned
+    sampler or a centroid classifier. Per-batch partials emit (label,
+    dim, Σv) long rows (labels × 64 per batch, never vectors), the
+    centroid means and the 45-pair cosine matrix are arithmetic on that
+    K×d aggregate. ROUND 6 absorbs per-dim mean summation order."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label").combine_chunks()).astype(np.int64)
+        mat = batch_embeddings(batch)
+        if len(lab) == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        ulab = np.unique(lab)
+        rows_l, rows_d, rows_s, rows_c = [], [], [], []
+        for L in ulab:
+            m = lab == L
+            s = mat[m].sum(axis=0)
+            rows_l.extend([int(L)] * mat.shape[1])
+            rows_d.extend(range(mat.shape[1]))
+            rows_s.extend(s.tolist())
+            rows_c.extend([int(m.sum())] * mat.shape[1])
+        return pa.table({"label": pa.array(rows_l, type=pa.int64()),
+                         "dim": pa.array(rows_d, type=pa.int64()),
+                         "s": pa.array(rows_s, type=pa.float64()),
+                         "cnt": pa.array(rows_c, type=pa.int64())})
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "dim"], [("s", "sum", "s"), ("cnt", "sum", "cnt")],
+    ).to_pandas()
+    agg = agg.sort_values(["label", "dim"])
+    labels = np.sort(agg["label"].unique())
+    d = agg["dim"].max() + 1
+    cent = {}
+    for L in labels:
+        g = agg[agg["label"] == L]
+        cent[L] = (g["s"].to_numpy(np.float64)
+                   / g["cnt"].to_numpy(np.float64))
+    rows = []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            ca, cb = cent[a], cent[b]
+            cos = float(ca @ cb) / (np.sqrt(float(ca @ ca))
+                                    * np.sqrt(float(cb @ cb)))
+            rows.append((int(a), int(b), round_col(np.array([cos]), 6)[0]))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
+    out = out.astype({"label_a": np.int64, "label_b": np.int64})
+    out = out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["label_centroid_similarity"] = (
+    "WITH u AS (SELECT label, "
+    "UNNEST(CAST(embedding AS DOUBLE[])) AS v, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "c AS (SELECT label, i, AVG(v) AS m FROM u GROUP BY 1, 2), "
+    "p AS (SELECT a.label AS la, b.label AS lb, SUM(a.m * b.m) AS dot "
+    "FROM c a JOIN c b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2), "
+    "nr AS (SELECT label, sqrt(SUM(m * m)) AS nrm FROM c GROUP BY 1) "
+    "SELECT CAST(p.la AS BIGINT) AS label_a, CAST(p.lb AS BIGINT) "
+    "AS label_b, ROUND(p.dot / (na.nrm * nb.nrm), 6) AS cos_sim "
+    "FROM p JOIN nr na ON na.label = p.la JOIN nr nb ON nb.label = p.lb "
+    "ORDER BY 1, 2"
+)

@@ -7807,3 +7807,155 @@ SQL["user_ts_disorder"] = (
     "CAST(COALESCE(MAX(CASE WHEN pt > t THEN pt - t END), 0) AS BIGINT) "
     "AS max_regression_us FROM o"
 )
+
+
+def supplier_hhi_by_nation(sf_dir: str) -> pa.Table:
+    """Market-concentration audit: the Herfindahl–Hirschman index of
+    supplier revenue within each nation. HHI = Σ rev_s² / (Σ rev_s)²
+    needs only two SUMMABLE per-nation moments once revenue is fully
+    folded per supplier — so the plan is combiner-first revenue per
+    l_suppkey, a broadcast map to nation (supplier dim is small:
+    ray.put once, read per batch), then per-batch (Σrev, Σrev², n)
+    partials and a |nations|-row final. No nation-keyed co-location
+    needed at all."""
+    li = read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        rev = (df.get_column("l_extendedprice").to_numpy()
+               * (1.0 - df.get_column("l_discount").to_numpy()))
+        return (pl.DataFrame({"l_suppkey": df.get_column("l_suppkey"),
+                              "rev": pl.Series(rev)})
+                .group_by("l_suppkey").agg(rev=pl.col("rev").sum())
+                .to_arrow())
+
+    per_supp = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey"], [("rev", "sum", "rev")],
+    )
+    supp = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    s2n = dict(zip(
+        supp["s_suppkey"].to_numpy(np.int64),
+        supp["s_nationkey"].map(
+            dict(zip(nat["n_nationkey"], nat["n_name"]))).to_numpy()))
+    import ray as _ray
+
+    s2n_ref = _ray.put(s2n)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        m = _ray.get(s2n_ref)
+        sk = np.asarray(batch.column("l_suppkey").combine_chunks()).astype(np.int64)
+        rev = np.asarray(batch.column("rev").combine_chunks(), dtype=np.float64)
+        names = np.array([m[k] for k in sk.tolist()], dtype=object)
+        return (pl.DataFrame({"n_name": names, "rev": pl.Series(rev),
+                              "rev2": pl.Series(rev * rev)})
+                .group_by("n_name")
+                .agg(n_suppliers=pl.len().cast(pl.Int64),
+                     s=pl.col("rev").sum(), s2=pl.col("rev2").sum())
+                .to_arrow())
+
+    out = grouped_aggregate(
+        per_supp.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["n_name"], [("n_suppliers", "sum", "n_suppliers"),
+                     ("s", "sum", "s"), ("s2", "sum", "s2")]).to_pandas()
+    out["hhi"] = round_col(
+        out["s2"].to_numpy(np.float64)
+        / (out["s"].to_numpy(np.float64) ** 2), 6)
+    out = out[["n_name", "n_suppliers", "hhi"]]
+    out = out.sort_values("n_name").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["supplier_hhi_by_nation"] = (
+    "WITH r AS (SELECT l_suppkey, "
+    "SUM(l_extendedprice * (1 - l_discount)) AS rev FROM lineitem "
+    "GROUP BY 1), "
+    "j AS (SELECT n_name, rev FROM r "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON n_nationkey = s_nationkey) "
+    "SELECT n_name, COUNT(*) AS n_suppliers, "
+    "ROUND(SUM(rev * rev) / (SUM(rev) * SUM(rev)), 6) AS hhi "
+    "FROM j GROUP BY 1 ORDER BY 1"
+)
+
+
+def hourly_count_autocorr(sf_dir: str) -> pa.Table:
+    """Lag-1 AUTOCORRELATION of hourly event counts per type over the
+    dense hour grid (zeros filled — gaps are real observations) — the
+    burstiness/seasonality scalar a forecaster checks first. One
+    combiner-first (type, hour) count; the dense grid, lag pairing and
+    Pearson moments are driver arithmetic on the time-bounded aggregate
+    with EXACT integer moment sums (grouped_regression precedent), so
+    the only float op is the final mirrored formula, ROUND 6."""
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hr = (np.asarray(batch.column("ts").combine_chunks())
+              .astype("datetime64[h]").astype(np.int64))
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "hr": pl.Series(hr),
+        })
+        return (df.group_by(["event_type", "hr"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hr"], [("n", "sum", "n")],
+    ).to_pandas()
+    h0, h1 = int(c["hr"].min()), int(c["hr"].max())
+    span = h1 - h0 + 1
+    rows = []
+    for et, grp in c.groupby("event_type"):
+        x = np.zeros(span, dtype=np.int64)
+        x[grp["hr"].to_numpy(np.int64) - h0] = grp["n"].to_numpy(np.int64)
+        a, b = x[:-1], x[1:]
+        n = len(a)
+        sx, sy = int(a.sum()), int(b.sum())
+        sxy = int((a * b).sum())
+        sxx, syy = int((a * a).sum()), int((b * b).sum())
+        num = float(n * sxy - sx * sy)
+        den = (np.sqrt(float(n * sxx - sx * sx))
+               * np.sqrt(float(n * syy - sy * sy)))
+        rows.append((et, n, round_col(np.array([num / den]), 6)[0]))
+    out = pd.DataFrame(rows, columns=["event_type", "n_pairs", "autocorr"])
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["hourly_count_autocorr"] = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c), "
+    "l AS (SELECT event_type, h, n, "
+    "LEAD(h) OVER (PARTITION BY event_type ORDER BY h) AS nh, "
+    "LEAD(n) OVER (PARTITION BY event_type ORDER BY h) AS nn FROM c), "
+    "m AS (SELECT c.event_type, SUM(n) AS tot, SUM(n * n) AS tot2, "
+    "MAX(CASE WHEN h = b.h1 THEN n ELSE 0 END) AS xlast, "
+    "MAX(CASE WHEN h = b.h0 THEN n ELSE 0 END) AS xfirst "
+    "FROM c, b GROUP BY 1), "
+    "xy AS (SELECT event_type, "
+    "COALESCE(SUM(CASE WHEN nh = h + 1 THEN n * nn END), 0) AS sxy "
+    "FROM l GROUP BY 1), "
+    "np AS (SELECT h1 - h0 AS n FROM b) "
+    "SELECT m.event_type, CAST(np.n AS BIGINT) AS n_pairs, "
+    "ROUND(CAST(np.n * xy.sxy - (m.tot - m.xlast) * (m.tot - m.xfirst) "
+    "AS DOUBLE) / (sqrt(CAST(np.n * (m.tot2 - m.xlast * m.xlast) "
+    "- (m.tot - m.xlast) * (m.tot - m.xlast) AS DOUBLE)) "
+    "* sqrt(CAST(np.n * (m.tot2 - m.xfirst * m.xfirst) "
+    "- (m.tot - m.xfirst) * (m.tot - m.xfirst) AS DOUBLE))), 6) "
+    "AS autocorr "
+    "FROM m JOIN xy USING (event_type), np ORDER BY m.event_type"
+)

@@ -3300,3 +3300,58 @@ SQL["term_bigram_cond_entropy"] = (
     "CAST(nd AS BIGINT) AS n_distinct_bigrams, "
     "ROUND((sla - slab) / N, 6) AS cond_entropy_bits FROM s"
 )
+
+
+def char_trigram_top(sf_dir: str, *, k: int = 20) -> pa.Table:
+    """Top character TRIGRAMS of the lowercased corpus (spaces count —
+    they carry word-boundary signal), the language/encoding fingerprint
+    scanner. The kernel never loops rows: each batch joins its texts
+    with a NUL separator, views the bytes as uint8, packs every 3-byte
+    window into one int with two shifted adds, masks windows that cross
+    a separator, and np.unique-counts — ~4 vectorized ops per batch
+    (ASCII corpus asserted; byte==char there, matching SQL substr
+    semantics). Exchange carries int24-keyed partials; top-k on the
+    ≤256³-bounded aggregate."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        blob = "\x00".join(t.lower() for t in texts if t)
+        b = blob.encode("ascii")  # asserts ASCII (fixture invariant)
+        arr = np.frombuffer(b, dtype=np.uint8)
+        if len(arr) < 3:
+            return pa.table({"code": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        w = (arr[:-2].astype(np.int64) * 65536
+             + arr[1:-1].astype(np.int64) * 256 + arr[2:].astype(np.int64))
+        ok = (arr[:-2] != 0) & (arr[1:-1] != 0) & (arr[2:] != 0)
+        codes, counts = np.unique(w[ok], return_counts=True)
+        return pa.table({"code": pa.array(codes, type=pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["code"], [("n", "sum", "n")],
+    ).to_pandas()
+    codes = agg["code"].to_numpy(np.int64)
+    tri = np.array([chr(c >> 16) + chr((c >> 8) & 255) + chr(c & 255)
+                    for c in codes], dtype=object)
+    agg = pd.DataFrame({"trigram": tri, "n": agg["n"].to_numpy(np.int64)})
+    agg = agg.sort_values(["n", "trigram"], ascending=[False, True]).head(k)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(agg.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["char_trigram_top"] = (
+    "WITH tri AS (SELECT substr(lower(text), CAST(i AS BIGINT), 3) "
+    "AS trigram FROM documents, "
+    "LATERAL UNNEST(range(1, length(text) - 1)) AS t(i)), "
+    "c AS (SELECT trigram, COUNT(*) AS n FROM tri GROUP BY 1), "
+    "r AS (SELECT trigram, n, ROW_NUMBER() OVER ("
+    "ORDER BY n DESC, trigram) AS rank FROM c) "
+    "SELECT CAST(rank AS BIGINT) AS rank, trigram, CAST(n AS BIGINT) AS n "
+    "FROM r WHERE rank <= 20 ORDER BY rank"
+)
