@@ -7959,3 +7959,113 @@ SQL["hourly_count_autocorr"] = (
     "AS autocorr "
     "FROM m JOIN xy USING (event_type), np ORDER BY m.event_type"
 )
+
+
+def purchase_value_momentum(sf_dir: str) -> pa.Table:
+    """Direction of consecutive purchase values per user (MOMENTUM): over
+    each user's purchases in (ts, event_id) order, count rising / falling
+    / flat steps in integer cents — the trend signal behind up-sell
+    scoring, all-integer so both engines agree exactly. One keyed
+    exchange on user_id; one lexsort + diff per partition."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                 "event_type", "value"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).filter(pl.col("event_type") == "purchase")
+        if len(df) == 0:
+            return pa.table({"n_pairs": pa.array([], type=pa.int64()),
+                             "n_up": pa.array([], type=pa.int64()),
+                             "n_down": pa.array([], type=pa.int64()),
+                             "n_flat": pa.array([], type=pa.int64())})
+        uid = df.get_column("user_id").to_numpy()
+        eid = df.get_column("event_id").to_numpy()
+        tsu = (df.get_column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64))
+        vc = np.round(df.get_column("value").to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((eid, tsu, uid))
+        u_s, v_s = uid[order], vc[order]
+        same = u_s[1:] == u_s[:-1]
+        d = (v_s[1:] - v_s[:-1])[same]
+        return pa.table({
+            "n_pairs": pa.array([len(d)], type=pa.int64()),
+            "n_up": pa.array([int((d > 0).sum())], type=pa.int64()),
+            "n_down": pa.array([int((d < 0).sum())], type=pa.int64()),
+            "n_flat": pa.array([int((d == 0).sum())], type=pa.int64()),
+        })
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    np_ = int(parts["n_pairs"].sum())
+    nu, nd, nf = (int(parts["n_up"].sum()), int(parts["n_down"].sum()),
+                  int(parts["n_flat"].sum()))
+    return pa.table({
+        "n_pairs": pa.array([np_], type=pa.int64()),
+        "n_up": pa.array([nu], type=pa.int64()),
+        "n_down": pa.array([nd], type=pa.int64()),
+        "n_flat": pa.array([nf], type=pa.int64()),
+        "up_rate": pa.array(round_col(np.array([nu / np_ if np_ else 0.0]),
+                                      6)),
+    })
+
+
+SQL["purchase_value_momentum"] = (
+    "WITH p AS (SELECT user_id, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS vc, "
+    "LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS pv "
+    "FROM events WHERE event_type = 'purchase') "
+    "SELECT CAST(COUNT(pv) AS BIGINT) AS n_pairs, "
+    "CAST(SUM(CASE WHEN vc > pv THEN 1 ELSE 0 END) AS BIGINT) AS n_up, "
+    "CAST(SUM(CASE WHEN vc < pv THEN 1 ELSE 0 END) AS BIGINT) AS n_down, "
+    "CAST(SUM(CASE WHEN vc = pv THEN 1 ELSE 0 END) AS BIGINT) AS n_flat, "
+    "ROUND(CAST(SUM(CASE WHEN vc > pv THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ COUNT(pv), 6) AS up_rate FROM p"
+)
+
+
+def conversion_by_hour(sf_dir: str) -> pa.Table:
+    """View→purchase conversion ratio by hour-of-day — the FILTERed
+    aggregate shape (two conditional counts in one grouped pass, the
+    SQL ``COUNT(*) FILTER (WHERE …)`` idiom). ONE combiner-first
+    (hour, type) count; ratios on the 24-row aggregate."""
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "hour": np.asarray(pc.hour(batch.column("ts")).combine_chunks(),
+                               dtype=np.int64),
+        })
+        return (df.group_by("hour")
+                .agg(n_views=(pl.col("event_type") == "view").sum()
+                     .cast(pl.Int64),
+                     n_purchases=(pl.col("event_type") == "purchase").sum()
+                     .cast(pl.Int64)).to_arrow())
+
+    out = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour"], [("n_views", "sum", "n_views"),
+                   ("n_purchases", "sum", "n_purchases")]).to_pandas()
+    out["cvr"] = round_col(out["n_purchases"].to_numpy(np.float64)
+                           / out["n_views"].to_numpy(np.float64), 6)
+    out = out.sort_values("hour").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["hour", "n_views", "n_purchases", "cvr"]], preserve_index=False)
+
+
+SQL["conversion_by_hour"] = (
+    "SELECT CAST(hour(ts) AS BIGINT) AS hour, "
+    "CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) "
+    "AS n_views, "
+    "CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) "
+    "AS n_purchases, "
+    "ROUND(CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) "
+    "/ COUNT(*) FILTER (WHERE event_type = 'view'), 6) AS cvr "
+    "FROM events GROUP BY 1 ORDER BY 1"
+)

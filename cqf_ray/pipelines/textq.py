@@ -3355,3 +3355,59 @@ SQL["char_trigram_top"] = (
     "SELECT CAST(rank AS BIGINT) AS rank, trigram, CAST(n AS BIGINT) AS n "
     "FROM r WHERE rank <= 20 ORDER BY rank"
 )
+
+
+def length_anova_by_source(sf_dir: str) -> pa.Table:
+    """One-way ANOVA F-statistic for document length (n_chars) across
+    sources — does source explain length variance? All moments are
+    EXACT integer sums (Σn, Σx, Σx² per source, combiner-first); only
+    the final mirrored F formula is float, ROUND 6
+    (grouped_regression precedent). Output: group count, N, F."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        x = df.get_column("n_chars").cast(pl.Int64)
+        return (df.with_columns(x=x, x2=x * x).group_by("source")
+                .agg(n=pl.len().cast(pl.Int64), sx=pl.col("x").sum(),
+                     sxx=pl.col("x2").sum()).to_arrow())
+
+    g = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n", "sum", "n"), ("sx", "sum", "sx"),
+                     ("sxx", "sum", "sxx")]).to_pandas()
+    n = g["n"].to_numpy(np.int64)
+    sx = g["sx"].to_numpy(np.int64)
+    sxx = g["sxx"].to_numpy(np.int64)
+    N = int(n.sum()); K = len(g)
+    SX = int(sx.sum()); SXX = int(sxx.sum())
+    # SSB = Σ sx_k²/n_k − SX²/N ; SSW = SXX − Σ sx_k²/n_k  (float here,
+    # mirrored term-for-term in the oracle)
+    sb = float((sx.astype(np.float64) ** 2 / n).sum())
+    ssb = sb - float(SX) ** 2 / N
+    ssw = float(SXX) - sb
+    f = (ssb / (K - 1)) / (ssw / (N - K))
+    return pa.table({
+        "n_sources": pa.array([K], type=pa.int64()),
+        "n_docs": pa.array([N], type=pa.int64()),
+        "f_stat": pa.array(round_col(np.array([f]), 6)),
+    })
+
+
+SQL["length_anova_by_source"] = (
+    "WITH g AS (SELECT source, COUNT(*) AS n, "
+    "SUM(CAST(n_chars AS BIGINT)) AS sx, "
+    "SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx "
+    "FROM documents GROUP BY 1), "
+    "t AS (SELECT COUNT(*) AS K, SUM(n) AS N, SUM(sx) AS SX, "
+    "SUM(sxx) AS SXX, "
+    "SUM(CAST(sx AS DOUBLE) * sx / n) AS sb FROM g) "
+    "SELECT CAST(K AS BIGINT) AS n_sources, CAST(N AS BIGINT) AS n_docs, "
+    "ROUND(((sb - CAST(SX AS DOUBLE) * SX / N) / (K - 1)) "
+    "/ ((CAST(SXX AS DOUBLE) - sb) / (N - K)), 6) AS f_stat FROM t"
+)

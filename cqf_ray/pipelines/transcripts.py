@@ -1191,3 +1191,52 @@ SQL["conv_outcome_label"] = (
     "CAST(ROUND(SUM(v), 2) AS DOUBLE) AS revenue "
     "FROM l GROUP BY 1 ORDER BY 1"
 )
+
+
+def conv_tool_diversity(sf_dir: str) -> pa.Table:
+    """Distinct-TOOLS-per-conversation histogram (how many different
+    tools does a session touch?) — the capability-coverage profile of
+    an agentic corpus. Shuffle-free derivation (``transcripts_light``:
+    tool is a row-wise map, turn order irrelevant), then the same
+    two-level exact-distinct shape as ``transcript_role_stats``:
+    combiner-aggregate to (conv_id, tool), count rows per conv, fold
+    the conv-sized table to the |distinct-counts| histogram."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = transcripts_light(sf_dir, ["conv_id", "tool"])
+
+    def drop_null_tools(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return batch.filter(pc_.is_valid(batch.column("tool")))
+
+    per_pair = grouped_aggregate(
+        ds.map_batches(drop_null_tools, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["conv_id", "tool"], [("n", "count", None)])
+    per_conv = grouped_aggregate(per_pair, ["conv_id"],
+                                 [("n_tools", "count", None)])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (df.group_by("n_tools")
+                .agg(n_convs=pl.len().cast(pl.Int64)).to_arrow())
+
+    out = grouped_aggregate(
+        per_conv.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["n_tools"], [("n_convs", "sum", "n_convs")]).to_pandas()
+    out["n_tools"] = out["n_tools"].astype(np.int64)
+    out = out.sort_values("n_tools").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["n_tools", "n_convs"]],
+                                preserve_index=False)
+
+
+SQL["conv_tool_diversity"] = (
+    f"{_CTE}, d AS (SELECT conv_id, COUNT(DISTINCT tool) AS n_tools "
+    "FROM transcripts WHERE tool IS NOT NULL GROUP BY 1) "
+    "SELECT CAST(n_tools AS BIGINT) AS n_tools, "
+    "COUNT(*) AS n_convs FROM d GROUP BY 1 ORDER BY 1"
+)
