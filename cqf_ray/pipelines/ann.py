@@ -1635,3 +1635,62 @@ SQL["label_centroid_similarity"] = (
     "FROM p JOIN nr na ON na.label = p.la JOIN nr nb ON nb.label = p.lb "
     "ORDER BY 1, 2"
 )
+
+
+def embedding_clip_bounds(sf_dir: str, *, q_lo: float = 0.01,
+                          q_hi: float = 0.99) -> pa.Table:
+    """Per-DIMENSION p01/p99 clip bounds over the embedding column — the
+    calibration table an int8 quantizer or outlier-clipper is fit from.
+    One map_batches explodes each batch's (n, d) block to (dim, value)
+    long rows VECTORIZED (tile/ravel — d·n rows but only two fixed-width
+    columns); one keyed exchange on dim (d keys) and a per-dim
+    sort+gather kernel emits the disc order statistics. Float32 inputs
+    widen to float64 exactly on both engines, so the quantiles match
+    bit-for-bit with NO rounding."""
+    from ..stages.keyed import keyed_partition_map
+
+    ds = read(sf_dir, "embeddings", ["embedding"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = batch_embeddings(batch)
+        n, d = mat.shape
+        return pa.table({
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "v": pa.array(mat.ravel(), type=pa.float64()),
+        })
+
+    long = ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        dim = np.asarray(t.column("dim").combine_chunks()).astype(np.int64)
+        if len(dim) == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "p_lo": pa.array([], type=pa.float64()),
+                             "p_hi": pa.array([], type=pa.float64())})
+        v = np.asarray(t.column("v").combine_chunks(), dtype=np.float64)
+        order = np.lexsort((v, dim))
+        d_s, v_s = dim[order], v[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        ends = np.r_[starts[1:], len(d_s)]
+        cnt = ends - starts
+        lo = v_s[starts + np.ceil(q_lo * cnt).astype(np.int64) - 1]
+        hi = v_s[starts + np.ceil(q_hi * cnt).astype(np.int64) - 1]
+        return pa.table({"dim": pa.array(d_s[starts], type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "p_lo": pa.array(lo, type=pa.float64()),
+                         "p_hi": pa.array(hi, type=pa.float64())})
+
+    out = keyed_partition_map(long, ["dim"], kernel).to_pandas()
+    out = out.sort_values("dim").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["embedding_clip_bounds"] = (
+    "WITH u AS (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v, "
+    "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim "
+    "FROM embeddings) "
+    "SELECT dim, COUNT(*) AS n, quantile_disc(v, 0.01) AS p_lo, "
+    "quantile_disc(v, 0.99) AS p_hi FROM u GROUP BY dim ORDER BY dim"
+)

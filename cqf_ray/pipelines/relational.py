@@ -8069,3 +8069,59 @@ SQL["conversion_by_hour"] = (
     "/ COUNT(*) FILTER (WHERE event_type = 'view'), 6) AS cvr "
     "FROM events GROUP BY 1 ORDER BY 1"
 )
+
+
+def d1_retention_by_day(sf_dir: str) -> pa.Table:
+    """Classic NEXT-DAY retention series: for every calendar day, the
+    share of that day's active users who are also active the following
+    day. Same distinct-(user, day) reduction as ``user_streaks`` (one
+    keyed exchange bounded by active-days); retention falls out of the
+    SAME consecutive-day adjacency scan — per (user, day) pair, is
+    (user, day+1) present — folded to per-day (active, retained)
+    partials. Exact integers + ROUND 6 rate."""
+    import polars as pl
+
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "n_active": pa.array([], type=pa.int64()),
+                             "n_retained": pa.array([], type=pa.int64())})
+        day = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[D]").astype(np.int64))
+        key = uid * np.int64(1 << 20) + day
+        uk = np.unique(key)
+        u_s, d_s = uk >> np.int64(20), uk & np.int64((1 << 20) - 1)
+        nxt = np.r_[(u_s[1:] == u_s[:-1]) & (d_s[1:] == d_s[:-1] + 1), False]
+        df = pl.DataFrame({"day": pl.Series(d_s),
+                           "r": pl.Series(nxt.astype(np.int64))})
+        return (df.group_by("day")
+                .agg(n_active=pl.len().cast(pl.Int64),
+                     n_retained=pl.col("r").sum().cast(pl.Int64)).to_arrow())
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(parts, ["day"],
+                            [("n_active", "sum", "n_active"),
+                             ("n_retained", "sum", "n_retained")]).to_pandas()
+    out["d1_rate"] = round_col(out["n_retained"].to_numpy(np.float64)
+                               / out["n_active"].to_numpy(np.float64), 6)
+    out = out.sort_values("day").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["d1_retention_by_day"] = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+    "r AS (SELECT a.day, COUNT(*) AS n_active, "
+    "CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_retained "
+    "FROM d a LEFT JOIN d b "
+    "ON b.user_id = a.user_id AND b.day = a.day + 1 GROUP BY 1) "
+    "SELECT day, n_active, n_retained, "
+    "ROUND(CAST(n_retained AS DOUBLE) / n_active, 6) AS d1_rate "
+    "FROM r ORDER BY day"
+)

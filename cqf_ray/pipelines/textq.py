@@ -3411,3 +3411,43 @@ SQL["length_anova_by_source"] = (
     "ROUND(((sb - CAST(SX AS DOUBLE) * SX / N) / (K - 1)) "
     "/ ((CAST(SXX AS DOUBLE) - sb) / (N - K)), 6) AS f_stat FROM t"
 )
+
+
+def token_length_histogram(sf_dir: str) -> pa.Table:
+    """Token character-LENGTH distribution of the corpus — the
+    calibration table for tokenizer byte-budget / truncation decisions.
+    Per-batch vectorized: explode tokens, measure lengths, pre-count
+    (length, n) — the exchange carries ≤|distinct lengths| rows per
+    batch. Exact integers."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "t": pl.from_arrow(batch.column("text").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        return (df.with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+                .select("tok").explode("tok").drop_nulls()
+                .with_columns(tok_len=pl.col("tok").str.len_chars()
+                              .cast(pl.Int64))
+                .group_by("tok_len")
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok_len"], [("n", "sum", "n")],
+    ).to_pandas()
+    out = out.sort_values("tok_len").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["tok_len", "n"]], preserve_index=False)
+
+
+SQL["token_length_histogram"] = (
+    "WITH tok AS (SELECT UNNEST(regexp_extract_all(lower(text), '\\S+')) "
+    "AS t FROM documents) "
+    "SELECT CAST(length(t) AS BIGINT) AS tok_len, COUNT(*) AS n "
+    "FROM tok GROUP BY 1 ORDER BY 1"
+)

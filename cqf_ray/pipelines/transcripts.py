@@ -1240,3 +1240,80 @@ SQL["conv_tool_diversity"] = (
     "SELECT CAST(n_tools AS BIGINT) AS n_tools, "
     "COUNT(*) AS n_convs FROM d GROUP BY 1 ORDER BY 1"
 )
+
+
+def conv_duration_turns_corr(sf_dir: str) -> pa.Table:
+    """Pearson correlation between conversation duration (seconds) and
+    turn count — do longer sessions mean more exchanges, or slower ones?
+    One conv-keyed combiner aggregate to (conv, duration, n_turns) —
+    exact since a conv fully merges in the shuffle — then EXACT integer
+    moment partials (Σx, Σy, Σxy, Σx², Σy²) and the mirrored final
+    formula, ROUND 6 (grouped_regression precedent)."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = transcripts_light(sf_dir, ["conv_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        tsu = (np.asarray(batch.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        df = pl.DataFrame({
+            "conv_id": np.asarray(batch.column("conv_id").combine_chunks(),
+                                  dtype=object),
+            "t": pl.Series(tsu),
+        })
+        return (df.group_by("conv_id")
+                .agg(t0=pl.col("t").min(), t1=pl.col("t").max(),
+                     n=pl.len().cast(pl.Int64)).to_arrow())
+
+    per_conv = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"], [("t0", "min", "t0"), ("t1", "max", "t1"),
+                      ("n", "sum", "n")],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t0 = np.asarray(batch.column("t0").combine_chunks()).astype(np.int64)
+        t1 = np.asarray(batch.column("t1").combine_chunks()).astype(np.int64)
+        n = np.asarray(batch.column("n").combine_chunks()).astype(np.int64)
+        x = (t1 - t0) // 1_000_000  # whole seconds, exact
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "cnt": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(n.sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * n).sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((n * n).sum())], type=pa.int64()),
+        })
+
+    f = grouped_aggregate(
+        per_conv.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["k"], [("cnt", "sum", "cnt"), ("sx", "sum", "sx"),
+                ("sy", "sum", "sy"), ("sxy", "sum", "sxy"),
+                ("sxx", "sum", "sxx"), ("syy", "sum", "syy")]).to_pandas()
+    cnt = int(f["cnt"][0]); sx = int(f["sx"][0]); sy = int(f["sy"][0])
+    sxy = int(f["sxy"][0]); sxx = int(f["sxx"][0]); syy = int(f["syy"][0])
+    num = float(cnt * sxy - sx * sy)
+    den = (np.sqrt(float(cnt * sxx - sx * sx))
+           * np.sqrt(float(cnt * syy - sy * sy)))
+    return pa.table({
+        "n_convs": pa.array([cnt], type=pa.int64()),
+        "corr": pa.array(round_col(np.array([num / den]), 6)),
+    })
+
+
+SQL["conv_duration_turns_corr"] = (
+    f"{_CTE}, c AS (SELECT conv_id, "
+    "(MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS x, "
+    "COUNT(*) AS y FROM transcripts GROUP BY 1), "
+    "m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM c) "
+    "SELECT CAST(n AS BIGINT) AS n_convs, "
+    "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
+    "/ (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
+    "* sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr FROM m"
+)
