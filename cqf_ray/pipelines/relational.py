@@ -8125,3 +8125,66 @@ SQL["d1_retention_by_day"] = (
     "ROUND(CAST(n_retained AS DOUBLE) / n_active, 6) AS d1_rate "
     "FROM r ORDER BY day"
 )
+
+
+def user_tercile_matrix(sf_dir: str) -> pa.Table:
+    """Two-feature SEGMENTATION crosstab: users bucketed into spend
+    terciles × activity terciles (exact SQL NTILE semantics — first
+    (n mod 3) buckets take the extra row, ties pinned by user_id) and
+    counted per cell — the 3×3 table a lifecycle-marketing plan is
+    built on. Corpus pass is ONE combiner-first per-user aggregate;
+    the two tercile assignments are argsorts of the user-sized result
+    (``rfm_scores``' ntile machinery, integer cents)."""
+    import polars as pl
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ev = read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        vc = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        df = df.with_columns(vc=pl.Series(vc))
+        return (df.group_by("user_id")
+                .agg(n=pl.len().cast(pl.Int64),
+                     spend=pl.col("vc").sum()).to_arrow())
+
+    per_user = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("n", "sum", "n"), ("spend", "sum", "spend")],
+    ).to_pandas()
+
+    def ntile3(order_keys: list[np.ndarray]) -> np.ndarray:
+        n = len(order_keys[0])
+        order = np.lexsort(tuple(reversed(order_keys)))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        base, extra = divmod(n, 3)
+        bounds = np.cumsum([base + (i < extra) for i in range(3)])
+        return np.searchsorted(bounds, rank, side="right") + 1
+
+    uid = per_user["user_id"].to_numpy(np.int64)
+    s = ntile3([per_user["spend"].to_numpy(np.int64), uid])
+    a = ntile3([per_user["n"].to_numpy(np.int64), uid])
+    out = (pd.DataFrame({"spend_tercile": s, "activity_tercile": a})
+           .groupby(["spend_tercile", "activity_tercile"], as_index=False)
+           .size().rename(columns={"size": "n_users"}))
+    out = out.astype({"spend_tercile": np.int64,
+                      "activity_tercile": np.int64, "n_users": np.int64})
+    out = out.sort_values(["spend_tercile", "activity_tercile"])
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["user_tercile_matrix"] = (
+    "WITH u AS (SELECT user_id, COUNT(*) AS n, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS spend FROM events "
+    "GROUP BY 1), "
+    "t AS (SELECT user_id, "
+    "NTILE(3) OVER (ORDER BY spend, user_id) AS spend_tercile, "
+    "NTILE(3) OVER (ORDER BY n, user_id) AS activity_tercile FROM u) "
+    "SELECT CAST(spend_tercile AS BIGINT) AS spend_tercile, "
+    "CAST(activity_tercile AS BIGINT) AS activity_tercile, "
+    "COUNT(*) AS n_users FROM t GROUP BY 1, 2 ORDER BY 1, 2"
+)

@@ -3451,3 +3451,48 @@ SQL["token_length_histogram"] = (
     "SELECT CAST(length(t) AS BIGINT) AS tok_len, COUNT(*) AS n "
     "FROM tok GROUP BY 1 ORDER BY 1"
 )
+
+
+def k_anonymity_audit(sf_dir: str, *, ks: tuple = (2, 5, 10)) -> pa.Table:
+    """K-ANONYMITY audit over the (lang, source) quasi-identifier: how
+    many attribute combinations are carried by fewer than k documents —
+    the re-identification risk screen run before releasing corpus
+    slices. ONE combiner-first (lang, source) count; every k reads off
+    the same |combos|-row aggregate."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(batch).group_by(["lang", "source"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    g = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "source"], [("n", "sum", "n")],
+    ).to_pandas()
+    n = g["n"].to_numpy(np.int64)
+    rows = [(k, len(g), int((n < k).sum()), int(n[n < k].sum()))
+            for k in ks]
+    out = pd.DataFrame(rows, columns=["k", "n_groups", "n_below_k",
+                                      "n_docs_at_risk"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out.sort_values("k").reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["k_anonymity_audit"] = (
+    "WITH g AS (SELECT lang, source, COUNT(*) AS n FROM documents "
+    "GROUP BY 1, 2), "
+    "ks AS (SELECT UNNEST([2, 5, 10]) AS k) "
+    "SELECT CAST(ks.k AS BIGINT) AS k, "
+    "(SELECT COUNT(*) FROM g) AS n_groups, "
+    "CAST((SELECT COUNT(*) FROM g WHERE g.n < ks.k) AS BIGINT) "
+    "AS n_below_k, "
+    "CAST((SELECT COALESCE(SUM(n), 0) FROM g WHERE g.n < ks.k) AS BIGINT) "
+    "AS n_docs_at_risk "
+    "FROM ks ORDER BY k"
+)
