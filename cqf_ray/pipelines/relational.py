@@ -8188,3 +8188,180 @@ SQL["user_tercile_matrix"] = (
     "CAST(activity_tercile AS BIGINT) AS activity_tercile, "
     "COUNT(*) AS n_users FROM t GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+def groupingsets_type_hour(sf_dir: str) -> pa.Table:
+    """GROUPING SETS — the last multi-level-aggregate shape next to
+    ``rollup_revenue``/``cube_revenue``: purchase value totals by
+    (type), (hour), and (type, hour) with the SQL GROUPING id, all
+    derived from ONE combiner-first (type, hour) cent aggregate — the
+    two marginal levels are re-folds of that constant-size table, the
+    corpus is scanned once."""
+    ev = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vc = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "hour": np.asarray(pc.hour(batch.column("ts")).combine_chunks(),
+                               dtype=np.int64),
+            "vc": pl.Series(vc),
+        })
+        return (df.group_by(["event_type", "hour"])
+                .agg(n=pl.len().cast(pl.Int64),
+                     vc=pl.col("vc").sum()).to_arrow())
+
+    base = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], [("n", "sum", "n"), ("vc", "sum", "vc")],
+    ).to_pandas()
+    from .common import round_scaled
+
+    fine = base.assign(grp=np.int64(0))
+    by_type = (base.groupby("event_type", as_index=False)
+               .agg(n=("n", "sum"), vc=("vc", "sum")))
+    by_type["hour"] = np.int64(-1)
+    by_type["grp"] = np.int64(1)
+    by_hour = (base.groupby("hour", as_index=False)
+               .agg(n=("n", "sum"), vc=("vc", "sum")))
+    by_hour["event_type"] = "ALL"
+    by_hour["grp"] = np.int64(2)
+    out = pd.concat([fine, by_type, by_hour], ignore_index=True)
+    out["total_value"] = round_scaled(out["vc"].to_numpy(np.int64),
+                                      to_dec=2, from_dec=2)
+    out = out[["grp", "event_type", "hour", "n", "total_value"]]
+    out = out.astype({"grp": np.int64, "hour": np.int64, "n": np.int64})
+    out = out.sort_values(["grp", "event_type", "hour"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["groupingsets_type_hour"] = (
+    "WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events) "
+    "SELECT CAST(GROUPING(hour) + 2 * GROUPING(event_type) AS BIGINT) "
+    "AS grp, "
+    "COALESCE(event_type, 'ALL') AS event_type, "
+    "COALESCE(hour, -1) AS hour, COUNT(*) AS n, "
+    "CAST(SUM(vc) AS DOUBLE) / 100.0 AS total_value "
+    "FROM e GROUP BY GROUPING SETS ((event_type, hour), (event_type), "
+    "(hour)) ORDER BY grp, event_type, hour"
+)
+
+
+def new_user_event_share(sf_dir: str) -> pa.Table:
+    """COLD-START share per event type: the fraction of events emitted
+    within each user's first 24 h of activity — how much of the corpus
+    a personalization model must serve without history. One keyed
+    exchange on user_id; the kernel subtracts each partition's per-user
+    min(ts) (run-repeated searchsorted, no loop) and pre-counts per
+    type. Exact integers, ROUND 6."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    day_us = np.int64(86_400_000_000)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "n_cold": pa.array([], type=pa.int64())})
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsu, uid))
+        u_s, t_s = uid[order], tsu[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        first = np.repeat(t_s[starts],
+                          np.diff(np.r_[starts, len(u_s)]))
+        cold = (t_s - first) <= day_us
+        df = pl.DataFrame({"event_type": et[order].astype(str),
+                           "cold": pl.Series(cold.astype(np.int64))})
+        return (df.group_by("event_type")
+                .agg(n_events=pl.len().cast(pl.Int64),
+                     n_cold=pl.col("cold").sum().cast(pl.Int64)).to_arrow())
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(parts, ["event_type"],
+                            [("n_events", "sum", "n_events"),
+                             ("n_cold", "sum", "n_cold")]).to_pandas()
+    out["cold_share"] = round_col(out["n_cold"].to_numpy(np.float64)
+                                  / out["n_events"].to_numpy(np.float64), 6)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["new_user_event_share"] = (
+    "WITH e AS (SELECT event_type, epoch_us(ts) AS t, "
+    "MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0 FROM events) "
+    "SELECT event_type, COUNT(*) AS n_events, "
+    "CAST(SUM(CASE WHEN t - t0 <= 86400000000 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_cold, "
+    "ROUND(CAST(SUM(CASE WHEN t - t0 <= 86400000000 THEN 1 ELSE 0 END) "
+    "AS DOUBLE) / COUNT(*), 6) AS cold_share "
+    "FROM e GROUP BY 1 ORDER BY 1"
+)
+
+
+def discount_band_revenue(sf_dir: str) -> pa.Table:
+    """Revenue effectiveness by DISCOUNT band (integer percent): line
+    count, mean quantity and net revenue per band — the promo-depth
+    curve. ONE combiner-first aggregate keyed on the derived band;
+    money folds in integer cents (net = price·(1−d) rounded per line),
+    quantities exact."""
+    li = read(sf_dir, "lineitem",
+              ["l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = np.asarray(batch.column("l_discount").combine_chunks(),
+                       dtype=np.float64)
+        band = np.round(d * 100.0).astype(np.int64)
+        p = np.asarray(batch.column("l_extendedprice").combine_chunks(),
+                       dtype=np.float64)
+        q = np.asarray(batch.column("l_quantity").combine_chunks(),
+                       dtype=np.float64)
+        y = p * (1.0 - d) * 100.0
+        # SQL ROUND is half-away-from-zero; np.round is banker's —
+        # the .5 cases are REAL here (cent-priced lines × (1−d))
+        net_c = np.floor(y + 0.5).astype(np.int64)
+        df = pl.DataFrame({"band": pl.Series(band),
+                           "q": pl.Series(q.astype(np.int64)),
+                           "net_c": pl.Series(net_c)})
+        return (df.group_by("band")
+                .agg(n_lines=pl.len().cast(pl.Int64),
+                     sq=pl.col("q").sum(), net=pl.col("net_c").sum())
+                .to_arrow())
+
+    out = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["band"], [("n_lines", "sum", "n_lines"), ("sq", "sum", "sq"),
+                   ("net", "sum", "net")]).to_pandas()
+    from .common import round_scaled
+
+    out["mean_qty"] = round_col(out["sq"].to_numpy(np.float64)
+                                / out["n_lines"].to_numpy(np.float64), 6)
+    out["net_revenue"] = round_scaled(out["net"].to_numpy(np.int64),
+                                      to_dec=2, from_dec=2)
+    out = out[["band", "n_lines", "mean_qty", "net_revenue"]]
+    out = out.sort_values("band").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["discount_band_revenue"] = (
+    "WITH l AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS band, "
+    "CAST(l_quantity AS BIGINT) AS q, "
+    "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+    "AS net_c FROM lineitem) "
+    "SELECT band, COUNT(*) AS n_lines, "
+    "ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_qty, "
+    "CAST(SUM(net_c) AS DOUBLE) / 100.0 AS net_revenue "
+    "FROM l GROUP BY 1 ORDER BY 1"
+)
