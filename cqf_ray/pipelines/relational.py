@@ -8365,3 +8365,159 @@ SQL["discount_band_revenue"] = (
     "CAST(SUM(net_c) AS DOUBLE) / 100.0 AS net_revenue "
     "FROM l GROUP BY 1 ORDER BY 1"
 )
+
+
+def throttle_dedup_events(sf_dir: str, *, window_min: int = 60) -> pa.Table:
+    """THROTTLE-style streaming dedup: an event is kept iff the same
+    (user, type) key saw no event in the previous ``window_min``
+    minutes (gap-from-previous — the stateless-window rule a rate
+    limiter implements; ties = simultaneous duplicates are dropped).
+    One keyed exchange on user_id; per partition a composite-key
+    lexsort + one diff answers every key's chain. Output: kept /
+    dropped per type."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    win_us = np.int64(window_min) * np.int64(60_000_000)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "n_kept": pa.array([], type=pa.int64())})
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        # lexsort on int codes, not object strings (10× kernel cost)
+        ecode = np.unique(et, return_inverse=True)[1]
+        order = np.lexsort((tsu, ecode, uid))
+        u_s, e_s, t_s = uid[order], et[order], tsu[order]
+        ec_s = ecode[order]
+        new_key = np.r_[True, (u_s[1:] != u_s[:-1]) | (ec_s[1:] != ec_s[:-1])]
+        gap_ok = np.r_[True, (t_s[1:] - t_s[:-1]) > win_us]
+        kept = new_key | gap_ok
+        df = pl.DataFrame({"event_type": e_s.astype(str),
+                           "kept": pl.Series(kept.astype(np.int64))})
+        return (df.group_by("event_type")
+                .agg(n_events=pl.len().cast(pl.Int64),
+                     n_kept=pl.col("kept").sum().cast(pl.Int64)).to_arrow())
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    out = grouped_aggregate(parts, ["event_type"],
+                            [("n_events", "sum", "n_events"),
+                             ("n_kept", "sum", "n_kept")]).to_pandas()
+    out["n_dropped"] = out["n_events"] - out["n_kept"]
+    out["keep_rate"] = round_col(out["n_kept"].to_numpy(np.float64)
+                                 / out["n_events"].to_numpy(np.float64), 6)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["throttle_dedup_events"] = (
+    "WITH o AS (SELECT event_type, epoch_us(ts) AS t, "
+    "LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
+    "ORDER BY epoch_us(ts)) AS pt FROM events) "
+    "SELECT event_type, COUNT(*) AS n_events, "
+    "CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 3600000000 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(SUM(CASE WHEN pt IS NOT NULL AND t - pt <= 3600000000 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, "
+    "ROUND(CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 3600000000 "
+    "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate "
+    "FROM o GROUP BY 1 ORDER BY 1"
+)
+
+
+def type_coverage_division(sf_dir: str) -> pa.Table:
+    """RELATIONAL DIVISION: how many users have emitted EVERY event
+    type (and the full distinct-type-count histogram on the way) —
+    the "users who bought all categories" shape. Two-level exact
+    distinct (``transcript_role_stats`` pattern): combiner-aggregate to
+    (user, type), count rows per user, fold to the ≤|types| histogram;
+    the division answer is the histogram's top bucket."""
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+    per_pair = grouped_aggregate(ev, ["user_id", "event_type"],
+                                 [("n", "count", None)])
+    per_user = grouped_aggregate(per_pair, ["user_id"],
+                                 [("n_types", "count", None)])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (df.group_by("n_types")
+                .agg(n_users=pl.len().cast(pl.Int64)).to_arrow())
+
+    out = grouped_aggregate(
+        per_user.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["n_types"], [("n_users", "sum", "n_users")]).to_pandas()
+    out["n_types"] = out["n_types"].astype(np.int64)
+    total_types = int(out["n_types"].max())
+    out["complete"] = (out["n_types"] == total_types)
+    out = out.sort_values("n_types").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["n_types", "n_users", "complete"]],
+                                preserve_index=False)
+
+
+SQL["type_coverage_division"] = (
+    "WITH u AS (SELECT user_id, COUNT(DISTINCT event_type) AS n_types "
+    "FROM events GROUP BY 1), "
+    "t AS (SELECT COUNT(DISTINCT event_type) AS k FROM events) "
+    "SELECT CAST(n_types AS BIGINT) AS n_types, COUNT(*) AS n_users, "
+    "n_types = t.k AS complete FROM u, t GROUP BY 1, 3 ORDER BY 1"
+)
+
+
+def wow_growth_by_type(sf_dir: str) -> pa.Table:
+    """Week-over-week count growth per event type (LAG over the dense
+    observed weekly series; pct change as an integer-ratio ROUND 6 —
+    negative-ratio truncation semantics mirrored from
+    ``orders_monthly_growth``). ONE combiner-first (type, week) count;
+    the LAG and ratio are arithmetic on the time-bounded aggregate."""
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        wk = ((np.asarray(batch.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+              // (np.int64(7) * np.int64(86_400_000_000)))
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "week": pl.Series(wk),
+        })
+        return (df.group_by(["event_type", "week"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "week"], [("n", "sum", "n")],
+    ).to_pandas()
+    c = c.sort_values(["event_type", "week"]).reset_index(drop=True)
+    prev = c.groupby("event_type")["n"].shift(1)
+    mask = prev.notna()
+    out = c[mask].copy()
+    pv = prev[mask].to_numpy(np.int64)
+    out["prev_n"] = pv
+    out["growth_pct"] = round_col(
+        (out["n"].to_numpy(np.int64) - pv) / pv.astype(np.float64) * 100.0, 6)
+    out = out[["event_type", "week", "n", "prev_n", "growth_pct"]]
+    out = out.sort_values(["event_type", "week"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["wow_growth_by_type"] = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "l AS (SELECT event_type, week, n, LAG(n) OVER ("
+    "PARTITION BY event_type ORDER BY week) AS prev_n FROM c) "
+    "SELECT event_type, week, n, prev_n, "
+    "ROUND(CAST(n - prev_n AS DOUBLE) / prev_n * 100.0, 6) AS growth_pct "
+    "FROM l WHERE prev_n IS NOT NULL ORDER BY event_type, week"
+)
