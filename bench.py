@@ -77,6 +77,10 @@ QUERY_SET = [
     "cohort_ltv",  # cohort LTV matrix: kind-tagged partials on one user shuffle (r5s5)
     "user_bursts",  # trailing-window burst max: composite-key two-pointer (r5s5)
     "copurchase_lift",  # market-basket pair lift: pair partials below the shuffle (r5s5)
+    "nearest_event_join",  # bidirectional nearest-|Δt| join: 2 binary searches/row (r5s6)
+    "user_streaks",  # gaps-and-islands distinct-day streaks, one diff scan (r5s6)
+    "char_trigram_top",  # byte-packed sliding-window trigram kernel (r5s6)
+    "d1_retention_by_day",  # next-day retention from the day-adjacency scan (r5s6)
 ]
 
 
