@@ -8521,3 +8521,146 @@ SQL["wow_growth_by_type"] = (
     "ROUND(CAST(n - prev_n AS DOUBLE) / prev_n * 100.0, 6) AS growth_pct "
     "FROM l WHERE prev_n IS NOT NULL ORDER BY event_type, week"
 )
+
+
+def ship_latency_stats(sf_dir: str) -> pa.Table:
+    """Order→ship latency profile per order priority: line count, mean
+    days, p50/p90 — the fulfillment SLA table. The orders⋈lineitem
+    BIG-BIG join goes through ``shuffle_join`` (one hash exchange,
+    partition-local pyarrow joins); the day deltas are small bounded
+    integers, so the disc quantiles come from a (priority, days) COUNT
+    histogram — no value-level sort anywhere
+    (``quantile_normalize_scores`` trick)."""
+    from ..stages.join import shuffle_join
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = shuffle_join(orders, li, left_on="o_orderkey",
+                     right_on="l_orderkey", join_type="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        od = (np.asarray(batch.column("o_orderdate").combine_chunks())
+              .astype("datetime64[D]").astype(np.int64))
+        sd = (np.asarray(batch.column("l_shipdate").combine_chunks())
+              .astype("datetime64[D]").astype(np.int64))
+        df = pl.DataFrame({
+            "pr": np.asarray(batch.column("o_orderpriority").combine_chunks(),
+                             dtype=object),
+            "days": pl.Series(sd - od),
+        })
+        return (df.group_by(["pr", "days"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    hist = grouped_aggregate(
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["pr", "days"], [("n", "sum", "n")],
+    ).to_pandas()
+    rows = []
+    for pr, g in hist.groupby("pr"):
+        g = g.sort_values("days")
+        d = g["days"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        tot = int(cum[-1])
+        s = int((d * n).sum())
+        pick = lambda q: int(d[np.searchsorted(cum, int(np.ceil(q * tot)))])
+        rows.append((pr, tot, round_col(np.array([s / tot]), 6)[0],
+                     pick(0.5), pick(0.9)))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n_lines",
+                                      "mean_days", "p50_days", "p90_days"])
+    out = out.astype({"n_lines": np.int64, "p50_days": np.int64,
+                      "p90_days": np.int64})
+    out = out.sort_values("o_orderpriority").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["ship_latency_stats"] = (
+    "WITH j AS (SELECT o_orderpriority, "
+    "CAST(epoch_us(l_shipdate) // 86400000000 "
+    "- epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS days "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey) "
+    "SELECT o_orderpriority, COUNT(*) AS n_lines, "
+    "ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS mean_days, "
+    "quantile_disc(days, 0.5) AS p50_days, "
+    "quantile_disc(days, 0.9) AS p90_days "
+    "FROM j GROUP BY 1 ORDER BY 1"
+)
+
+
+def customer_balance_spend_corr(sf_dir: str) -> pa.Table:
+    """Does account balance predict spend? Pearson r between c_acctbal
+    and the customer's total order value, over customers with ≥1 order.
+    Per-customer spend folds combiner-first; the customer dim joins via
+    ``shuffle_join`` (big-big safe); moments are EXACT integer cent
+    sums, final mirrored formula ROUND 6."""
+    from ..stages.join import shuffle_join
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def sp_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vc = np.round(np.asarray(batch.column("o_totalprice").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        return (pl.DataFrame({"o_custkey": pl.from_arrow(
+            batch.column("o_custkey").combine_chunks()), "vc": pl.Series(vc)})
+            .group_by("o_custkey").agg(spend=pl.col("vc").sum()).to_arrow())
+
+    spend = grouped_aggregate(
+        orders.map_batches(sp_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("spend", "sum", "spend")],
+    )
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    j = shuffle_join(spend, cust, left_on="o_custkey",
+                     right_on="c_custkey", join_type="inner")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        x = np.round(np.asarray(batch.column("c_acctbal").combine_chunks(),
+                                dtype=np.float64) * 100.0).astype(np.int64)
+        y = np.asarray(batch.column("spend").combine_chunks()).astype(np.int64)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxy": pa.array([float((x.astype(np.float64)
+                                    * y.astype(np.float64)).sum())],
+                            type=pa.float64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([float((y.astype(np.float64) ** 2).sum())],
+                            type=pa.float64()),
+        })
+
+    f = grouped_aggregate(
+        j.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], [("n", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+                ("sxy", "sum", "sxy"), ("sxx", "sum", "sxx"),
+                ("syy", "sum", "syy")]).to_pandas()
+    n = int(f["n"][0]); sx = float(f["sx"][0]); sy = float(f["sy"][0])
+    sxy = float(f["sxy"][0]); sxx = float(f["sxx"][0]); syy = float(f["syy"][0])
+    num = n * sxy - sx * sy
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    return pa.table({
+        "n_customers": pa.array([n], type=pa.int64()),
+        "corr": pa.array(round_col(np.array([num / den]), 6)),
+    })
+
+
+SQL["customer_balance_spend_corr"] = (
+    "WITH s AS (SELECT o_custkey, "
+    "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend "
+    "FROM orders GROUP BY 1), "
+    "j AS (SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x, "
+    "s.spend AS y FROM s JOIN customer ON c_custkey = o_custkey), "
+    "m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(CAST(x AS DOUBLE) * y) AS sxy, SUM(x * x) AS sxx, "
+    "SUM(CAST(y AS DOUBLE) * y) AS syy FROM j) "
+    "SELECT CAST(n AS BIGINT) AS n_customers, "
+    "ROUND((n * sxy - CAST(sx AS DOUBLE) * sy) "
+    "/ (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) "
+    "* sqrt(n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr FROM m"
+)

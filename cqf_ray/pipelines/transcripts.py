@@ -1317,3 +1317,116 @@ SQL["conv_duration_turns_corr"] = (
     "/ (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
     "* sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr FROM m"
 )
+
+
+def tool_cooccurrence_pairs(sf_dir: str) -> pa.Table:
+    """Which TOOLS appear together in one conversation? Unordered tool
+    pair counts over distinct (conv, tool) — the capability-bundle
+    signal for router/curriculum design. Distinct pairs via the shared
+    two-level aggregate, then a conv-keyed kernel expands each conv's
+    ≤|tools| set to its C(k,2) pairs (vectorized triu indices) with
+    in-kernel pre-count — the second exchange carries (tool_a, tool_b)
+    partials, bounded by |tools|²."""
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ds = transcripts_light(sf_dir, ["conv_id", "tool"])
+    per_pair = grouped_aggregate(ds, ["conv_id", "tool"],
+                                 [("n", "count", None)])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        if len(conv) == 0:
+            return pa.table({"tool_a": pa.array([], type=pa.string()),
+                             "tool_b": pa.array([], type=pa.string()),
+                             "n_convs": pa.array([], type=pa.int64())})
+        tool = t.column("tool").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tool, conv))
+        c_s, t_s = conv[order], tool[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        ends = np.r_[starts[1:], len(c_s)]
+        la, lb = [], []
+        for a, b in zip(starts, ends):  # ≤|tools| per conv, tiny
+            k = b - a
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, k=1)
+            la.extend(t_s[a + iu[0]])
+            lb.extend(t_s[a + iu[1]])
+        if not la:
+            return pa.table({"tool_a": pa.array([], type=pa.string()),
+                             "tool_b": pa.array([], type=pa.string()),
+                             "n_convs": pa.array([], type=pa.int64())})
+        df = pl.DataFrame({"tool_a": np.asarray(la, dtype=object),
+                           "tool_b": np.asarray(lb, dtype=object)})
+        return (df.group_by(["tool_a", "tool_b"])
+                .agg(n_convs=pl.len().cast(pl.Int64)).to_arrow())
+
+    from ..stages.groupagg import grouped_aggregate as _ga
+
+    parts = keyed_partition_map(per_pair, ["conv_id"], kernel)
+    out = _ga(parts, ["tool_a", "tool_b"],
+              [("n_convs", "sum", "n_convs")]).to_pandas()
+    out = out.sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["tool_cooccurrence_pairs"] = (
+    f"{_CTE}, d AS (SELECT DISTINCT conv_id, tool FROM transcripts) "
+    "SELECT a.tool AS tool_a, b.tool AS tool_b, COUNT(*) AS n_convs "
+    "FROM d a JOIN d b ON a.conv_id = b.conv_id AND a.tool < b.tool "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+def first_tool_latency(sf_dir: str) -> pa.Table:
+    """Seconds from conversation start to the FIRST tool turn, per
+    conversation — how deep into a session the agent reaches for a
+    tool. One conv-keyed combiner aggregate (min ts overall, min ts
+    where role='tool') — exact after the shuffle merge — inner-filtered
+    to conversations that used a tool at all. Whole-second integers."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = transcripts_light(sf_dir, ["conv_id", "role", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        tsu = (np.asarray(batch.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        df = pl.DataFrame({
+            "conv_id": np.asarray(batch.column("conv_id").combine_chunks(),
+                                  dtype=object),
+            "role": np.asarray(batch.column("role").combine_chunks(),
+                               dtype=object),
+            "t": pl.Series(tsu),
+        })
+        big = np.int64(2**62)
+        return (df.with_columns(
+            tt=pl.when(pl.col("role") == "tool").then(pl.col("t"))
+            .otherwise(pl.lit(big)))
+            .group_by("conv_id")
+            .agg(t0=pl.col("t").min(), tt=pl.col("tt").min()).to_arrow())
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"], [("t0", "min", "t0"), ("tt", "min", "tt")],
+    ).to_pandas()
+    agg = agg[agg["tt"] < 2**62].copy()
+    agg["first_tool_sec"] = ((agg["tt"].to_numpy(np.int64)
+                              - agg["t0"].to_numpy(np.int64))
+                             // 1_000_000).astype(np.int64)
+    agg = agg[["conv_id", "first_tool_sec"]].sort_values("conv_id")
+    return pa.Table.from_pandas(agg.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["first_tool_latency"] = (
+    f"{_CTE}, a AS (SELECT conv_id, MIN(epoch_us(ts)) AS t0, "
+    "MIN(CASE WHEN role = 'tool' THEN epoch_us(ts) END) AS tt "
+    "FROM transcripts GROUP BY 1) "
+    "SELECT conv_id, (tt - t0) // 1000000 AS first_tool_sec "
+    "FROM a WHERE tt IS NOT NULL ORDER BY conv_id"
+)
