@@ -212,6 +212,7 @@ def _inverted_jaccard(
     id_filter: np.ndarray | None = None,
     num_partitions: int = 32,
     hot_cap: int | None = None,
+    return_counts: bool = False,
 ) -> pd.DataFrame:
     """EXACT n-gram Jaccard pairs by inverted index, fully distributed:
     explode (shingle, doc_id, doc_size), partition by shingle, emit
@@ -299,7 +300,9 @@ def _inverted_jaccard(
     c = counted["c"].to_numpy().astype(np.float64)
     union = counted["size_a"].to_numpy() + counted["size_b"].to_numpy() - c
     keep = c / union >= threshold
-    out = counted[keep][["doc_a", "doc_b"]].astype(np.int64)
+    cols = (["doc_a", "doc_b", "c", "size_a", "size_b"]
+            if return_counts else ["doc_a", "doc_b"])
+    out = counted[keep][cols].astype(np.int64)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -2306,4 +2309,49 @@ SQL["near_dup_source_matrix"] = (
     "FROM pairs JOIN documents da ON da.doc_id = pairs.doc_a "
     "JOIN documents db ON db.doc_id = pairs.doc_b "
     "GROUP BY 1, 2 ORDER BY source_a, source_b"
+)
+
+
+def near_dup_threshold_sweep(sf_dir: str,
+                             *, thresholds: tuple = (0.5, 0.7, 0.9)
+                             ) -> pa.Table:
+    """How aggressive would dedup be at each Jaccard cutoff? EXACT pair
+    counts at several thresholds from ONE distributed inverted-index
+    pass (``_inverted_jaccard`` at the lowest cutoff, returning exact
+    intersection/size integers) — the sweep costs a filter per
+    threshold, not a re-scan. Exact by construction, so the oracle is
+    three scalar counts over the same substring-set CTE."""
+    df = _inverted_jaccard(sf_dir, n=5, seed=53,
+                           threshold=min(thresholds), return_counts=True)
+    if df.empty:
+        c = np.zeros(0, np.float64)
+        union = np.zeros(0, np.float64)
+    else:
+        c = df["c"].to_numpy(np.float64)
+        union = (df["size_a"].to_numpy(np.float64)
+                 + df["size_b"].to_numpy(np.float64) - c)
+    rows = [(t, int((c / union >= t).sum()) if len(c) else 0)
+            for t in sorted(thresholds)]
+    out = pd.DataFrame(rows, columns=["threshold", "n_pairs"])
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["near_dup_threshold_sweep"] = (
+    "WITH sh AS ("
+    "  SELECT DISTINCT doc_id, substring(text, CAST(r AS BIGINT) + 1, 5) AS g "
+    "  FROM documents, LATERAL UNNEST(range(length(text) - 4)) AS t(r) "
+    "  WHERE length(text) >= 5), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "pairs AS ("
+    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c "
+    "  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2), "
+    "jac AS (SELECT CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j FROM pairs "
+    "JOIN sizes sa ON doc_a = sa.doc_id "
+    "JOIN sizes sb ON doc_b = sb.doc_id), "
+    "thr AS (SELECT UNNEST([0.5, 0.7, 0.9]) AS threshold) "
+    "SELECT threshold, "
+    "CAST((SELECT COUNT(*) FROM jac WHERE j >= threshold) AS BIGINT) "
+    "AS n_pairs FROM thr ORDER BY threshold"
 )

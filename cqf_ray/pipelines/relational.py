@@ -8664,3 +8664,57 @@ SQL["customer_balance_spend_corr"] = (
     "/ (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) "
     "* sqrt(n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr FROM m"
 )
+
+
+def peak_event_rate_10min(sf_dir: str) -> pa.Table:
+    """PEAK sustained arrival rate: the 10-minute window (minute
+    granularity, inclusive trailing [m−9, m]) with the most events —
+    the capacity number a rate limiter / autoscaler is sized against.
+    ONE combiner-first per-minute count (bounded by the time range);
+    the sliding-window max is a dense cumsum-diff on that aggregate.
+    A window ending at a non-observed minute can never beat one ending
+    at the last observed minute ≤ it (it only drops events), so
+    anchoring on observed minutes — as the oracle's self-join does —
+    is lossless. Tie → earliest window."""
+    ev = read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        mn = (np.asarray(batch.column("ts").combine_chunks())
+              .astype("datetime64[m]").astype(np.int64))
+        df = pl.DataFrame({"m": pl.Series(mn)})
+        return df.group_by("m").agg(n=pl.len().cast(pl.Int64)).to_arrow()
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["m"], [("n", "sum", "n")],
+    ).to_pandas().sort_values("m")
+    m = c["m"].to_numpy(np.int64)
+    n = c["n"].to_numpy(np.int64)
+    m0 = int(m[0])
+    dense = np.zeros(int(m[-1]) - m0 + 1, dtype=np.int64)
+    dense[m - m0] = n
+    cs = np.cumsum(dense)
+    win = cs - np.r_[np.zeros(min(10, len(cs)), np.int64),
+                     cs[:-10]][:len(cs)]
+    # evaluate only at observed anchors (matches the oracle; lossless)
+    obs = m - m0
+    wo = win[obs]
+    best = int(np.argmax(wo))  # argmax = first max → earliest minute
+    return pa.table({
+        "window_end_minute": pa.array([int(m[best])], type=pa.int64()),
+        "n_events": pa.array([int(wo[best])], type=pa.int64()),
+    })
+
+
+SQL["peak_event_rate_10min"] = (
+    "WITH c AS (SELECT CAST(epoch_us(ts) // 60000000 AS BIGINT) AS m, "
+    "COUNT(*) AS n FROM events GROUP BY 1), "
+    "w AS (SELECT a.m, SUM(b.n) AS cnt FROM c a "
+    "JOIN c b ON b.m BETWEEN a.m - 9 AND a.m GROUP BY 1), "
+    "r AS (SELECT m, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, m) AS rk "
+    "FROM w) "
+    "SELECT m AS window_end_minute, CAST(cnt AS BIGINT) AS n_events "
+    "FROM r WHERE rk = 1"
+)
