@@ -357,3 +357,59 @@ SQL = {
         "FROM documents ORDER BY media_id"
     ),
 }
+
+
+def media_kind_summary(sf_dir: str) -> pa.Table:
+    """Corpus-level media PROFILE per kind: count, byte totals, mean
+    payload size — the storage-planning table, computed THROUGH the
+    actor-pool decode stage (``MediaFeatures``) and folded
+    combiner-first: the per-batch partial group_by keeps the exchange
+    at |kinds| rows per batch while the decode stays vectorized over
+    the binary buffers. Exact integers + exact-ratio ROUND 6."""
+    from ..pipelines.common import round_col
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = synth_media(sf_dir)
+    feats = ds.map_batches(
+        MediaFeatures, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256, concurrency=(1, 4),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["kind", "n_bytes", "byte_sum"]))
+        return (df.group_by("kind")
+                .agg(n_media=pl.len().cast(pl.Int64),
+                     total_bytes=pl.col("n_bytes").sum(),
+                     total_byte_sum=pl.col("byte_sum").sum()).to_arrow())
+
+    out = grouped_aggregate(
+        feats.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["kind"], [("n_media", "sum", "n_media"),
+                   ("total_bytes", "sum", "total_bytes"),
+                   ("total_byte_sum", "sum", "total_byte_sum")]).to_pandas()
+    out["mean_bytes"] = round_col(
+        out["total_bytes"].to_numpy(np.float64)
+        / out["n_media"].to_numpy(np.float64), 6)
+    out = out[["kind", "n_media", "total_bytes", "mean_bytes",
+               "total_byte_sum"]]
+    out = out.sort_values("kind").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["media_kind_summary"] = (
+    "WITH f AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' "
+    "END AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "
+    "AS n_bytes, "
+    "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE "
+    "list_aggregate(list_transform(range(1, length(text) + 1), "
+    "i -> CAST(ascii(substring(text, CAST(i AS BIGINT), 1)) AS BIGINT)), "
+    "'sum') END AS BIGINT) AS byte_sum FROM documents) "
+    "SELECT kind, COUNT(*) AS n_media, "
+    "CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, "
+    "ROUND(CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*), 6) AS mean_bytes, "
+    "CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum "
+    "FROM f GROUP BY 1 ORDER BY 1"
+)
