@@ -8718,3 +8718,54 @@ SQL["peak_event_rate_10min"] = (
     "SELECT m AS window_end_minute, CAST(cnt AS BIGINT) AS n_events "
     "FROM r WHERE rk = 1"
 )
+
+
+def brand_price_quartiles(sf_dir: str) -> pa.Table:
+    """Retail-price quartiles per part brand (disc convention, integer
+    cents — exact) — the assortment-pricing profile. One keyed exchange
+    on p_brand; per-partition sort + run-offset order-statistic gather
+    (``value_quantiles_exact`` shape)."""
+    from ..stages.keyed import keyed_partition_map
+
+    part = read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        b = t.column("p_brand").to_numpy(zero_copy_only=False)
+        if len(b) == 0:
+            return pa.table({"p_brand": pa.array([], type=pa.string()),
+                             "n_parts": pa.array([], type=pa.int64()),
+                             "p25": pa.array([], type=pa.float64()),
+                             "p50": pa.array([], type=pa.float64()),
+                             "p75": pa.array([], type=pa.float64())})
+        vc = np.round(np.asarray(t.column("p_retailprice").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        bcode = np.unique(b, return_inverse=True)[1]
+        order = np.lexsort((vc, bcode))
+        b_s, v_s = b[order], vc[order]
+        bc_s = bcode[order]
+        starts = np.flatnonzero(np.r_[True, bc_s[1:] != bc_s[:-1]])
+        ends = np.r_[starts[1:], len(b_s)]
+        cnt = ends - starts
+        pick = lambda q: v_s[starts + np.ceil(q * cnt).astype(np.int64) - 1]
+        return pa.table({
+            "p_brand": pa.array(b_s[starts].tolist(), type=pa.string()),
+            "n_parts": pa.array(cnt.astype(np.int64)),
+            "p25": pa.array(pick(0.25) / 100.0, type=pa.float64()),
+            "p50": pa.array(pick(0.50) / 100.0, type=pa.float64()),
+            "p75": pa.array(pick(0.75) / 100.0, type=pa.float64()),
+        })
+
+    out = keyed_partition_map(part, ["p_brand"], kernel).to_pandas()
+    out = out.sort_values("p_brand").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["brand_price_quartiles"] = (
+    "WITH c AS (SELECT p_brand, "
+    "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS vc FROM part) "
+    "SELECT p_brand, COUNT(*) AS n_parts, "
+    "CAST(quantile_disc(vc, 0.25) AS DOUBLE) / 100.0 AS p25, "
+    "CAST(quantile_disc(vc, 0.50) AS DOUBLE) / 100.0 AS p50, "
+    "CAST(quantile_disc(vc, 0.75) AS DOUBLE) / 100.0 AS p75 "
+    "FROM c GROUP BY 1 ORDER BY 1"
+)

@@ -1430,3 +1430,60 @@ SQL["first_tool_latency"] = (
     "SELECT conv_id, (tt - t0) // 1000000 AS first_tool_sec "
     "FROM a WHERE tt IS NOT NULL ORDER BY conv_id"
 )
+
+
+def conv_idle_gaps(sf_dir: str) -> pa.Table:
+    """Longest IDLE gap inside each conversation (seconds) plus its turn
+    count — the stall detector for agentic sessions (a long gap mid-conv
+    usually marks a human walking away or a hung tool). One conv-keyed
+    exchange; per partition a composite-key lexsort + one diff finds
+    every conversation's max adjacent gap (``user_bursts`` machinery,
+    no per-conv loop). Whole-second integers."""
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ds = transcripts_light(sf_dir, ["conv_id", "ts"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        if len(conv) == 0:
+            return pa.table({"conv_id": pa.array([], type=pa.string()),
+                             "n_turns": pa.array([], type=pa.int64()),
+                             "max_gap_sec": pa.array([], type=pa.int64())})
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        ccode = np.unique(conv, return_inverse=True)[1]
+        order = np.lexsort((tsu, ccode))
+        c_s, t_s = conv[order], tsu[order]
+        cc_s = ccode[order]
+        same = cc_s[1:] == cc_s[:-1]
+        d = np.where(same, t_s[1:] - t_s[:-1], np.int64(-1))
+        df = pl.DataFrame({"conv_id": c_s.astype(str),
+                           "g": pl.Series(np.r_[np.int64(-1), d])})
+        out = (df.group_by("conv_id")
+               .agg(n_turns=pl.len().cast(pl.Int64),
+                    mg=pl.col("g").max()))
+        out = out.with_columns(
+            max_gap_sec=pl.when(pl.col("mg") < 0).then(pl.lit(0))
+            .otherwise(pl.col("mg") // 1_000_000).cast(pl.Int64)).drop("mg")
+        return out.to_arrow()
+
+    parts = keyed_partition_map(ds, ["conv_id"], kernel)
+    out = grouped_aggregate(parts, ["conv_id"],
+                            [("n_turns", "sum", "n_turns"),
+                             ("max_gap_sec", "max", "max_gap_sec")]
+                            ).to_pandas()
+    out = out.sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["conv_idle_gaps"] = (
+    f"{_CTE}, o AS (SELECT conv_id, epoch_us(ts) AS t, "
+    "LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+    "AS pt FROM transcripts) "
+    "SELECT conv_id, COUNT(*) AS n_turns, "
+    "CAST(COALESCE(MAX((t - pt) // 1000000), 0) AS BIGINT) "
+    "AS max_gap_sec FROM o GROUP BY 1 ORDER BY 1"
+)
