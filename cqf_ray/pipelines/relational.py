@@ -8769,3 +8769,175 @@ SQL["brand_price_quartiles"] = (
     "CAST(quantile_disc(vc, 0.75) AS DOUBLE) / 100.0 AS p75 "
     "FROM c GROUP BY 1 ORDER BY 1"
 )
+
+
+def acctbal_decile_order_rate(sf_dir: str) -> pa.Table:
+    """Does wealth predict purchasing AT ALL? Customers NTILE(10)'d by
+    account balance (exact SQL semantics, cents, user-id tie-break),
+    each decile's share of customers that placed ≥1 order — NTILE +
+    existence-join in one op. Customer pass is one read; order
+    existence folds combiner-first to distinct custkeys; the decile
+    assignment is an argsort of the customer-sized aggregate."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    orders = read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(batch).group_by("o_custkey")
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    have = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("n", "sum", "n")],
+    ).to_pandas()
+    buyers = np.sort(have["o_custkey"].to_numpy(np.int64))
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    bc = np.round(cust["c_acctbal"].to_numpy(np.float64) * 100.0).astype(np.int64)
+    n = len(ck)
+    order = np.lexsort((ck, bc))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    base, extra = divmod(n, 10)
+    bounds = np.cumsum([base + (i < extra) for i in range(10)])
+    dec = np.searchsorted(bounds, rank, side="right") + 1
+    has = np.isin(ck, buyers)
+    out = (pd.DataFrame({"decile": dec, "has": has.astype(np.int64)})
+           .groupby("decile", as_index=False)
+           .agg(n_customers=("has", "size"), n_buyers=("has", "sum")))
+    out["order_rate"] = round_col(out["n_buyers"].to_numpy(np.float64)
+                                  / out["n_customers"].to_numpy(np.float64),
+                                  6)
+    out = out.astype({"decile": np.int64, "n_customers": np.int64,
+                      "n_buyers": np.int64})
+    out = out.sort_values("decile").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["acctbal_decile_order_rate"] = (
+    "WITH d AS (SELECT c_custkey, NTILE(10) OVER ("
+    "ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey) "
+    "AS decile FROM customer), "
+    "b AS (SELECT DISTINCT o_custkey FROM orders) "
+    "SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers, "
+    "CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_buyers, "
+    "ROUND(CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS DOUBLE) / COUNT(*), 6) AS order_rate "
+    "FROM d LEFT JOIN b ON b.o_custkey = d.c_custkey "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
+def new_users_by_day(sf_dir: str) -> pa.Table:
+    """Acquisition curve: users FIRST SEEN per calendar day, with the
+    cumulative count — the growth chart. One combiner-first per-user
+    min(day) (the exchange carries per-batch user minima), a
+    |days|-bounded fold, and a cumsum on that aggregate."""
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        day = (np.asarray(batch.column("ts").combine_chunks())
+               .astype("datetime64[D]").astype(np.int64))
+        df = pl.DataFrame({"user_id": pl.from_arrow(
+            batch.column("user_id").combine_chunks()),
+            "day": pl.Series(day)})
+        return (df.group_by("user_id")
+                .agg(first_day=pl.col("day").min()).to_arrow())
+
+    first = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("first_day", "min", "first_day")],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (df.group_by("first_day")
+                .agg(n_new=pl.len().cast(pl.Int64)).to_arrow())
+
+    out = grouped_aggregate(
+        first.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["first_day"], [("n_new", "sum", "n_new")]).to_pandas()
+    out = out.sort_values("first_day").reset_index(drop=True)
+    out["cum_users"] = out["n_new"].cumsum().astype(np.int64)
+    out = out.rename(columns={"first_day": "day"})
+    out["day"] = out["day"].astype(np.int64)
+    return pa.Table.from_pandas(out[["day", "n_new", "cum_users"]],
+                                preserve_index=False)
+
+
+SQL["new_users_by_day"] = (
+    "WITH f AS (SELECT user_id, "
+    "MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS day FROM events "
+    "GROUP BY 1), "
+    "c AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1) "
+    "SELECT day, n_new, "
+    "CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users "
+    "FROM c ORDER BY day"
+)
+
+
+def type_transition_lift(sf_dir: str) -> pa.Table:
+    """LIFT of adjacent event-type transitions: observed / expected
+    under independence of (from, to) marginals — the PMI-flavored view
+    of the transition matrix that separates real flows from base-rate
+    artifacts. One keyed exchange builds the adjacent-pair counts
+    (``event_transition_counts`` shape); marginals and lift are
+    arithmetic on the |types|² aggregate. ROUND 6."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"from_type": pa.array([], type=pa.string()),
+                             "to_type": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        eid = np.asarray(t.column("event_id").combine_chunks()).astype(np.int64)
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsu, uid))
+        u_s, e_s = uid[order], et[order]
+        same = u_s[1:] == u_s[:-1]
+        df = pl.DataFrame({"from_type": e_s[:-1][same].astype(str),
+                           "to_type": e_s[1:][same].astype(str)})
+        return (df.group_by(["from_type", "to_type"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel)
+    c = grouped_aggregate(parts, ["from_type", "to_type"],
+                          [("n", "sum", "n")]).to_pandas()
+    tot = int(c["n"].sum())
+    fm = c.groupby("from_type")["n"].sum()
+    tm = c.groupby("to_type")["n"].sum()
+    e = (c["from_type"].map(fm).to_numpy(np.float64)
+         * c["to_type"].map(tm).to_numpy(np.float64) / tot)
+    c["lift"] = round_col(c["n"].to_numpy(np.float64) / e, 6)
+    c = c.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(c[["from_type", "to_type", "n", "lift"]],
+                                preserve_index=False)
+
+
+SQL["type_transition_lift"] = (
+    "WITH o AS (SELECT user_id, event_type, LEAD(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS nt FROM events), "
+    "c AS (SELECT event_type AS from_type, nt AS to_type, COUNT(*) AS n "
+    "FROM o WHERE nt IS NOT NULL GROUP BY 1, 2), "
+    "fm AS (SELECT from_type, SUM(n) AS fn FROM c GROUP BY 1), "
+    "tm AS (SELECT to_type, SUM(n) AS tn FROM c GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS tot FROM c) "
+    "SELECT c.from_type, c.to_type, c.n, "
+    "ROUND(CAST(c.n AS DOUBLE) / (CAST(fm.fn AS DOUBLE) * tm.tn / t.tot), "
+    "6) AS lift "
+    "FROM c JOIN fm USING (from_type) JOIN tm USING (to_type), t "
+    "ORDER BY c.from_type, c.to_type"
+)

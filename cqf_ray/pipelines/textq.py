@@ -3496,3 +3496,70 @@ SQL["k_anonymity_audit"] = (
     "AS n_docs_at_risk "
     "FROM ks ORDER BY k"
 )
+
+
+def char_class_profile(sf_dir: str) -> pa.Table:
+    """Character-CLASS composition per source: fractions of letters,
+    digits, whitespace and other — the encoding/noise audit that flags
+    OCR junk and markup baths before tokenization. The kernel counts
+    classes on the raw uint8 view of each batch's concatenated text
+    buffer (two masked sums per class, no per-row work; ASCII corpus
+    invariant); the exchange carries 4 integers per (batch, source).
+    Exact integers, ROUND 6 fractions."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        src = np.asarray(batch.column("source").combine_chunks(),
+                         dtype=object)
+        texts = batch.column("text").to_pylist()
+        usrc = np.unique(src)
+        rows = []
+        for s in usrc:
+            blob = "".join(t for t, ss in zip(texts, src) if ss == s and t)
+            a = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
+            letters = int((((a >= 97) & (a <= 122))
+                           | ((a >= 65) & (a <= 90))).sum())
+            digits = int(((a >= 48) & (a <= 57)).sum())
+            spaces = int(((a == 32) | (a == 9) | (a == 10) | (a == 13)).sum())
+            rows.append((s, len(a), letters, digits, spaces))
+        df = pl.DataFrame(rows, schema=["source", "n_chars", "letters",
+                                        "digits", "spaces"], orient="row")
+        return df.to_arrow()
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_chars", "sum", "n_chars"),
+                     ("letters", "sum", "letters"),
+                     ("digits", "sum", "digits"),
+                     ("spaces", "sum", "spaces")]).to_pandas()
+    tot = out["n_chars"].to_numpy(np.float64)
+    for c in ("letters", "digits", "spaces"):
+        out[f"{c[:-1]}_frac" if c != "spaces" else "space_frac"] = round_col(
+            out[c].to_numpy(np.float64) / tot, 6)
+    out = out[["source", "n_chars", "letter_frac", "digit_frac",
+               "space_frac"]]
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["char_class_profile"] = (
+    "WITH c AS (SELECT source, "
+    "CAST(SUM(length(text)) AS BIGINT) AS n_chars, "
+    "CAST(SUM(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) "
+    "AS BIGINT) AS letters, "
+    "CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) "
+    "AS BIGINT) AS digits, "
+    "CAST(SUM(length(text) "
+    "- length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))) AS BIGINT) "
+    "AS spaces FROM documents GROUP BY 1) "
+    "SELECT source, n_chars, "
+    "ROUND(CAST(letters AS DOUBLE) / n_chars, 6) AS letter_frac, "
+    "ROUND(CAST(digits AS DOUBLE) / n_chars, 6) AS digit_frac, "
+    "ROUND(CAST(spaces AS DOUBLE) / n_chars, 6) AS space_frac "
+    "FROM c ORDER BY source"
+)
