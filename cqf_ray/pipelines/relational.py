@@ -8941,3 +8941,125 @@ SQL["type_transition_lift"] = (
     "FROM c JOIN fm USING (from_type) JOIN tm USING (to_type), t "
     "ORDER BY c.from_type, c.to_type"
 )
+
+
+def price_ending_profile(sf_dir: str, *, k: int = 10) -> pa.Table:
+    """PRICE-ENDING bias: the top cent-endings (value mod 1.00) of
+    purchase values — the psychological-pricing / synthetic-data-tell
+    audit. One combiner-first count on the 100-bucket ending key;
+    shares on the ≤100-row aggregate. Tie-break n DESC, ending ASC."""
+    ev = read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).filter(pl.col("event_type") == "purchase")
+        if len(df) == 0:
+            return pa.table({"ending": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        vc = np.round(df.get_column("value").to_numpy() * 100.0).astype(np.int64)
+        end = vc % np.int64(100)
+        u, cnt = np.unique(end, return_counts=True)
+        return pa.table({"ending": pa.array(u, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["ending"], [("n", "sum", "n")],
+    ).to_pandas()
+    tot = int(c["n"].sum())
+    c = c.sort_values(["n", "ending"], ascending=[False, True]).head(k)
+    c.insert(0, "rank", np.arange(1, len(c) + 1, dtype=np.int64))
+    c["share"] = round_col(c["n"].to_numpy(np.float64) / tot, 6)
+    c = c.astype({"ending": np.int64, "n": np.int64})
+    return pa.Table.from_pandas(c.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["price_ending_profile"] = (
+    "WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) % 100 "
+    "AS ending, COUNT(*) AS n FROM events "
+    "WHERE event_type = 'purchase' GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS tot FROM c), "
+    "r AS (SELECT ending, n, ROW_NUMBER() OVER ("
+    "ORDER BY n DESC, ending) AS rank FROM c) "
+    "SELECT CAST(r.rank AS BIGINT) AS rank, r.ending, r.n, "
+    "ROUND(CAST(r.n AS DOUBLE) / t.tot, 6) AS share "
+    "FROM r, t WHERE r.rank <= 10 ORDER BY r.rank"
+)
+
+
+def order_total_consistency(sf_dir: str, *, tol_bps: int = 100) -> pa.Table:
+    """Cross-table INTEGRITY audit: does o_totalprice agree with the sum
+    of its line items' gross charge (price·(1−disc)·(1+tax))? Reports
+    orders checked, mismatches beyond ``tol_bps`` relative deviation,
+    and the worst deviation — the referential/value consistency check a
+    warehouse runs after ingest. Line charges fold combiner-first in
+    integer cents; the orders side joins via ``shuffle_join``; the
+    deviation is integer-bps arithmetic (|Δ|·10⁴ // total), exact."""
+    from ..stages.join import shuffle_join
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        p = np.asarray(batch.column("l_extendedprice").combine_chunks(),
+                       dtype=np.float64)
+        d = np.asarray(batch.column("l_discount").combine_chunks(),
+                       dtype=np.float64)
+        x = np.asarray(batch.column("l_tax").combine_chunks(),
+                       dtype=np.float64)
+        gross_c = np.floor(p * (1.0 - d) * (1.0 + x) * 100.0 + 0.5).astype(np.int64)
+        return (pl.DataFrame({"l_orderkey": pl.from_arrow(
+            batch.column("l_orderkey").combine_chunks()),
+            "gc": pl.Series(gross_c)})
+            .group_by("l_orderkey").agg(gc=pl.col("gc").sum()).to_arrow())
+
+    per_order = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("gc", "sum", "gc")],
+    )
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    j = shuffle_join(per_order, orders, left_on="l_orderkey",
+                     right_on="o_orderkey", join_type="inner")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        gc = np.asarray(batch.column("gc").combine_chunks()).astype(np.int64)
+        tc = np.round(np.asarray(batch.column("o_totalprice").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        dev_bps = (np.abs(gc - tc) * np.int64(10_000)) // np.maximum(tc, 1)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "n": pa.array([len(gc)], type=pa.int64()),
+            "bad": pa.array([int((dev_bps > tol_bps).sum())],
+                            type=pa.int64()),
+            "worst": pa.array([int(dev_bps.max()) if len(gc) else 0],
+                              type=pa.int64()),
+        })
+
+    f = grouped_aggregate(
+        j.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], [("n", "sum", "n"), ("bad", "sum", "bad"),
+                ("worst", "max", "worst")]).to_pandas()
+    return pa.table({
+        "n_orders_checked": pa.array([int(f["n"][0])], type=pa.int64()),
+        "n_mismatch": pa.array([int(f["bad"][0])], type=pa.int64()),
+        "worst_dev_bps": pa.array([int(f["worst"][0])], type=pa.int64()),
+    })
+
+
+SQL["order_total_consistency"] = (
+    "WITH l AS (SELECT l_orderkey, "
+    "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+    "* 100) AS BIGINT)) AS gc FROM lineitem GROUP BY 1), "
+    "j AS (SELECT gc, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tc "
+    "FROM l JOIN orders ON o_orderkey = l_orderkey), "
+    "d AS (SELECT ABS(gc - tc) * 10000 // GREATEST(tc, 1) AS dev_bps "
+    "FROM j) "
+    "SELECT COUNT(*) AS n_orders_checked, "
+    "CAST(SUM(CASE WHEN dev_bps > 100 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_mismatch, "
+    "CAST(MAX(dev_bps) AS BIGINT) AS worst_dev_bps FROM d"
+)

@@ -1487,3 +1487,52 @@ SQL["conv_idle_gaps"] = (
     "CAST(COALESCE(MAX((t - pt) // 1000000), 0) AS BIGINT) "
     "AS max_gap_sec FROM o GROUP BY 1 ORDER BY 1"
 )
+
+
+def role_daypart_mix(sf_dir: str) -> pa.Table:
+    """Turn volume by ROLE × DAYPART (night 0–5, morning 6–11,
+    afternoon 12–17, evening 18–23) with within-role shares — when do
+    users vs tools vs assistants actually speak? Shuffle-free
+    derivation + ONE combiner-first (role, daypart) count; shares on
+    the ≤16-row aggregate. Exact integers, ROUND 6."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = transcripts_light(sf_dir, ["role", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc_
+
+        hr = np.asarray(pc_.hour(batch.column("ts")).combine_chunks(),
+                        dtype=np.int64)
+        dp = np.array(["night", "morning", "afternoon", "evening"],
+                      dtype=object)[hr // 6]
+        df = pl.DataFrame({
+            "role": np.asarray(batch.column("role").combine_chunks(),
+                               dtype=object),
+            "daypart": dp,
+        })
+        return (df.group_by(["role", "daypart"])
+                .agg(n_turns=pl.len().cast(pl.Int64)).to_arrow())
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["role", "daypart"], [("n_turns", "sum", "n_turns")]).to_pandas()
+    tot = out.groupby("role")["n_turns"].transform("sum")
+    out["role_share"] = round_col(
+        out["n_turns"].to_numpy(np.float64) / tot.to_numpy(np.float64), 6)
+    out = out.sort_values(["role", "daypart"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["role_daypart_mix"] = (
+    f"{_CTE}, c AS (SELECT role, CASE hour(ts) // 6 "
+    "WHEN 0 THEN 'night' WHEN 1 THEN 'morning' WHEN 2 THEN 'afternoon' "
+    "ELSE 'evening' END AS daypart, COUNT(*) AS n_turns "
+    "FROM transcripts GROUP BY 1, 2), "
+    "t AS (SELECT role, SUM(n_turns) AS tot FROM c GROUP BY 1) "
+    "SELECT c.role, c.daypart, c.n_turns, "
+    "ROUND(CAST(c.n_turns AS DOUBLE) / t.tot, 6) AS role_share "
+    "FROM c JOIN t ON t.role = c.role ORDER BY c.role, c.daypart"
+)
