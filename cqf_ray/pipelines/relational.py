@@ -8613,7 +8613,7 @@ def customer_balance_spend_corr(sf_dir: str) -> pa.Table:
         orders.map_batches(sp_partial, batch_format="pyarrow",
                            zero_copy_batch=True),
         ["o_custkey"], [("spend", "sum", "spend")],
-    )
+    ).materialize()  # join peeks the schema: don't re-run the aggregate
     cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     j = shuffle_join(spend, cust, left_on="o_custkey",
                      right_on="c_custkey", join_type="inner")
@@ -9020,7 +9020,7 @@ def order_total_consistency(sf_dir: str, *, tol_bps: int = 100) -> pa.Table:
     per_order = grouped_aggregate(
         li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["l_orderkey"], [("gc", "sum", "gc")],
-    )
+    ).materialize()  # join peeks the schema: don't re-run the aggregate
     orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     j = shuffle_join(per_order, orders, left_on="l_orderkey",
                      right_on="o_orderkey", join_type="inner")
