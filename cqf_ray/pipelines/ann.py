@@ -1694,3 +1694,53 @@ SQL["embedding_clip_bounds"] = (
     "SELECT dim, COUNT(*) AS n, quantile_disc(v, 0.01) AS p_lo, "
     "quantile_disc(v, 0.99) AS p_hi FROM u GROUP BY dim ORDER BY dim"
 )
+
+
+def knn_dcg_eval(sf_dir: str, *, k: int = 10) -> pa.Table:
+    """Retrieval-quality DCG@k of the exact cosine k-NN graph with
+    label-match relevance (rel=1 iff the neighbor shares the query's
+    label) — the graded companion to ``knn_classifier_eval``'s
+    majority-vote accuracy. Reuses ``knn_graph``'s broadcast-matmul
+    candidates (9-dp + id tie-break ranking); labels join via one
+    broadcast id→label map; per-query DCG = Σ rel_i/log2(i+1) and the
+    corpus mean are arithmetic on the (n·k)-row graph. ROUND 6."""
+    import ray as _ray
+
+    g = knn_graph(sf_dir, k=k)
+    lab = read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    l_of = dict(zip(lab["vec_id"].to_numpy(np.int64),
+                    lab["label"].to_numpy(np.int64)))
+    df = g.to_pandas()
+    ql = df["vec_id"].map(l_of).to_numpy(np.int64)
+    nl = df["neighbor_id"].map(l_of).to_numpy(np.int64)
+    rel = (ql == nl).astype(np.float64)
+    gain = rel / np.log2(df["rank"].to_numpy(np.int64) + 1.0)
+    per_q = (pd.DataFrame({"q": df["vec_id"], "g": gain, "r": rel})
+             .groupby("q").agg(dcg=("g", "sum"), hits=("r", "sum")))
+    from .common import round_col
+
+    return pa.table({
+        "n_queries": pa.array([len(per_q)], type=pa.int64()),
+        "mean_dcg": pa.array(round_col(
+            np.array([float(per_q["dcg"].mean())]), 6)),
+        "mean_hits": pa.array(round_col(
+            np.array([float(per_q["hits"].mean())]), 6)),
+    })
+
+
+SQL["knn_dcg_eval"] = (
+    "WITH sims AS ( "
+    "  SELECT a.vec_id, a.label AS ql, b.vec_id AS nid, b.label AS nlab, "
+    "         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 9) AS sim "
+    "  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+    "r AS (SELECT vec_id, ql, nlab, ROW_NUMBER() OVER ("
+    "PARTITION BY vec_id ORDER BY sim DESC, nid) AS rk FROM sims), "
+    "q AS (SELECT vec_id, "
+    "SUM(CASE WHEN ql = nlab THEN 1.0 / log2(rk + 1.0) ELSE 0 END) "
+    "AS dcg, "
+    "SUM(CASE WHEN ql = nlab THEN 1 ELSE 0 END) AS hits "
+    "FROM r WHERE rk <= 10 GROUP BY 1) "
+    "SELECT COUNT(*) AS n_queries, ROUND(AVG(dcg), 6) AS mean_dcg, "
+    "ROUND(AVG(hits), 6) AS mean_hits FROM q"
+)

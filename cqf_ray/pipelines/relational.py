@@ -9063,3 +9063,56 @@ SQL["order_total_consistency"] = (
     "AS n_mismatch, "
     "CAST(MAX(dev_bps) AS BIGINT) AS worst_dev_bps FROM d"
 )
+
+
+def reactivated_users(sf_dir: str, *, dormant_days: int = 14) -> pa.Table:
+    """WIN-BACK audit: users who went dormant (an inter-event gap longer
+    than ``dormant_days``) and came back — the reactivation base a
+    lifecycle campaign is measured against. One keyed exchange on
+    user_id; per partition a lexsort + diff finds each user's max gap;
+    exact integers, ROUND 6 share."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    thr_us = np.int64(dormant_days) * np.int64(86_400_000_000)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").combine_chunks()).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"n_users": pa.array([], type=pa.int64()),
+                             "n_reactivated": pa.array([], type=pa.int64())})
+        tsu = (np.asarray(t.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        order = np.lexsort((tsu, uid))
+        u_s, t_s = uid[order], tsu[order]
+        same = u_s[1:] == u_s[:-1]
+        d = (t_s[1:] - t_s[:-1])
+        big = same & (d > thr_us)
+        nu = int((u_s[1:] != u_s[:-1]).sum()) + 1
+        # users with ≥1 dormant gap: count distinct users among big pairs
+        nr = len(np.unique(u_s[1:][big]))
+        return pa.table({"n_users": pa.array([nu], type=pa.int64()),
+                         "n_reactivated": pa.array([nr], type=pa.int64())})
+
+    parts = keyed_partition_map(ev, ["user_id"], kernel).to_pandas()
+    nu = int(parts["n_users"].sum())
+    nr = int(parts["n_reactivated"].sum())
+    return pa.table({
+        "n_users": pa.array([nu], type=pa.int64()),
+        "n_reactivated": pa.array([nr], type=pa.int64()),
+        "reactivation_share": pa.array(
+            round_col(np.array([nr / nu if nu else 0.0]), 6)),
+    })
+
+
+SQL["reactivated_users"] = (
+    "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+    "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt "
+    "FROM events), "
+    "u AS (SELECT user_id, "
+    "MAX(CASE WHEN pt IS NOT NULL AND t - pt > 1209600000000 "
+    "THEN 1 ELSE 0 END) AS re FROM o GROUP BY 1) "
+    "SELECT COUNT(*) AS n_users, CAST(SUM(re) AS BIGINT) AS n_reactivated, "
+    "ROUND(CAST(SUM(re) AS DOUBLE) / COUNT(*), 6) AS reactivation_share "
+    "FROM u"
+)
