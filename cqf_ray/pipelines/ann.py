@@ -1744,3 +1744,81 @@ SQL["knn_dcg_eval"] = (
     "SELECT COUNT(*) AS n_queries, ROUND(AVG(dcg), 6) AS mean_dcg, "
     "ROUND(AVG(hits), 6) AS mean_hits FROM q"
 )
+
+
+def dim_correlation_top(sf_dir: str, *, k: int = 10) -> pa.Table:
+    """Most-CORRELATED embedding dimension pairs — the redundancy scan
+    run before dimensionality reduction (highly correlated dims waste
+    index bytes). Each batch emits its local Gram block MᵀM plus
+    per-dim sums as (i, j, s) long partials — d²-bounded per batch,
+    never row-level — and the Pearson matrix is arithmetic on the
+    summed Gram. ROUND 6; ties rank by (i, j)."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = batch_embeddings(batch)
+        n, d = mat.shape
+        g = mat.T @ mat
+        iu = np.triu_indices(d, k=0)
+        return pa.table({
+            "i": pa.array(iu[0].astype(np.int64)),
+            "j": pa.array(iu[1].astype(np.int64)),
+            "g": pa.array(g[iu], type=pa.float64()),
+            "si": pa.array(np.where(iu[0] == iu[1], mat.sum(axis=0)[iu[0]],
+                                    0.0), type=pa.float64()),
+            "cnt": pa.array(np.where((iu[0] == 0) & (iu[1] == 0), n, 0)
+                            .astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["i", "j"], [("g", "sum", "g"), ("si", "sum", "si"),
+                     ("cnt", "sum", "cnt")],
+    ).to_pandas()
+    n = int(agg["cnt"].sum())
+    d = int(agg["j"].max()) + 1
+    G = np.zeros((d, d))
+    for i_, j_, g_ in zip(agg["i"], agg["j"], agg["g"]):
+        G[i_, j_] = g_
+        G[j_, i_] = g_
+    s = np.zeros(d)
+    diag = agg[agg["i"] == agg["j"]].sort_values("i")
+    s[diag["i"].to_numpy(np.int64)] = diag["si"].to_numpy(np.float64)
+    var = n * np.diag(G) - s * s
+    num = n * G - np.outer(s, s)
+    den = np.sqrt(np.outer(var, var))
+    corr = num / den
+    iu = np.triu_indices(d, k=1)
+    flat = pd.DataFrame({"dim_i": iu[0].astype(np.int64),
+                         "dim_j": iu[1].astype(np.int64),
+                         "corr6": round_col(corr[iu], 6)})
+    flat["abs6"] = np.abs(flat["corr6"].to_numpy())
+    flat = flat.sort_values(["abs6", "dim_i", "dim_j"],
+                            ascending=[False, True, True]).head(k)
+    flat.insert(0, "rank", np.arange(1, len(flat) + 1, dtype=np.int64))
+    out = flat[["rank", "dim_i", "dim_j", "corr6"]].rename(
+        columns={"corr6": "corr"})
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["dim_correlation_top"] = (
+    "WITH u AS (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS v, "
+    "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i "
+    "FROM embeddings), "
+    "m AS (SELECT a.i AS dim_i, b.i AS dim_j, COUNT(*) AS n, "
+    "SUM(a.v * b.v) AS g, SUM(a.v) AS sa, SUM(b.v) AS sb, "
+    "SUM(a.v * a.v) AS ga, SUM(b.v * b.v) AS gb "
+    "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i < b.i "
+    "GROUP BY 1, 2), "
+    "c AS (SELECT dim_i, dim_j, "
+    "ROUND((n * g - sa * sb) / (sqrt(n * ga - sa * sa) "
+    "* sqrt(n * gb - sb * sb)), 6) AS corr FROM m), "
+    "r AS (SELECT dim_i, dim_j, corr, ROW_NUMBER() OVER ("
+    "ORDER BY ABS(corr) DESC, dim_i, dim_j) AS rank FROM c) "
+    "SELECT CAST(rank AS BIGINT) AS rank, dim_i, dim_j, corr FROM r "
+    "WHERE rank <= 10 ORDER BY rank"
+)

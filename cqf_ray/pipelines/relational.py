@@ -9116,3 +9116,49 @@ SQL["reactivated_users"] = (
     "ROUND(CAST(SUM(re) AS DOUBLE) / COUNT(*), 6) AS reactivation_share "
     "FROM u"
 )
+
+
+def events_missing_hours_audit(sf_dir: str) -> pa.Table:
+    """Data-COMPLETENESS audit: hours inside the corpus time span with
+    ZERO events — the ingestion-gap detector. One combiner-first
+    per-hour count; the missing set and the longest dark stretch are
+    arithmetic on the time-bounded aggregate (observed hours sorted →
+    gap lengths from one diff). Exact integers."""
+    ev = read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hr = (np.asarray(batch.column("ts").combine_chunks())
+              .astype("datetime64[h]").astype(np.int64))
+        return (pl.DataFrame({"h": pl.Series(hr)}).group_by("h")
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], [("n", "sum", "n")],
+    ).to_pandas()
+    h = np.sort(c["h"].to_numpy(np.int64))
+    span = int(h[-1] - h[0] + 1)
+    missing = span - len(h)
+    gaps = np.diff(h) - 1
+    longest = int(gaps.max()) if len(gaps) else 0
+    return pa.table({
+        "span_hours": pa.array([span], type=pa.int64()),
+        "observed_hours": pa.array([len(h)], type=pa.int64()),
+        "missing_hours": pa.array([missing], type=pa.int64()),
+        "longest_gap_hours": pa.array([longest], type=pa.int64()),
+    })
+
+
+SQL["events_missing_hours_audit"] = (
+    "WITH c AS (SELECT DISTINCT "
+    "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h FROM events), "
+    "b AS (SELECT MIN(h) AS h0, MAX(h) AS h1, COUNT(*) AS nobs FROM c), "
+    "g AS (SELECT h - LAG(h) OVER (ORDER BY h) - 1 AS gap FROM c) "
+    "SELECT b.h1 - b.h0 + 1 AS span_hours, "
+    "CAST(b.nobs AS BIGINT) AS observed_hours, "
+    "b.h1 - b.h0 + 1 - b.nobs AS missing_hours, "
+    "CAST(COALESCE((SELECT MAX(gap) FROM g), 0) AS BIGINT) "
+    "AS longest_gap_hours FROM b"
+)

@@ -3563,3 +3563,45 @@ SQL["char_class_profile"] = (
     "ROUND(CAST(spaces AS DOUBLE) / n_chars, 6) AS space_frac "
     "FROM c ORDER BY source"
 )
+
+
+def part_name_top_tokens(sf_dir: str, *, k: int = 20) -> pa.Table:
+    """Top tokens of the part-name catalog (p_name) — the same
+    combiner-first vocabulary machinery pointed at a DIMENSION string
+    column (catalog normalization / attribute extraction prep)."""
+    from ..stages.groupagg import grouped_aggregate
+
+    ds = read(sf_dir, "part", ["p_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "t": pl.from_arrow(batch.column("p_name").combine_chunks())
+            .fill_null("").str.to_lowercase(),
+        })
+        return (df.with_columns(tok=pl.col("t").str.extract_all(r"\S+"))
+                .select("tok").explode("tok").drop_nulls()
+                .group_by("tok").agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], [("n", "sum", "n")],
+    ).to_pandas()
+    agg = agg.sort_values(["n", "tok"], ascending=[False, True]).head(k)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    agg = agg.rename(columns={"tok": "token"})
+    agg["n"] = agg["n"].astype(np.int64)
+    return pa.Table.from_pandas(agg.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["part_name_top_tokens"] = (
+    "WITH tok AS (SELECT UNNEST(regexp_extract_all(lower(p_name), "
+    "'\\S+')) AS token FROM part), "
+    "c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1), "
+    "r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) "
+    "AS rank FROM c) "
+    "SELECT CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n "
+    "FROM r WHERE rank <= 20 ORDER BY rank"
+)

@@ -1536,3 +1536,55 @@ SQL["role_daypart_mix"] = (
     "ROUND(CAST(c.n_turns AS DOUBLE) / t.tot, 6) AS role_share "
     "FROM c JOIN t ON t.role = c.role ORDER BY c.role, c.daypart"
 )
+
+
+def conv_role_first_last(sf_dir: str) -> pa.Table:
+    """Who OPENS and who CLOSES conversations: the (first_role,
+    last_role) matrix over conversations — the dialog-shape prior an
+    SFT curriculum checks (sessions should open with user/system and
+    close with assistant). One conv-keyed exchange; per partition the
+    ordered first/last turn of each conv reads off the run boundaries
+    of one lexsort (``_ordered_conv_arrays`` convention: ts then
+    event-order tie-break via turn order)."""
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.keyed import keyed_partition_map
+
+    ds = transcripts_from_events(sf_dir)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        if len(conv) == 0:
+            return pa.table({"first_role": pa.array([], type=pa.string()),
+                             "last_role": pa.array([], type=pa.string()),
+                             "n_convs": pa.array([], type=pa.int64())})
+        ti = np.asarray(t.column("turn_idx").combine_chunks()).astype(np.int64)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        ccode = np.unique(conv, return_inverse=True)[1]
+        order = np.lexsort((ti, ccode))
+        cc_s, r_s = ccode[order], role[order]
+        starts = np.flatnonzero(np.r_[True, cc_s[1:] != cc_s[:-1]])
+        ends = np.r_[starts[1:], len(cc_s)] - 1
+        df = pl.DataFrame({"first_role": r_s[starts].astype(str),
+                           "last_role": r_s[ends].astype(str)})
+        return (df.group_by(["first_role", "last_role"])
+                .agg(n_convs=pl.len().cast(pl.Int64)).to_arrow())
+
+    parts = keyed_partition_map(ds, ["conv_id"], kernel)
+    out = grouped_aggregate(parts, ["first_role", "last_role"],
+                            [("n_convs", "sum", "n_convs")]).to_pandas()
+    out = out.sort_values(["first_role", "last_role"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["conv_role_first_last"] = (
+    f"{_CTE}, fl AS (SELECT conv_id, "
+    "FIRST_VALUE(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+    "AS first_role, "
+    "FIRST_VALUE(role) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) "
+    "AS last_role FROM transcripts), "
+    "d AS (SELECT DISTINCT conv_id, first_role, last_role FROM fl) "
+    "SELECT first_role, last_role, COUNT(*) AS n_convs FROM d "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
