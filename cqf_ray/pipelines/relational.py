@@ -9162,3 +9162,133 @@ SQL["events_missing_hours_audit"] = (
     "CAST(COALESCE((SELECT MAX(gap) FROM g), 0) AS BIGINT) "
     "AS longest_gap_hours FROM b"
 )
+
+
+def nation_share_of_region(sf_dir: str) -> pa.Table:
+    """PERCENT-OF-PARENT: each nation's share of its region's order
+    revenue — the hierarchical ratio the geographic rollup can't give
+    directly. Revenue folds combiner-first per customer-nation (cent
+    ints through the dim broadcast); shares are arithmetic on the
+    |nations|-row aggregate. Exact cents, ROUND 6."""
+    import ray as _ray
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = read(sf_dir, "nation",
+               ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nmap = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    c2n = dict(zip(cust["c_custkey"].to_numpy(np.int64),
+                   cust["c_nationkey"].to_numpy(np.int64)))
+    n2names = dict(zip(nmap["n_nationkey"].to_numpy(np.int64),
+                       zip(nmap["n_name"], nmap["r_name"])))
+    ref = _ray.put((c2n, n2names))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        c2n_, n2n_ = _ray.get(ref)
+        ck = np.asarray(batch.column("o_custkey").combine_chunks()).astype(np.int64)
+        vc = np.round(np.asarray(batch.column("o_totalprice").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        names = [n2n_[c2n_[k]] for k in ck.tolist()]
+        df = pl.DataFrame({
+            "n_name": np.array([a for a, _ in names], dtype=object),
+            "r_name": np.array([b for _, b in names], dtype=object),
+            "vc": pl.Series(vc),
+        })
+        return (df.group_by(["r_name", "n_name"])
+                .agg(rev_c=pl.col("vc").sum()).to_arrow())
+
+    out = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["r_name", "n_name"], [("rev_c", "sum", "rev_c")]).to_pandas()
+    from .common import round_scaled
+
+    rtot = out.groupby("r_name")["rev_c"].transform("sum")
+    out["revenue"] = round_scaled(out["rev_c"].to_numpy(np.int64),
+                                  to_dec=2, from_dec=2)
+    out["region_share"] = round_col(
+        out["rev_c"].to_numpy(np.float64) / rtot.to_numpy(np.float64), 6)
+    out = out[["r_name", "n_name", "revenue", "region_share"]]
+    out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["nation_share_of_region"] = (
+    "WITH j AS (SELECT r_name, n_name, "
+    "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2), "
+    "t AS (SELECT r_name, SUM(rev_c) AS tot FROM j GROUP BY 1) "
+    "SELECT j.r_name, j.n_name, "
+    "CAST(j.rev_c AS DOUBLE) / 100.0 AS revenue, "
+    "ROUND(CAST(j.rev_c AS DOUBLE) / t.tot, 6) AS region_share "
+    "FROM j JOIN t ON t.r_name = j.r_name ORDER BY j.r_name, j.n_name"
+)
+
+
+def events_dup_exact_audit(sf_dir: str) -> pa.Table:
+    """Ingestion DOUBLE-FIRE audit: exact duplicate event bodies
+    (user, ts, type, cent value) appearing more than once — the
+    upstream-retry detector. One combiner-first count on the composite
+    body key (the exchange carries distinct bodies per batch); the
+    summary folds on the distinct-body aggregate. Exact integers."""
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        tsu = (np.asarray(batch.column("ts").combine_chunks())
+               .astype("datetime64[us]").astype(np.int64))
+        vc = np.round(np.asarray(batch.column("value").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        df = pl.DataFrame({
+            "user_id": pl.from_arrow(batch.column("user_id").combine_chunks()),
+            "t": pl.Series(tsu),
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "vc": pl.Series(vc),
+        })
+        return (df.group_by(["user_id", "t", "event_type", "vc"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    bodies = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "t", "event_type", "vc"], [("n", "sum", "n")],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n").combine_chunks()).astype(np.int64)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "rows": pa.array([int(n.sum())], type=pa.int64()),
+            "bodies": pa.array([len(n)], type=pa.int64()),
+            "dup_rows": pa.array([int((n[n > 1] - 1).sum())],
+                                 type=pa.int64()),
+        })
+
+    f = grouped_aggregate(
+        bodies.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["k"], [("rows", "sum", "rows"), ("bodies", "sum", "bodies"),
+                ("dup_rows", "sum", "dup_rows")]).to_pandas()
+    return pa.table({
+        "n_rows": pa.array([int(f["rows"][0])], type=pa.int64()),
+        "n_distinct_bodies": pa.array([int(f["bodies"][0])],
+                                      type=pa.int64()),
+        "n_dup_rows": pa.array([int(f["dup_rows"][0])], type=pa.int64()),
+    })
+
+
+SQL["events_dup_exact_audit"] = (
+    "WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS vc, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2, 3, 4) "
+    "SELECT CAST(SUM(n) AS BIGINT) AS n_rows, "
+    "COUNT(*) AS n_distinct_bodies, "
+    "CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_rows FROM b"
+)
