@@ -9292,3 +9292,128 @@ SQL["events_dup_exact_audit"] = (
     "CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) "
     "AS n_dup_rows FROM b"
 )
+
+
+def signup_to_purchase_days(sf_dir: str) -> pa.Table:
+    """ACTIVATION lag: days from a user's first signup to their first
+    subsequent purchase, summarized as count / mean / disc-p50/p90 —
+    the activation-funnel speed metric. One keyed exchange on user_id
+    (per-user first-signup / first-purchase-after from one lexsort);
+    the day lags are small bounded integers, so the quantiles fold
+    from a (days → n) histogram, never a value sort."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).filter(
+            pl.col("event_type").is_in(["signup", "purchase"]))
+        if len(df) == 0:
+            return pa.table({"days": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uid = df.get_column("user_id").to_numpy()
+        tsu = (df.get_column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64))
+        et = df.get_column("event_type").to_numpy()
+        g = (pl.DataFrame({"u": uid, "t": tsu, "e": et})
+             .group_by("u")
+             .agg(s=pl.col("t").filter(pl.col("e") == "signup").min()))
+        pu = (pl.DataFrame({"u": uid, "t": tsu, "e": et})
+              .filter(pl.col("e") == "purchase").join(g.drop_nulls("s"),
+                                                      on="u")
+              .filter(pl.col("t") >= pl.col("s")).group_by("u")
+              .agg(p=pl.col("t").min(), s=pl.col("s").first()))
+        if len(pu) == 0:
+            return pa.table({"days": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        days = ((pu.get_column("p") - pu.get_column("s")).to_numpy()
+                // 86_400_000_000).astype(np.int64)
+        u, c = np.unique(days, return_counts=True)
+        return pa.table({"days": pa.array(u, type=pa.int64()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = keyed_partition_map(ev, ["user_id"], kernel)
+    h = grouped_aggregate(hist, ["days"], [("n", "sum", "n")]).to_pandas()
+    h = h.sort_values("days")
+    d = h["days"].to_numpy(np.int64)
+    n = h["n"].to_numpy(np.int64)
+    cum = np.cumsum(n)
+    tot = int(cum[-1]) if len(n) else 0
+    pick = lambda q: int(d[np.searchsorted(cum, int(np.ceil(q * tot)))])
+    return pa.table({
+        "n_activated": pa.array([tot], type=pa.int64()),
+        "mean_days": pa.array(round_col(
+            np.array([float((d * n).sum()) / tot if tot else 0.0]), 6)),
+        "p50_days": pa.array([pick(0.5) if tot else 0], type=pa.int64()),
+        "p90_days": pa.array([pick(0.9) if tot else 0], type=pa.int64()),
+    })
+
+
+SQL["signup_to_purchase_days"] = (
+    "WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS st FROM events "
+    "WHERE event_type = 'signup' GROUP BY 1), "
+    "p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt, MIN(s.st) AS st "
+    "FROM events e JOIN s ON s.user_id = e.user_id "
+    "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.st "
+    "GROUP BY 1), "
+    "d AS (SELECT (pt - st) // 86400000000 AS days FROM p) "
+    "SELECT COUNT(*) AS n_activated, "
+    "ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS mean_days, "
+    "quantile_disc(days, 0.5) AS p50_days, "
+    "quantile_disc(days, 0.9) AS p90_days FROM d"
+)
+
+
+def daily_gmv_trailing7(sf_dir: str) -> pa.Table:
+    """Daily purchase GMV with the trailing-7-CALENDAR-day total — the
+    RANGE-frame window (value-based, not row-based: gap days shrink the
+    trailing sum) every revenue dashboard plots. One combiner-first
+    per-day cent aggregate; the trailing sums come from two
+    searchsorted reads of the day-keyed cumsum (time-bounded driver
+    arithmetic). Exact cents."""
+    ev = read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).filter(pl.col("event_type") == "purchase")
+        if len(df) == 0:
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "vc": pa.array([], type=pa.int64())})
+        day = (df.get_column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        vc = np.round(df.get_column("value").to_numpy() * 100.0).astype(np.int64)
+        return (pl.DataFrame({"day": pl.Series(day), "vc": pl.Series(vc)})
+                .group_by("day").agg(vc=pl.col("vc").sum()).to_arrow())
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], [("vc", "sum", "vc")],
+    ).to_pandas().sort_values("day")
+    from .common import round_scaled
+
+    d = c["day"].to_numpy(np.int64)
+    v = c["vc"].to_numpy(np.int64)
+    cum = np.cumsum(v)
+    lo = np.searchsorted(d, d - 6, side="left")
+    t7 = cum - np.r_[np.int64(0), cum[:-1]][lo]
+    out = pd.DataFrame({
+        "day": d,
+        "gmv": round_scaled(v, to_dec=2, from_dec=2),
+        "t7_gmv": round_scaled(t7, to_dec=2, from_dec=2),
+    })
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL["daily_gmv_trailing7"] = (
+    "WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vc FROM events "
+    "WHERE event_type = 'purchase' GROUP BY 1) "
+    "SELECT day, CAST(vc AS DOUBLE) / 100.0 AS gmv, "
+    "CAST(SUM(vc) OVER (ORDER BY day "
+    "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 "
+    "AS t7_gmv FROM c ORDER BY day"
+)
