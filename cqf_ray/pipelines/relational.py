@@ -9417,3 +9417,52 @@ SQL["daily_gmv_trailing7"] = (
     "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 "
     "AS t7_gmv FROM c ORDER BY day"
 )
+
+
+def orders_dow_profile(sf_dir: str) -> pa.Table:
+    """Order volume and value by DAY-OF-WEEK (ISO: Mon=1..Sun=7) — the
+    staffing/capacity weekly profile. ONE combiner-first 7-row
+    aggregate; exact cents and exact-ratio shares, ROUND 6."""
+    orders = read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        day = (np.asarray(batch.column("o_orderdate").combine_chunks())
+               .astype("datetime64[D]").astype(np.int64))
+        # epoch day 0 = Thursday 1970-01-01 → ISO dow = ((d+3) % 7) + 1
+        dow = ((day + 3) % 7 + 1).astype(np.int64)
+        vc = np.round(np.asarray(batch.column("o_totalprice").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        return (pl.DataFrame({"dow": pl.Series(dow), "vc": pl.Series(vc)})
+                .group_by("dow")
+                .agg(n_orders=pl.len().cast(pl.Int64),
+                     vc=pl.col("vc").sum()).to_arrow())
+
+    out = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["dow"], [("n_orders", "sum", "n_orders"), ("vc", "sum", "vc")],
+    ).to_pandas()
+    from .common import round_scaled
+
+    tot = int(out["n_orders"].sum())
+    out["revenue"] = round_scaled(out["vc"].to_numpy(np.int64),
+                                  to_dec=2, from_dec=2)
+    out["order_share"] = round_col(out["n_orders"].to_numpy(np.float64)
+                                   / tot, 6)
+    out = out[["dow", "n_orders", "revenue", "order_share"]]
+    out = out.sort_values("dow").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["orders_dow_profile"] = (
+    "WITH c AS (SELECT isodow(o_orderdate) AS dow, COUNT(*) AS n_orders, "
+    "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS vc FROM orders "
+    "GROUP BY 1), "
+    "t AS (SELECT SUM(n_orders) AS tot FROM c) "
+    "SELECT CAST(c.dow AS BIGINT) AS dow, c.n_orders, "
+    "CAST(c.vc AS DOUBLE) / 100.0 AS revenue, "
+    "ROUND(CAST(c.n_orders AS DOUBLE) / t.tot, 6) AS order_share "
+    "FROM c, t ORDER BY c.dow"
+)

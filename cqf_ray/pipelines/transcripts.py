@@ -1588,3 +1588,53 @@ SQL["conv_role_first_last"] = (
     "SELECT first_role, last_role, COUNT(*) AS n_convs FROM d "
     "GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+def role_text_length_stats(sf_dir: str) -> pa.Table:
+    """Text-LENGTH profile per role (turn count, total/mean/max chars) —
+    the context-budget planner's per-role input. Shuffle-free
+    derivation; per-batch vectorized char counts pre-aggregate to
+    |roles| rows before the exchange. Exact integers, ROUND 6 mean."""
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = transcripts_light(sf_dir, ["role", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc_
+
+        ln = np.asarray(
+            pc_.utf8_length(pc_.coalesce(batch.column("text"), ""))
+            .combine_chunks(), dtype=np.int64)
+        df = pl.DataFrame({
+            "role": np.asarray(batch.column("role").combine_chunks(),
+                               dtype=object),
+            "ln": pl.Series(ln),
+        })
+        return (df.group_by("role")
+                .agg(n_turns=pl.len().cast(pl.Int64),
+                     total_chars=pl.col("ln").sum(),
+                     max_chars=pl.col("ln").max()).to_arrow())
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["role"], [("n_turns", "sum", "n_turns"),
+                   ("total_chars", "sum", "total_chars"),
+                   ("max_chars", "max", "max_chars")]).to_pandas()
+    out["mean_chars"] = round_col(
+        out["total_chars"].to_numpy(np.float64)
+        / out["n_turns"].to_numpy(np.float64), 6)
+    out = out[["role", "n_turns", "total_chars", "mean_chars", "max_chars"]]
+    out = out.sort_values("role").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["role_text_length_stats"] = (
+    f"{_CTE} SELECT role, COUNT(*) AS n_turns, "
+    "CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars, "
+    "ROUND(CAST(SUM(length(COALESCE(text, ''))) AS DOUBLE) / COUNT(*), 6) "
+    "AS mean_chars, "
+    "CAST(MAX(length(COALESCE(text, ''))) AS BIGINT) AS max_chars "
+    "FROM transcripts GROUP BY 1 ORDER BY 1"
+)
