@@ -9466,3 +9466,102 @@ SQL["orders_dow_profile"] = (
     "ROUND(CAST(c.n_orders AS DOUBLE) / t.tot, 6) AS order_share "
     "FROM c, t ORDER BY c.dow"
 )
+
+
+def iqr_outliers_by_type(sf_dir: str) -> pa.Table:
+    """Tukey-FENCE outlier counts per event type: values outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] (disc quartiles on integer cents —
+    the fence arithmetic stays in scaled integers: 2·cents vs
+    5·Q1 − 3·Q3, so both engines agree EXACTLY, no float fence). The
+    boxplot-rule companion to the MAD and winsorize ops. One keyed
+    exchange; per-partition sort + run-offset order-stat gather."""
+    from ..stages.keyed import keyed_partition_map
+
+    ev = read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        if len(et) == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "n_low": pa.array([], type=pa.int64()),
+                             "n_high": pa.array([], type=pa.int64())})
+        vc = np.round(np.asarray(t.column("value").combine_chunks(),
+                                 dtype=np.float64) * 100.0).astype(np.int64)
+        ecode = np.unique(et, return_inverse=True)[1]
+        order = np.lexsort((vc, ecode))
+        e_s, v_s = et[order], vc[order]
+        ec_s = ecode[order]
+        starts = np.flatnonzero(np.r_[True, ec_s[1:] != ec_s[:-1]])
+        ends = np.r_[starts[1:], len(e_s)]
+        cnt = ends - starts
+        q1 = v_s[starts + np.ceil(0.25 * cnt).astype(np.int64) - 1]
+        q3 = v_s[starts + np.ceil(0.75 * cnt).astype(np.int64) - 1]
+        # v < Q1 - 1.5*IQR  ⇔  2v < 5*Q1 - 3*Q3 (integer, exact)
+        lo_thr = 5 * q1 - 3 * q3
+        hi_thr = 5 * q3 - 3 * q1
+        rep = np.repeat(np.arange(len(starts)), cnt)
+        low = 2 * v_s < lo_thr[rep]
+        high = 2 * v_s > hi_thr[rep]
+        n_low = np.add.reduceat(low.astype(np.int64), starts)
+        n_high = np.add.reduceat(high.astype(np.int64), starts)
+        return pa.table({
+            "event_type": pa.array(e_s[starts].tolist(), type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+            "n_low": pa.array(n_low.astype(np.int64)),
+            "n_high": pa.array(n_high.astype(np.int64)),
+        })
+
+    out = keyed_partition_map(ev, ["event_type"], kernel).to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["iqr_outliers_by_type"] = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events), "
+    "q AS (SELECT event_type, quantile_disc(vc, 0.25) AS q1, "
+    "quantile_disc(vc, 0.75) AS q3 FROM c GROUP BY 1) "
+    "SELECT c.event_type, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN 2 * c.vc < 5 * q.q1 - 3 * q.q3 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_low, "
+    "CAST(SUM(CASE WHEN 2 * c.vc > 5 * q.q3 - 3 * q.q1 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_high "
+    "FROM c JOIN q USING (event_type) GROUP BY 1 ORDER BY 1"
+)
+
+
+def props_k_bucket_counts(sf_dir: str) -> pa.Table:
+    """JSON-PATH extraction + bucketing over the props payload column:
+    the integer field ``$.k`` bucketed by tens — the semi-structured
+    attribute histogram every event warehouse needs (the oracle uses
+    real ``json_extract``; the kernel parses the single-field payload
+    with one vectorized regex through polars). Exact integers."""
+    ev = read(sf_dir, "events", ["props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({"p": pl.from_arrow(
+            batch.column("props").combine_chunks()).fill_null("")})
+        k = (df.with_columns(
+            k=pl.col("p").str.extract(r"(\d+)", 1).cast(pl.Int64))
+            .drop_nulls("k").with_columns(bucket=pl.col("k") // 10 * 10))
+        return (k.group_by("bucket")
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    out = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"], [("n", "sum", "n")],
+    ).to_pandas()
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out = out.sort_values("bucket").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["bucket", "n"]], preserve_index=False)
+
+
+SQL["props_k_bucket_counts"] = (
+    "WITH k AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS kv "
+    "FROM events WHERE json_extract(props, '$.k') IS NOT NULL) "
+    "SELECT kv // 10 * 10 AS bucket, COUNT(*) AS n "
+    "FROM k GROUP BY 1 ORDER BY 1"
+)
