@@ -1822,3 +1822,110 @@ SQL["dim_correlation_top"] = (
     "SELECT CAST(rank AS BIGINT) AS rank, dim_i, dim_j, corr FROM r "
     "WHERE rank <= 10 ORDER BY rank"
 )
+
+
+def centroid_margin_stats(sf_dir: str) -> pa.Table:
+    """Nearest-CENTROID margin audit: for every vector, cosine to its
+    OWN label centroid minus the best other-label centroid — the
+    separability health check (negative margin = the vector would be
+    misclassified by a centroid rule). Centroids come from the same
+    (label, dim, Σv) long partials as ``label_centroid_similarity``;
+    the margins are ONE (n×K) matmul per batch against the broadcast
+    K×d centroid matrix. 9-dp sims; counts exact; mean ROUND 6."""
+    import ray as _ray
+
+    from ..stages.groupagg import grouped_aggregate
+    from .common import round_col
+
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label").combine_chunks()).astype(np.int64)
+        mat = batch_embeddings(batch)
+        if len(lab) == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        rows_l, rows_d, rows_s, rows_c = [], [], [], []
+        for L in np.unique(lab):
+            m = lab == L
+            s = mat[m].sum(axis=0)
+            rows_l.extend([int(L)] * mat.shape[1])
+            rows_d.extend(range(mat.shape[1]))
+            rows_s.extend(s.tolist())
+            rows_c.extend([int(m.sum())] * mat.shape[1])
+        return pa.table({"label": pa.array(rows_l, type=pa.int64()),
+                         "dim": pa.array(rows_d, type=pa.int64()),
+                         "s": pa.array(rows_s, type=pa.float64()),
+                         "cnt": pa.array(rows_c, type=pa.int64())})
+
+    agg = grouped_aggregate(
+        ds.map_batches(cpartial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["label", "dim"], [("s", "sum", "s"), ("cnt", "sum", "cnt")],
+    ).to_pandas().sort_values(["label", "dim"])
+    labels = np.sort(agg["label"].unique())
+    d = int(agg["dim"].max()) + 1
+    C = np.zeros((len(labels), d))
+    for i, L in enumerate(labels):
+        g = agg[agg["label"] == L]
+        C[i] = g["s"].to_numpy(np.float64) / g["cnt"].to_numpy(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    lab_pos = {int(L): i for i, L in enumerate(labels)}
+    ref = _ray.put((Cn, lab_pos))
+
+    def margins(batch: pa.Table) -> pa.Table:
+        Cn_, pos = _ray.get(ref)
+        lab = np.asarray(batch.column("label").combine_chunks()).astype(np.int64)
+        mat = batch_embeddings(batch)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ Cn_.T, 9)
+        own_idx = np.array([pos[int(L)] for L in lab], dtype=np.int64)
+        own = sims[np.arange(len(lab)), own_idx]
+        sims[np.arange(len(lab)), own_idx] = -2.0
+        best_other = sims.max(axis=1)
+        marg = own - best_other
+        return pa.table({"k": pa.array([0], type=pa.int64()),
+                         "n": pa.array([len(lab)], type=pa.int64()),
+                         "neg": pa.array([int((marg < 0).sum())],
+                                         type=pa.int64()),
+                         "s": pa.array([float(marg.sum())],
+                                       type=pa.float64())})
+
+    f = grouped_aggregate(
+        ds.map_batches(margins, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], [("n", "sum", "n"), ("neg", "sum", "neg"),
+                ("s", "sum", "s")]).to_pandas()
+    n = int(f["n"][0]); neg = int(f["neg"][0]); s = float(f["s"][0])
+    return pa.table({
+        "n_vectors": pa.array([n], type=pa.int64()),
+        "n_negative_margin": pa.array([neg], type=pa.int64()),
+        "neg_share": pa.array(round_col(np.array([neg / n]), 6)),
+        "mean_margin": pa.array(round_col(np.array([s / n]), 6)),
+    })
+
+
+SQL["centroid_margin_stats"] = (
+    "WITH u AS (SELECT vec_id, label, "
+    "UNNEST(CAST(embedding AS DOUBLE[])) AS v, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "c AS (SELECT label, i, AVG(v) AS m FROM u GROUP BY 1, 2), "
+    "nv AS (SELECT vec_id, sqrt(SUM(v * v)) AS nr FROM u GROUP BY 1), "
+    "nc AS (SELECT label, sqrt(SUM(m * m)) AS nr FROM c GROUP BY 1), "
+    "sims AS (SELECT u.vec_id, u.label AS vl, c.label AS cl, "
+    "ROUND(SUM(u.v * c.m) / (nv.nr * nc.nr), 9) AS sim "
+    "FROM u JOIN c ON c.i = u.i "
+    "JOIN nv ON nv.vec_id = u.vec_id JOIN nc ON nc.label = c.label "
+    "GROUP BY u.vec_id, u.label, c.label, nv.nr, nc.nr), "
+    "m AS (SELECT vec_id, "
+    "MAX(CASE WHEN vl = cl THEN sim END) "
+    "- MAX(CASE WHEN vl <> cl THEN sim END) AS marg FROM sims "
+    "GROUP BY 1) "
+    "SELECT COUNT(*) AS n_vectors, "
+    "CAST(SUM(CASE WHEN marg < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_negative_margin, "
+    "ROUND(CAST(SUM(CASE WHEN marg < 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ COUNT(*), 6) AS neg_share, "
+    "ROUND(AVG(marg), 6) AS mean_margin FROM m"
+)

@@ -9565,3 +9565,54 @@ SQL["props_k_bucket_counts"] = (
     "SELECT kv // 10 * 10 AS bucket, COUNT(*) AS n "
     "FROM k GROUP BY 1 ORDER BY 1"
 )
+
+
+def dow_entropy_by_type(sf_dir: str) -> pa.Table:
+    """WEEKLY-REGULARITY scalar per event type: Shannon entropy (bits)
+    of the day-of-week distribution — log2(7) means perfectly uniform
+    traffic, low values mean the type is a weekday/weekend creature.
+    ONE combiner-first (type, dow) count — ≤ 7·|types| rows — then the
+    entropy fold H = log2(N) − Σ n·log2 n / N mirrored exactly
+    (term_entropy precedent), ROUND 6."""
+    ev = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        day = (np.asarray(batch.column("ts").combine_chunks())
+               .astype("datetime64[D]").astype(np.int64))
+        dow = ((day + 3) % 7 + 1).astype(np.int64)
+        df = pl.DataFrame({
+            "event_type": np.asarray(
+                batch.column("event_type").combine_chunks(), dtype=object),
+            "dow": pl.Series(dow),
+        })
+        return (df.group_by(["event_type", "dow"])
+                .agg(n=pl.len().cast(pl.Int64)).to_arrow())
+
+    c = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "dow"], [("n", "sum", "n")],
+    ).to_pandas()
+    rows = []
+    for et, g in c.groupby("event_type"):
+        n = g["n"].to_numpy(np.int64).astype(np.float64)
+        N = float(n.sum())
+        h = np.log2(N) - float((n * np.log2(n)).sum()) / N
+        rows.append((et, int(N), round_col(np.array([h]), 6)[0]))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "dow_entropy_bits"])
+    out["n"] = out["n"].astype(np.int64)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL["dow_entropy_by_type"] = (
+    "WITH c AS (SELECT event_type, isodow(CAST(ts AS DATE)) AS dow, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "a AS (SELECT event_type, SUM(n) AS N, "
+    "SUM(CAST(n AS DOUBLE) * LOG2(CAST(n AS DOUBLE))) AS sl "
+    "FROM c GROUP BY 1) "
+    "SELECT event_type, CAST(N AS BIGINT) AS n, "
+    "ROUND(LOG2(CAST(N AS DOUBLE)) - sl / CAST(N AS DOUBLE), 6) "
+    "AS dow_entropy_bits FROM a ORDER BY event_type"
+)
